@@ -1,0 +1,121 @@
+"""Scalar text functions (SURVEY.md §2.7 F1–F7) as *pure column expressions*.
+
+These reproduce, bit-exactly, the string semantics of the reference's
+`libs/common_lib/src/ht_utils/text_processor.py:27-41` (string_preparation),
+`:10-24` (xmlesc), and `app/ht_indexer/src/document_generator/
+mysql_data_extractor.py:26-38` (namespace/id split) — but as JVM-side Catalyst
+expressions so they run inside whole-stage codegen, never in Python, on the
+100 TB hot path. The Python oracles live in
+`index_search_monorepo_spark/oracle/reference_oracle.py` and the parity tests
+in `tests/test_text.py` (including Hypothesis round-trips vs CPython's
+`xml.sax.saxutils.quoteattr`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The exact set of characters CPython's str.strip() removes (str.isspace()
+# truth set). Java's trim()/\s are narrower (no U+00A0, U+1680, ... and no
+# \x1c-\x1f), so we strip with an explicit character class.
+PY_WHITESPACE = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+    "\x85\xa0 "
+    "           "
+    "    　"
+)
+
+_PY_WS_CLASS = (
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
+
+def pystrip(col: Column) -> Column:
+    """Python-str.strip() parity: strip the full unicode whitespace set."""
+    return F.regexp_replace(col, f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", "")
+
+
+def _xml_escape(col: Column) -> Column:
+    """xml.sax.saxutils.escape: '&' first, then '<', '>'."""
+    col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+    col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+    return col
+
+
+def quoteattr_expr(col: Column) -> Column:
+    """Bit-exact `xml.sax.saxutils.quoteattr` (CPython) as a column expr.
+
+    Semantics (matched against CPython source; golden-tested):
+      1. escape & < > plus quoteattr's extra entities \\n->&#10;
+         \\r->&#13; \\t->&#9;
+      2. if '"' in s: if "'" also in s -> wrap in '"', escaping '"'->&quot;
+                      else -> wrap in "'"
+         else -> wrap in '"'
+    """
+    esc = _xml_escape(col)
+    esc = F.replace(esc, F.lit("\n"), F.lit("&#10;"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("&#13;"))
+    esc = F.replace(esc, F.lit("\t"), F.lit("&#9;"))
+    has_dq = F.contains(esc, F.lit('"'))
+    has_sq = F.contains(esc, F.lit("'"))
+    return (
+        F.when(
+            has_dq & has_sq,
+            F.concat(F.lit('"'), F.replace(esc, F.lit('"'), F.lit("&quot;")), F.lit('"')),
+        )
+        .when(has_dq, F.concat(F.lit("'"), esc, F.lit("'")))
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+
+
+def string_preparation_expr(col: Column) -> Column:
+    """F1 — reference `string_preparation` (text_processor.py:27-41):
+    replace '\\r'->' ', '\\n'->' ', str.strip(), then quoteattr().
+
+    The reference takes raw bytes and strict-decodes UTF-8 first; in our
+    columnar model decode happened at ingest and undecodable pages are routed
+    to the error sink (see operators/errors.py), so this expression starts
+    from a string column.
+    """
+    s = F.replace(col, F.lit("\r"), F.lit(" "))
+    s = F.replace(s, F.lit("\n"), F.lit(" "))
+    return quoteattr_expr(pystrip(s))
+
+
+def xmlesc_expr(col: Column) -> Column:
+    """F2 — reference `xmlesc` (text_processor.py:10-24): five-entity
+    translate. Note &apos;/&quot; are escaped here, unlike quoteattr."""
+    col = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+    col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+    col = F.replace(col, F.lit("'"), F.lit("&apos;"))
+    col = F.replace(col, F.lit('"'), F.lit("&quot;"))
+    return col
+
+
+def namespace_expr(doc_id: Column) -> Column:
+    """F5 — namespace = text before the FIRST '.'
+    (mysql_data_extractor.py:26-38)."""
+    return F.split(doc_id, "\\.", 2)[0]
+
+
+def object_id_expr(doc_id: Column) -> Column:
+    """F5 — object id = remainder after the first '.'; NULL when no dot
+    (reference returns None)."""
+    parts = F.split(doc_id, "\\.", 2)
+    return F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(None))
+
+
+def zero_pad_id_expr(col: Column, width: int = 9) -> Column:
+    """F7 — zfill(9) iff shorter (ht_utils.py:133-140). lpad also truncates
+    longer strings, zfill does not — guard with length."""
+    return F.when(F.length(col) < width, F.lpad(col, width, "0")).otherwise(col)
+
+
+def strip_leading_zeros_expr(col: Column) -> Column:
+    """F7 — lstrip('0') or '0' (ht_utils.py:142-148)."""
+    stripped = F.regexp_replace(col, "^0+", "")
+    return F.when(stripped == "", F.lit("0")).otherwise(stripped)

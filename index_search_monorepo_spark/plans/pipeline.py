@@ -1,0 +1,115 @@
+"""The end-to-end extraction job (SURVEY.md §3.1 Spark equivalent):
+
+    read spans table
+      → error-sink split (R2)
+      → salted repartition (O13)
+      → ocr / extracted_spans columns (A1/F1 + boilerplate classifier)
+      → broadcast-join dims (J1–J4) + catalog item metadata (J5/J6)
+      → assemble §1.3 document struct
+      → write parquet partitioned by bucket + checkpoint manifest (R5/O14)
+
+The reference's four services (monitor → retriever → generator → indexer over
+RabbitMQ) collapse into Catalyst stages of one job; the only shuffles are the
+explicit salted repartition, the dim pre-aggregations (tiny), and the
+oversized-volume reassembly (skew fraction only).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.functions.marc import extract_allfields
+from index_search_monorepo_spark.operators.assemble import (
+    assemble_full_text_documents,
+)
+from index_search_monorepo_spark.operators.catalog import catalog_item_metadata
+from index_search_monorepo_spark.operators.checkpoint import (
+    pending_only,
+    run_checkpointed,
+    with_bucket,
+)
+from index_search_monorepo_spark.operators.enrichment import with_mysql_fields
+from index_search_monorepo_spark.operators.errors import split_errors
+from index_search_monorepo_spark.operators.extraction import (
+    with_extracted_spans,
+    with_mets_fields,
+    with_ocr_skew_aware,
+)
+from index_search_monorepo_spark.operators.skew import salted_repartition
+
+
+def load_corpus(spark: SparkSession, corpus_dir: str) -> dict[str, DataFrame]:
+    d = Path(corpus_dir)
+    names = [
+        "documents_spans", "documents_spans_bad", "mets_meta", "catalog",
+        "rights_current", "holdings_htitem_htmember", "mb_coll_item",
+        "mb_collection", "hf",
+    ]
+    return {n: spark.read.parquet(str(d / f"{n}.parquet")) for n in names if (d / f"{n}.parquet").exists()}
+
+
+def extract_documents(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    include_poison: bool = True,
+    page_threshold: int = 1000,
+    repartition: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Full §1.3 document assembly. Returns (documents, errors)."""
+    spans = tables["documents_spans"]
+    if include_poison and "documents_spans_bad" in tables:
+        spans = spans.unionByName(tables["documents_spans_bad"])
+    clean, errors = split_errors(spans)
+    if repartition:
+        clean = salted_repartition(clean)
+    docs = with_ocr_skew_aware(clean, page_threshold=page_threshold)
+    docs = docs.withColumn("span_count", F.size("spans")).drop("spans")
+    docs = with_mysql_fields(
+        docs,
+        tables["rights_current"],
+        tables["holdings_htitem_htmember"],
+        tables["mb_coll_item"],
+        tables["mb_collection"],
+    )
+    catalog = tables["catalog"].withColumn(
+        "allfields", extract_allfields(F.col("fullrecord"))
+    )
+    items = catalog_item_metadata(catalog, extra_passthrough=("allfields",))
+    mets = with_mets_fields(tables["mets_meta"])
+    assembled = assemble_full_text_documents(
+        docs, items.drop("fullrecord"), mets, extra_cols=("span_count",)
+    )
+    return assembled, errors
+
+
+def extract_span_sequences(
+    spark: SparkSession, tables: dict[str, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """North-rule output mode: (doc_id, extracted_spans) — the per-document
+    span sequence (kind, text, media_ref, offset) in canonical order."""
+    spans = tables["documents_spans"]
+    if "documents_spans_bad" in tables:
+        spans = spans.unionByName(tables["documents_spans_bad"])
+    clean, errors = split_errors(spans)
+    out = with_extracted_spans(clean).select("doc_id", "extracted_spans")
+    return out, errors
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    corpus_dir: str,
+    output_dir: str,
+    n_buckets: int = 64,
+    input_snapshot_id: str | None = None,
+) -> dict:
+    """Checkpointed, resumable production entry point."""
+    tables = load_corpus(spark, corpus_dir)
+    docs, errors = extract_documents(spark, tables)
+    docs = with_bucket(docs, n_buckets, doc_id_col="id")
+    docs = pending_only(docs, spark, output_dir)
+    errors.write.mode("append").parquet(str(Path(output_dir) / "errors"))
+    snapshot = input_snapshot_id or f"corpus:{corpus_dir}"
+    return run_checkpointed(docs, output_dir, snapshot, spark)

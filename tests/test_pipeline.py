@@ -1,0 +1,77 @@
+"""End-to-end: assembled §1.3 documents, checkpointed run, resume anti-join,
+salted repartition."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.assemble import OUTPUT_FIELD_ORDER
+from index_search_monorepo_spark.operators.checkpoint import MANIFEST_DIR
+from index_search_monorepo_spark.operators.skew import salted_repartition
+from index_search_monorepo_spark.plans.pipeline import (
+    extract_documents,
+    run_extraction_job,
+)
+from index_search_monorepo_spark.oracle.reference_oracle import oracle_ocr
+
+
+def test_assembled_documents(spark, tables):
+    docs, errors = extract_documents(spark, tables, page_threshold=20)
+    assert errors.count() == tables["documents_spans_bad"].count()
+    rows = {r["id"]: r for r in docs.collect()}
+    assert len(rows) == tables["documents_spans"].count()
+    # schema = §1.3 field order + metrics col
+    assert docs.columns == OUTPUT_FIELD_ORDER + ["span_count"]
+    assert "ht_id" not in docs.columns  # popped (:181)
+    assert "fullrecord" not in docs.columns  # popped (:166)
+    # ocr matches oracle for every doc
+    spans = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in tables["documents_spans"].collect()
+    }
+    for d, r in rows.items():
+        assert r["ocr"] == oracle_ocr(spans[d]), d
+        assert r["vol_id"] == d
+        assert r["allfields"] is not None
+        assert r["coll_id"] is not None
+
+
+def test_checkpointed_run_and_resume(spark, tables, corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    m1 = run_extraction_job(spark, corpus_dir, out_dir, n_buckets=8)
+    assert m1["n_docs"] == tables["documents_spans"].count()
+    assert m1["span_count"] > 0
+    files = list((Path(out_dir) / MANIFEST_DIR).glob("*.json"))
+    assert files
+    manifest = json.loads(files[0].read_text())
+    assert all(r["status"] == "completed" for r in manifest)
+    assert all(r["input_snapshot_id"].startswith("corpus:") for r in manifest)
+    # output readable + partitioned by bucket
+    written = spark.read.parquet(f"{out_dir}/data")
+    assert written.count() == m1["n_docs"]
+    # resume: everything already completed -> zero new docs
+    m2 = run_extraction_job(spark, corpus_dir, out_dir, n_buckets=8)
+    assert m2["n_docs"] == 0
+    # errors appended twice (two runs)
+    errs = spark.read.parquet(f"{out_dir}/errors")
+    assert errs.count() == 2 * tables["documents_spans_bad"].count()
+
+
+def test_salted_repartition_balances_pages(spark, tables):
+    df = salted_repartition(
+        tables["documents_spans"], target_weight_per_partition=60, min_partitions=4
+    )
+    sizes = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum(F.size("spans")).alias("w"))
+        .collect()
+    )
+    assert len(sizes) >= 4
+    total = sum(r["w"] for r in sizes)
+    assert total == tables["documents_spans"].select(
+        F.sum(F.size("spans"))
+    ).collect()[0][0]
