@@ -1,0 +1,1006 @@
+"""Driver-contract query registry: paired (PySpark query, DuckDB oracle SQL).
+
+Every implemented operator family from SURVEY.md §2 plus the training-data
+curation ops (dedup / similarity / text analysis / multimodal) is exposed
+here as a `queries()` entry with a matching `oracle_sql()` entry, evaluated
+by the driver on the same parquet tables at sf=0.01.
+
+Cross-engine determinism rules used throughout (so value-hash compare is
+bit-stable):
+ - aggregate doubles as integer cents/e4/e6 (per-row round -> BIGINT -> SUM),
+   never SUM raw doubles (summation order differs between engines);
+ - integer division via DIV / // instead of float ratios;
+ - rank keys rounded to 6 dp before row_number so fp noise cannot flip ranks;
+ - timestamps compared as formatted strings under an explicitly-set UTC
+   session timezone;
+ - hash functions are md5 (identical lowercase hex in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.functions.sqlgen import (
+    quoteattr_sql,
+    string_preparation_sql,
+    spike_text_sql,
+    xmlesc_sql,
+)
+from index_search_monorepo_spark.functions.text import (
+    quoteattr_expr,
+    string_preparation_expr,
+    xmlesc_expr,
+)
+from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import multimodal as MM
+from index_search_monorepo_spark.operators import similarity as SIM
+from index_search_monorepo_spark.operators import textstats as TS
+from index_search_monorepo_spark.operators.extraction import (
+    with_extracted_spans,
+    with_ocr,
+)
+from index_search_monorepo_spark.sources.docs_to_spans import (
+    documents_to_spans,
+    spans_pages_sql,
+    spike_text_expr,
+)
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared corpora: planted duplicates for the dedup family (identical CTE on
+# both engines; exact copies at +1_000_000, 20-char-truncated mutants at
+# +2_000_000, exact embedding copies at +100_000)
+# ---------------------------------------------------------------------------
+
+PLANTED_DOCS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text
+    FROM documents WHERE doc_id < 20
+  UNION ALL SELECT doc_id + 2000000 AS doc_id, substr(text, 21) AS text
+    FROM documents WHERE doc_id < 20
+)
+"""
+
+PLANTED_EMB_CTE = """
+corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding, label
+    FROM embeddings WHERE vec_id < 10
+)
+"""
+
+
+def planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    small = docs.filter(F.col("doc_id") < 20)
+    exact = small.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    mutant = small.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("substring(text, 21)").alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(mutant)
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dup)
+
+
+# DuckDB tokenization mirror of textstats.tokens_expr
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+# DuckDB mirror of dedup.word_shingles_expr (n=4)
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 4
+         THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         ELSE array_to_string(t, ' ') END AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 3, 1))) AS g(i)
+)
+"""
+
+
+# ===========================================================================
+# Extraction family (SURVEY.md §2.1/§2.2/§2.4 A1/F1/F2/A2) over the derived
+# interleaved spans table
+# ===========================================================================
+
+
+@register(
+    "ocr_concat",
+    "WITH pages AS ("
+    + spans_pages_sql()
+    + ") SELECT doc_id, string_agg("
+    + string_preparation_sql("page_text")
+    + ", ' ' ORDER BY page_no) AS ocr,"
+    " CAST(count(*) AS BIGINT) AS n_pages FROM pages GROUP BY doc_id",
+)
+def q_ocr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 flagship: per-doc ordered page concat with bit-exact
+    string_preparation (full_text_document_generator.py:89-109)."""
+    spans = documents_to_spans(_t(spark, sf_dir, "documents"))
+    return with_ocr(spans).select(
+        "doc_id", "ocr", F.size("spans").cast("long").alias("n_pages")
+    )
+
+
+@register(
+    "span_sequence",
+    "WITH pages AS ("
+    + spans_pages_sql()
+    + ") SELECT doc_id, 'txt' AS kind, "
+    + string_preparation_sql("page_text")
+    + " AS text, media_ref, page_no AS span_offset FROM pages",
+)
+def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant surfaced in the driver gate: the extracted span
+    sequence (kind, text, media_ref, order), one row per span."""
+    spans = documents_to_spans(_t(spark, sf_dir, "documents"))
+    out = with_extracted_spans(spans)
+    s = F.explode("extracted_spans")
+    return out.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("span_offset"),
+    )
+
+
+@register(
+    "string_preparation",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {string_preparation_sql(spike_text_sql('text'))} AS prepared
+    FROM documents
+    """,
+)
+def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (text_processor.py:27-41) over the spiked full text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        string_preparation_expr(spike_text_expr(F.col("text"))).alias("prepared"),
+    )
+
+
+@register(
+    "xmlesc",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {xmlesc_sql(spike_text_sql('text'))} AS escaped
+    FROM documents
+    """,
+)
+def q_xmlesc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (text_processor.py:10-24)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        xmlesc_expr(spike_text_expr(F.col("text"))).alias("escaped"),
+    )
+
+
+@register(
+    "allfields_concat",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {quoteattr_sql(
+               "array_to_string(list_filter(" + _TOKS + ", x -> len(x) > 3), ' ')"
+           )} AS allfields
+    FROM documents
+    """,
+)
+def q_allfields_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 fold shape (full_text_document_generator.py:111-142): keep
+    'datafields' passing a predicate (here len>3, standing in for tag>99),
+    space-join, final quoteattr. The real MARC-XML fold is golden-tested in
+    tests/test_allfields.py; this is its SQL-checkable projection."""
+    docs = _t(spark, sf_dir, "documents")
+    joined = F.array_join(
+        F.filter(TS.tokens_expr(F.col("text")), lambda t: F.length(t) > 3), " "
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        quoteattr_expr(joined).alias("allfields"),
+    )
+
+
+# ===========================================================================
+# Relational operator family (SURVEY.md §2.2/§2.3/§2.4/§2.5/§2.6) on the
+# TPC-H-ish tables
+# ===========================================================================
+
+_RIGHTS_CODES = [25, 15, 18, 1, 21, 23, 19, 13, 11, 20, 7, 10, 24, 14, 17, 22, 12]
+
+
+@register(
+    "rights_filter",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE CAST(l_quantity AS INT) IN ({", ".join(map(str, _RIGHTS_CODES))})
+    GROUP BY l_returnflag
+    """,
+)
+def q_rights_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 rights-code isin filter (ht_query.py:218-221) -> InSet pushdown."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").cast("int").isin(_RIGHTS_CODES))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS avg_disc_e4,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A9 partial+final aggregation (TPC-H Q1 shape); integer-cents sums
+    for cross-engine exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_e4 = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+            F.sum(price_cents).cast("long").alias("sum_base_price_cents"),
+            F.expr(
+                "CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT))"
+                " DIV count(*) AS BIGINT)"
+            ).alias("avg_disc_e4"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "regional_customers",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_regional_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J5 broadcast-hash enrichment joins (mysql_data_extractor.py:45-89
+    re-expressed as real joins)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+    )
+
+
+@register(
+    "order_supplier_set",
+    """
+    SELECT l_orderkey,
+           array_to_string(
+             list_sort(list_distinct(array_agg(CAST(l_suppkey AS VARCHAR)))),
+             ',') AS supplier_set
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q_order_supplier_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A4 collect_set with canonical ordering (absent-if-empty fields are
+    exercised in coll_id_default below)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))), ","
+            ).alias("supplier_set")
+        )
+    )
+
+
+@register(
+    "coll_id_default",
+    """
+    SELECT o.o_orderkey,
+           coalesce(x.parts, '0') AS coll_ids
+    FROM orders o
+    LEFT JOIN (
+      SELECT l_orderkey,
+             array_to_string(
+               list_sort(list_distinct(array_agg(CAST(l_partkey AS VARCHAR)))),
+               ',') AS parts
+      FROM lineitem WHERE l_discount >= 0.09 GROUP BY l_orderkey
+    ) x ON o.o_orderkey = x.l_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    """,
+)
+def q_coll_id_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 large-collection join with the '[0]-if-none' default
+    (mysql_data_extractor.py:8-13, 112-114)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_discount") >= 0.09)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("l_partkey").cast("string"))), ","
+            ).alias("parts")
+        )
+    )
+    return o.join(agg, o.o_orderkey == agg.l_orderkey, "left").select(
+        "o_orderkey", F.coalesce(F.col("parts"), F.lit("0")).alias("coll_ids")
+    )
+
+
+@register(
+    "rights_exactly_one",
+    """
+    SELECT c.c_custkey,
+           CAST(round(max(o.o_totalprice) * 100, 0) AS BIGINT) AS price_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    HAVING count(*) = 1
+    """,
+)
+def q_rights_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 exactly-one-row guard (mysql_data_extractor.py:95-99: the rights
+    field is emitted only when the lookup matches exactly one row)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.max("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+            F.count("*").alias("_n"),
+        )
+        .filter(F.col("_n") == 1)
+        .drop("_n")
+    )
+
+
+@register(
+    "semi_join_parts",
+    """
+    SELECT DISTINCT l.l_partkey FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey AND p.p_size < 10)
+    """,
+)
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/O1 terms-query-as-semi-join (query_maker.py:35-60 rationale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey")
+        .distinct()
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c.c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/T1 resume anti-join (ht_status_retriever_service.py:6-11)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "symmetric_diff_orders",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT o_custkey, 'F_only' AS side FROM (SELECT * FROM f EXCEPT SELECT * FROM o)
+    UNION ALL
+    SELECT o_custkey, 'O_only' AS side FROM (SELECT * FROM o EXCEPT SELECT * FROM f)
+    """,
+)
+def q_symmetric_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/J9 A-B result diff (extracting_diference_solr_results.py:35-44)."""
+    o = _t(spark, sf_dir, "orders")
+    fk = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    ok = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return fk.exceptAll(ok).withColumn("side", F.lit("F_only")).unionByName(
+        ok.exceptAll(fk).withColumn("side", F.lit("O_only"))
+    )
+
+
+@register(
+    "facet_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 facet counts (config_facet_filters.yaml via ht_searcher.py:70-104)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+
+
+@register(
+    "facet_percentage",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(1000 * count(*) // (SELECT count(*) FROM events) AS BIGINT)
+             AS pct_mille
+    FROM events GROUP BY event_type
+    """,
+)
+def q_facet_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 percentage-of-total (get_collection_statistics.py:94-105), via a
+    window aggregate; integer per-mille for exactness."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("cnt"))
+    with_tot = counts.withColumn("_tot", F.sum("cnt").over(Window.partitionBy()))
+    return with_tot.select(
+        "event_type",
+        "cnt",
+        F.expr("CAST((1000 * cnt) DIV _tot AS BIGINT)").alias("pct_mille"),
+    )
+
+
+@register(
+    "first_letter_rollup",
+    """
+    SELECT substr(p_name, 1, 1) AS first_letter,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS retail_cents
+    FROM part GROUP BY substr(p_name, 1, 1)
+    """,
+)
+def q_first_letter_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 first-letter rollup (get_collection_statistics.py:30-72)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.substring("p_name", 1, 1).alias("first_letter"))
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("retail_cents"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_cust",
+    """
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders WHERE o_custkey % 50 = 0
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 relevance top-k per group (ht_searcher.py:150-164 pagination ->
+    window + limit)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+    )
+
+
+@register(
+    "ordered_dedup_events",
+    """
+    SELECT user_id, CAST(event_id AS BIGINT) AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 ordered dedup / keep-first (kbart_file_generator.py:121-126)."""
+    ev = _t(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id"))
+    return ev.groupBy("user_id").agg(
+        first.getField("event_id").cast("long").alias("first_event_id"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+@register(
+    "event_sequence_concat",
+    """
+    SELECT user_id,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence
+    FROM events WHERE user_id % 100 = 0
+    GROUP BY user_id
+    """,
+)
+def q_event_sequence_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's distributed analog: order-anchored concat after a shuffle —
+    order rides in data (ts, event_id), never in row order."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("sequence")
+    )
+
+
+@register(
+    "windowed_counts",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS value_e4
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming semantics in batch form: tumbling event-time window
+    aggregation (the same F.window drives the Structured Streaming mode in
+    streaming/incremental.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.round(F.col("value") * 10000, 0).cast("long"))
+            .cast("long")
+            .alias("value_e4"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+            "value_e4",
+        )
+    )
+
+
+@register(
+    "percentile_metrics",
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS avg_value,
+           round(median(value), 4) AS median_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 perf-metric aggregates (solr_query_monitoring.py:71-82)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# ===========================================================================
+# Training-data curation family: dedup / similarity / text analysis /
+# multimodal (first-class per the build brief)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {PLANTED_DOCS_CTE.strip()}
+    SELECT md5(text) AS content_key,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(planted_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {PLANTED_DOCS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter_cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.inter_cnt,
+           CAST(sa.n_sh + sb.n_sh - p.inter_cnt AS BIGINT) AS union_cnt
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE p.inter_cnt * 100 >= (sa.n_sh + sb.n_sh - p.inter_cnt) * 80
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_duplicate_pairs_jaccard(
+        planted_documents(spark, sf_dir), threshold_pct=80
+    )
+
+
+def _minhash_sig_sql(i: int) -> str:
+    return f"min(md5('{i}|' || shingle))"
+
+
+@register(
+    "dedup_minhash",
+    f"""
+    WITH {PLANTED_DOCS_CTE.strip()}, {_SHINGLES_CTE.strip()}
+    SELECT doc_id,
+           {", ".join(f"{_minhash_sig_sql(i)} AS sig_{i}" for i in range(4))}
+    FROM sh WHERE doc_id < 50 OR doc_id >= 1000000
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = planted_documents(spark, sf_dir).filter(
+        (F.col("doc_id") < 50) | (F.col("doc_id") >= 1000000)
+    )
+    return D.minhash_signatures(docs, k=4)
+
+
+@register(
+    "dedup_lsh_pairs",
+    f"""
+    WITH {PLANTED_DOCS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sig_sql(i)} AS sig_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band_no, bucket FROM (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_no,"
+            f" md5(sig_{2 * b} || '|' || sig_{2 * b + 1}) AS bucket FROM sigs"
+            for b in range(4)
+        )}
+      )
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_no = b.band_no AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(planted_documents(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct({_TOKS})) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+    v AS (
+      SELECT doc_id,
+             {", ".join(
+                 "sum(CASE WHEN (strpos('0123456789abcdef',"
+                 f" substr(hh, {b + 1}, 1)) - 1) % 2 = 1"
+                 f" THEN 1 ELSE -1 END) AS v{b}"
+                 for b in range(16)
+             )}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
+               for b in range(16)
+           )} AS BIGINT) AS simhash
+    FROM v
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.with_simhash(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {PLANTED_EMB_CTE.strip()}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS sim_e6
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(round(list_cosine_similarity(
+            a.embedding, b.embedding) * 1000000, 0) AS BIGINT) >= 950000
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_near_dup_pairs(
+        planted_embeddings(spark, sf_dir), threshold_e6=950000
+    )
+
+
+@register(
+    "similarity_topk",
+    """
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim6
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+           round(sim6, 4) AS sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim6 DESC, neighbor_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, query_ids=list(range(10)), k=3)
+
+
+@register(
+    "similarity_lsh_bucket",
+    f"""
+    SELECT CAST({" + ".join(
+        f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )} AS BIGINT) AS bucket_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_similarity_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_bucket_stats(_t(spark, sf_dir, "embeddings"))
+
+
+_BUCKET_SQL = (
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8)
+    )
+    + " AS BIGINT)"
+)
+
+
+@register(
+    "similarity_lsh_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket_id
+               FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS sim6
+      FROM v q JOIN v c ON q.bucket_id = c.bucket_id AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+           round(sim6, 4) AS sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim6 DESC, neighbor_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 1
+    """,
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, query_ids=list(range(10)), k=1)
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter({_TOKS},
+             x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS marker_hits,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(1000 * len(list_filter({_TOKS},
+             x -> x IN ('the', 'a', 'of', 'and')))
+             // len({_TOKS}) AS BIGINT) AS marker_pmille,
+           CASE WHEN 1000 * len(list_filter({_TOKS},
+             x -> x IN ('the', 'a', 'of', 'and')))
+             // len({_TOKS}) >= 60
+             THEN 'en-like' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.with_lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens,
+           CAST(len(list_filter({_TOKS}, x -> len(x) <= 2)) AS BIGINT)
+             AS n_short_tokens,
+           CAST(1000 * len(list_distinct({_TOKS})) // len({_TOKS}) AS BIGINT)
+             AS diversity_pmille,
+           CASE WHEN 1000 * len(list_distinct({_TOKS})) // len({_TOKS}) >= 300
+                THEN 'high'
+                WHEN 1000 * len(list_distinct({_TOKS})) // len({_TOKS}) >= 150
+                THEN 'medium' ELSE 'low' END AS quality_band
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.with_quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.with_token_count(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH sh AS (
+      SELECT d.doc_id,
+             md5(substr(d.text, CAST(i * 4 + 1 AS INT), 8)) AS h
+      FROM documents d,
+           unnest(generate_series(0,
+             greatest(CAST(ceil((len(d.text) - 7) / 4.0) AS BIGINT), 1) - 1))
+             AS g(i)
+    )
+    SELECT doc_id, min(h) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.with_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
+           CASE octet_length(encode(text)) % 3
+                WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
+             AS media_format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: encode -> mapInPandas stub decode -> typed
+    metadata. The oracle reproduces the stub arithmetic; the Spark side runs
+    the real Arrow-batched iterator path (operators/multimodal.py)."""
+    return MM.media_metadata(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# public contract surface
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the A1 extraction over the interleaved spans table derived
+    from sf0.001 documents — ordered page concat with bit-exact
+    string_preparation, zero-shuffle per-row array plan."""
+    return q_ocr_concat(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data curation at 100 TB:
+
+ - exact dedup        : content-hash groupBy (one shuffle on the hash key)
+ - n-gram Jaccard     : word-shingle inverted index -> candidate pairs with
+                        integer intersection/union counts (exact, no floats)
+ - MinHash signatures : k independent MD5-derived hash functions, min per fn
+ - MinHash + LSH      : band the signature, bucket-join for candidate pairs
+ - SimHash            : bitwise-majority fingerprint over token hashes
+
+Design for scale: every pairwise step goes through an equality key (shingle /
+band / bucket) so Spark executes it as a shuffle hash join on that key —
+never an O(n^2) cross join. Skewed keys (a shingle shared by millions of
+docs) are the classic failure mode: `ngram_candidate_pairs` caps per-key
+fan-out with a frequency filter (stop-shingle removal), the standard trick in
+web-scale dedup (cf. Lee et al., "Deduplicating Training Data Makes Language
+Models Better").
+
+Hash functions are MD5-derived so the DuckDB oracle can reproduce them
+bit-for-bit (both engines emit identical lowercase-hex md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16
+MINHASH_K = 8
+_HEX = "0123456789abcdef"
+
+
+def content_key_expr(text: Column, prefix_len: int | None = None) -> Column:
+    """Exact-dedup key: md5 of the (optionally prefix-truncated) text."""
+    if prefix_len is not None:
+        text = F.substring(text, 1, prefix_len)
+    return F.md5(text)
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", prefix_len: int | None = None
+) -> DataFrame:
+    """Groups of exact duplicates: (content_key, n_copies, min/max doc_id).
+    One shuffle on the 128-bit hash — uniformly distributed, no skew."""
+    keyed = df.select(
+        content_key_expr(F.col(text_col), prefix_len).alias("content_key"),
+        F.col("doc_id"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def word_shingles_expr(text: Column, n: int = 4) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    toks = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    k = F.size(toks) - F.lit(n - 1)
+    return F.array_distinct(
+        F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        "doc_id", F.explode(word_shingles_expr(F.col(text_col), n)).alias("shingle")
+    )
+    if max_df is not None:
+        # stop-shingle removal: drop keys whose document frequency explodes
+        # the pair join (skew cap). Window-free: aggregate + join back.
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("df_cnt") > max_df).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    return sh
+
+
+def ngram_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    min_intersection: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard candidates: pairs sharing >= min_intersection shingles,
+    with exact integer (intersection, union) counts.
+
+    Plan shape: explode -> self-join on shingle (shuffle hash join) ->
+    pair-count aggregate -> broadcast join of per-doc shingle counts.
+    """
+    sh = _exploded_shingles(df, text_col, n, max_df)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("inter_cnt"))
+        .filter(F.col("inter_cnt") >= min_intersection)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_cnt",
+            (F.col("n_a") + F.col("n_b") - F.col("inter_cnt"))
+            .cast("long")
+            .alias("union_cnt"),
+        )
+    )
+
+
+def near_duplicate_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    threshold_pct: int = 80,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Jaccard >= threshold_pct/100, decided in integer arithmetic
+    (100*inter >= pct*union) so the oracle compare is exact."""
+    cand = ngram_candidate_pairs(df, text_col, n, 1, max_df)
+    return cand.filter(
+        F.col("inter_cnt") * 100 >= F.col("union_cnt") * threshold_pct
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_K, n: int = 4
+) -> DataFrame:
+    """MinHash: sig_i = min over shingles of md5(i || '|' || shingle).
+    Pure per-row array work — zero shuffle; k columns sig_0..sig_{k-1}."""
+    sh = word_shingles_expr(F.col(text_col), n)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return df.select("doc_id", *cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    band_size: int = 2,
+    n: int = 4,
+) -> DataFrame:
+    """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
+    on md5(band values), emit distinct candidate pairs per shared bucket.
+    The bucket join is an equality shuffle join; band hashing keeps bucket
+    keys uniform unless documents truly collide."""
+    sigs = minhash_signatures(df, text_col, k, n)
+    n_bands = k // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_no", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_no", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over distinct tokens: bit b of the fingerprint is the majority
+    vote of bit b of each token's hash. Token-hash bit b = parity of hex
+    digit b of md5(token) — reproducible in ANSI SQL on both engines."""
+    toks = F.array_distinct(F.filter(F.split(text, " "), lambda t: t != F.lit("")))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda s, h: s
+            + (
+                F.when(
+                    F.conv(F.substring(h, b + 1, 1), 16, 10).cast("int") % 2 == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ),
+        )
+        acc = acc + F.when(votes >= 0, F.lit(1 << b)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+    return acc
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id", simhash_expr(F.col(text_col)).alias("simhash")
+    )

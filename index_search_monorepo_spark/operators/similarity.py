@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (array<float>).
+
+ - brute-force cosine top-k : correctness baseline, query-set broadcast
+ - sign-LSH bucketing       : scale path — random-hyperplane-style buckets
+                              (deterministic coordinate-sign planes so the
+                              SQL oracle can reproduce them), candidate
+                              generation inside buckets only
+ - cosine near-dup pairs    : label-blocked pairwise cosine for dedup
+
+Scale notes (100 TB / 10^9 vectors):
+ - the query side of `cosine_topk` is broadcast (queries << corpus); the scan
+   side stays partition-parallel with no shuffle until the final per-query
+   top-k aggregation (k rows per query per partition after the window).
+ - `lsh_bucket` turns O(n^2) pair generation into a per-bucket equality
+   join; bucket count grows 2^bits, so bits is the recall/throughput knob
+   (IVF-style coarse quantization would slot in the same plan position).
+ - dot products stay JVM-side: `aggregate(zip_with(...))` over the array —
+   no Python, no UDF, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (matches the oracle)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline.
+
+    queries (small) x corpus (huge): Spark broadcasts the query side, the
+    corpus scan never shuffles; ranking is a per-query window over k rows.
+    Ranking key is cosine rounded to 6 dp (then id) so cross-engine
+    floating-point noise below 1e-6 cannot flip ranks.
+    """
+    q = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("sim6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim6"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round(F.col("sim6"), 4).alias("sim"),
+        )
+    )
+
+
+def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
+    """Sign-LSH bucket id from the first `bits` coordinates (deterministic
+    stand-in for random hyperplanes; same recall structure)."""
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(
+            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0)).cast("long")
+    return acc
+
+
+def lsh_bucket_stats(
+    emb: DataFrame, bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Bucket occupancy — the partition-balance diagnostic for the ANN path."""
+    b = emb.select(
+        sign_bucket_expr(F.col(vec_col), bits).alias("bucket_id"),
+        F.col(id_col).alias("vid"),
+    )
+    return b.groupBy("bucket_id").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("vid").cast("long").alias("min_vec_id"),
+        F.max("vid").cast("long").alias("max_vec_id"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 1,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket: the candidate join is
+    an equality join on bucket_id instead of a cross join — the 100 TB path.
+    Queries missing all bucket-mates produce no rows (recall < 1 by design).
+    """
+    withb = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_expr(F.col(vec_col), bits).alias("bucket_id"),
+    )
+    q = withb.select(
+        F.col("vid").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        "bucket_id",
+    )
+    if query_ids is not None:
+        q = q.filter(F.col("query_id").isin(query_ids))
+    sims = (
+        withb.join(F.broadcast(q), "bucket_id")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("q_vec"), F.col("vec")), 6).alias("sim6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim6"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round(F.col("sim6"), 4).alias("sim"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold_e6: int = 990000,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs above cosine threshold (threshold_e6/1e6),
+    blocked on `block_col` so the pair join is an equality join per block —
+    at corpus scale the block would be the LSH bucket instead of a label."""
+    v = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim6 = F.round(
+        cosine_expr(F.col("a.vec"), F.col("b.vec")) * 1e6, 0
+    ).cast("long")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            sim6.alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= threshold_e6)
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. All pure column expressions (whole-stage codegen, zero
+Python, zero shuffle) — they scale linearly to 100 TB and their outputs are
+integer-exact so the DuckDB oracle comparison is bit-stable.
+
+These extend the reference's extraction stage (which indexes raw OCR with no
+content analysis) with the ops a corpus-curation pipeline needs; they are
+first-class `queries()` entries in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic "stopword" table for the language heuristic. The
+# classification rule is intentionally simple/deterministic — the point of
+# the oracle check is the distributed computation, not linguistic power.
+EN_MARKERS = ("the", "a", "of", "and")
+LANG_THRESHOLD_PMILLE = 60  # >= 6.0% marker tokens -> 'en-like'
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenizer; drops empty tokens (double spaces)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = tokens_expr(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-exact quality features + a per-mille lexical-diversity score:
+    score = (1000 * unique_tokens) DIV tokens; quality bands on the score.
+    Mirrors length/stopword-ratio heuristics used by corpus filters."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks).cast("long")
+    uniq = F.size(F.array_distinct(toks)).cast("long")
+    short = F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("long")
+    score = F.expr(
+        "CAST(1000 * size(array_distinct(filter(split({t}, ' '), x -> x != '')))"
+        " DIV size(filter(split({t}, ' '), x -> x != '')) AS BIGINT)".format(
+            t=text_col
+        )
+    )
+    band = (
+        F.when(score >= 300, F.lit("high"))
+        .when(score >= 150, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq.alias("n_unique_tokens"),
+        short.alias("n_short_tokens"),
+        score.alias("diversity_pmille"),
+        band.alias("quality_band"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language heuristic: per-mille of tokens that are
+    English marker words; classify 'en-like' vs 'other'."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks).cast("long")
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(markers, t))
+    ).cast("long")
+    # integer division (DIV) for exact parity with the SQL oracle
+    pmille = F.expr(
+        "CAST(1000 * size(filter(split({t}, ' '), x -> x IN ({m})))"
+        " DIV size(filter(split({t}, ' '), x -> x != '')) AS BIGINT)".format(
+            t=text_col, m=", ".join(f"'{m}'" for m in EN_MARKERS)
+        )
+    )
+    lang = F.when(pmille >= LANG_THRESHOLD_PMILLE, F.lit("en-like")).otherwise(
+        F.lit("other")
+    )
+    return df.select(
+        "doc_id",
+        hits.alias("marker_hits"),
+        n.alias("n_tokens"),
+        pmille.alias("marker_pmille"),
+        lang.alias("lang_guess"),
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_len: int = 8, stride: int = 4
+) -> DataFrame:
+    """Document fingerprint: min-MD5 over overlapping character shingles
+    (winnowing-style rolling fingerprint, MinHash k=1 over char n-grams).
+    Robust to small edits at the tail; exact string output."""
+    text = F.col(text_col)
+    n_sh = F.greatest(
+        F.ceil((F.length(text) - F.lit(shingle_len) + 1) / F.lit(float(stride))),
+        F.lit(1),
+    ).cast("int")
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.md5(F.substring(text, i * stride + 1, shingle_len)),
+    )
+    return df.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        n_sh.cast("long").alias("n_shingles"),
+    )
