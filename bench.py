@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {<name>: sec, ...}, "sf": <sf>,
+   "extraction": {"docs_per_sec": ..., "n_docs": ...},
+   "scaling": {"docs_per_sec@local8": ..., "docs_per_sec@local32": ...,
+               "efficiency": ...}}
+
+Modes:
+  python bench.py                 # headline queries at $SPARK_GRAFT_SF_DIR
+                                  # (default /root/testdata/sf0.1) on
+                                  # local[$SPARK_GRAFT_CPUS], plus the
+                                  # flagship extraction job throughput and
+                                  # the north-rule two-parallelism scaling run
+  python bench.py --no-scaling    # skip the local[8]-vs-local[32] subprocesses
+  python bench.py --worker N DIR  # internal: run the extraction job on
+                                  # corpus DIR at local[N]; print one JSON line
+
+The scaling section is the sandbox stand-in for the north rule's N-vs-4N
+executor criterion (BASELINE.md): identical job + identical input at local[8]
+and local[32]; efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+CORPUS_CACHE = REPO / ".bench" / f"corpus_{BENCH_DOCS}"
+
+# Representative headline queries spanning the operator families (extraction,
+# relational, window, dedup, similarity, text analysis); the full 37-query
+# matrix is correctness-gated separately via tests/test_contract.py.
+HEADLINE = [
+    "ocr_concat",
+    "span_sequence",
+    "allfields_concat",
+    "pricing_summary",
+    "regional_customers",
+    "topk_orders_per_cust",
+    "event_sequence_concat",
+    "windowed_counts",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "similarity_topk",
+    "lang_id",
+    "doc_fingerprint",
+]
+
+
+def _materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def ensure_corpus() -> Path:
+    """Deterministic synthetic interleaved-spans corpus (seeded; no external
+    data), cached across bench runs."""
+    marker = CORPUS_CACHE / "_DONE"
+    if marker.exists():
+        return CORPUS_CACHE
+    from index_search_monorepo_spark.sources.synthetic import generate_corpus
+
+    CORPUS_CACHE.parent.mkdir(parents=True, exist_ok=True)
+    generate_corpus(CORPUS_CACHE, n_docs=BENCH_DOCS)
+    marker.touch()
+    return CORPUS_CACHE
+
+
+def run_extraction(spark, corpus_dir: Path) -> dict:
+    """Warmup once (JIT/codegen), then time the full assembly job."""
+    from index_search_monorepo_spark.plans.pipeline import (
+        extract_documents,
+        load_corpus,
+    )
+
+    tables = load_corpus(spark, str(corpus_dir))
+    n_docs = tables["documents_spans"].count()
+    docs, _errors = extract_documents(spark, tables)
+    _materialize(docs)  # warmup
+    t0 = time.time()
+    _materialize(docs)
+    elapsed = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 2),
+    }
+
+
+def worker_main(cores: int, corpus_dir: str) -> None:
+    from index_search_monorepo_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_worker_{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    try:
+        out = run_extraction(spark, Path(corpus_dir))
+        out["cores"] = cores
+        print("BENCH_WORKER " + json.dumps(out))
+    finally:
+        spark.stop()
+
+
+def scaling_run(corpus_dir: Path) -> dict:
+    """North-rule evidence: same job, same input, local[8] vs local[32]."""
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", str(cores), str(corpus_dir)],
+            capture_output=True,
+            text=True,
+            cwd=str(REPO),
+            timeout=1800,
+        )
+        line = next(
+            (
+                ln[len("BENCH_WORKER ") :]
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("BENCH_WORKER ")
+            ),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise RuntimeError(f"scaling worker local[{cores}] failed")
+        results[cores] = json.loads(line)
+    eff = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4.0
+    return {
+        "docs_per_sec@local8": results[8]["docs_per_sec"],
+        "docs_per_sec@local32": results[32]["docs_per_sec"],
+        "sec@local8": results[8]["sec"],
+        "sec@local32": results[32]["sec"],
+        "n_docs": results[32]["n_docs"],
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    do_scaling = "--no-scaling" not in sys.argv
+    corpus_dir = ensure_corpus()
+
+    from index_search_monorepo_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="bench")
+    qmap = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qmap[name](spark, SF_DIR)
+        _materialize(df)  # warmup: cache parquet footers, JIT
+        t0 = time.time()
+        _materialize(qmap[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    extraction = run_extraction(spark, corpus_dir)
+    spark.stop()
+
+    scaling = scaling_run(corpus_dir) if do_scaling else None
+
+    sf = 0.1
+    try:
+        sf = float(Path(SF_DIR).name.replace("sf", ""))
+    except ValueError:
+        pass
+    out = {
+        "metric": "headline query wall time (sum) at sf + extraction docs/sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": extraction,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--worker":
+        worker_main(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

@@ -1,0 +1,152 @@
+"""Structured-Streaming incremental mode (SURVEY.md §2.8).
+
+The reference's streaming substrate is RabbitMQ with at-least-once delivery,
+manual acks, a dead-letter exchange, and producer backpressure
+(queue_consumer.py:61-144, queue_manager.py:68-125,
+full_text_search_retriever_service.py:390-397). It has no event time, no
+watermarks, no windows. The Spark rebuild maps:
+
+  R1 at-least-once + ack   -> checkpointed foreachBatch; the batch write is
+                              idempotent (overwrite by batch id dir), so
+                              replay after failure converges (exactly-once
+                              file-sink effect)
+  R2 dead-letter queue     -> split_errors(): failing documents become rows
+                              of an `errors` parquet sink, never a job abort
+  R3 backpressure cap      -> maxFilesPerTrigger on the file source
+  R4 prefetch=batch_size   -> trigger(availableNow=True) / processingTime
+  R5 tracktable resume     -> the streaming checkpoint dir itself (source
+                              offsets) — batch mode keeps the per-partition
+                              manifest (operators/checkpoint.py)
+  R6 poll-until-work loop  -> trigger(processingTime=...)
+
+New vs the reference (net-new Spark capability, not a port): event-time
+tumbling windows with watermarked late-data handling over the ingest stream,
+used for the span-count monitoring metrics the reference logs per document
+(full_text_document_generator.py:155-180).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from index_search_monorepo_spark.operators.errors import split_errors
+from index_search_monorepo_spark.operators.extraction import with_extracted_spans
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+SPANS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+# optional ingest-time column for the watermarked metrics stream
+SPANS_SCHEMA_TS = StructType(
+    SPANS_SCHEMA.fields + [StructField("ingest_ts", TimestampType())]
+)
+
+
+def read_spans_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 8,
+    with_ts: bool = False,
+) -> DataFrame:
+    """File-source stream over landed spans parquet; maxFilesPerTrigger is
+    the backpressure knob standing in for the reference's 200k-message queue
+    cap (queue_connection.py:8-21)."""
+    return (
+        spark.readStream.schema(SPANS_SCHEMA_TS if with_ts else SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+
+def incremental_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    max_files_per_trigger: int = 8,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Incremental span extraction: new spans files -> extracted span
+    sequences + error sink, exactly-once via the streaming checkpoint.
+
+    Output layout under `output_dir`:
+      extracted/   (doc_id, extracted_spans) parquet, appended per batch
+      errors/      R2 dead-letter rows (error envelope, F15)
+      _stream_checkpoint/   source offsets + batch commit log
+    """
+    out = Path(output_dir)
+    stream = read_spans_stream(spark, input_dir, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent on batch replay: each micro-batch owns its own
+        # subdirectory and overwrites it, so a batch re-run after a crash
+        # between write and commit converges (the R1 'ack' analog)
+        clean, errors = split_errors(batch_df)
+        extracted = with_extracted_spans(clean).select("doc_id", "extracted_spans")
+        extracted.write.mode("overwrite").parquet(
+            str(out / "extracted" / f"batch_id={batch_id}")
+        )
+        errors.write.mode("overwrite").parquet(
+            str(out / "errors" / f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", str(out / "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def windowed_ingest_metrics(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window ingest metrics with late-data handling —
+    per window: docs, total spans, txt spans (the reference logs these per
+    document synchronously; here they are a windowed streaming aggregate)."""
+    return (
+        stream.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(
+                F.size(F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("txt")))
+            ).alias("n_txt_spans"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "n_spans",
+            "n_txt_spans",
+        )
+    )

@@ -1,0 +1,107 @@
+"""Structured-Streaming incremental mode (SURVEY.md §2.8, R1-R6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.errors import split_errors
+from index_search_monorepo_spark.operators.extraction import with_extracted_spans
+from index_search_monorepo_spark.streaming.incremental import (
+    SPANS_SCHEMA_TS,
+    incremental_extraction,
+    read_spans_stream,
+    windowed_ingest_metrics,
+)
+
+
+def _land_in_files(spark, corpus_dir, land_dir, n_files=4):
+    src = spark.read.parquet(f"{corpus_dir}/documents_spans.parquet").unionByName(
+        spark.read.parquet(f"{corpus_dir}/documents_spans_bad.parquet")
+    )
+    src.repartition(n_files).write.mode("overwrite").parquet(str(land_dir))
+    return src
+
+
+def test_incremental_matches_batch(spark, corpus_dir, tmp_path):
+    land = tmp_path / "landed"
+    out = tmp_path / "out"
+    src = _land_in_files(spark, corpus_dir, land)
+
+    incremental_extraction(
+        spark, str(land), str(out), max_files_per_trigger=1, await_termination=True
+    )
+
+    got = spark.read.parquet(str(out / "extracted"))
+    clean, errors = split_errors(src)
+    want = with_extracted_spans(clean).select("doc_id", "extracted_spans")
+
+    assert got.count() == want.count()
+    # span-sequence equality per doc across the two modes
+    g = got.select("doc_id", F.to_json("extracted_spans").alias("j"))
+    w = want.select("doc_id", F.to_json("extracted_spans").alias("j"))
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+    # R2: poisoned docs landed in the error sink, not the output
+    err = spark.read.parquet(str(out / "errors"))
+    assert err.count() == errors.count()
+    assert set(err.columns) >= {"service_name", "error_message", "ht_id"}
+
+
+def test_incremental_resume_is_idempotent(spark, corpus_dir, tmp_path):
+    """Re-running availableNow over the same checkpoint adds nothing; new
+    files are picked up incrementally (R5 resume semantics)."""
+    land = tmp_path / "landed"
+    out = tmp_path / "out"
+    _land_in_files(spark, corpus_dir, land, n_files=2)
+
+    incremental_extraction(spark, str(land), str(out))
+    n1 = spark.read.parquet(str(out / "extracted")).count()
+    incremental_extraction(spark, str(land), str(out))  # no new files
+    assert spark.read.parquet(str(out / "extracted")).count() == n1
+
+    # land one more file -> only the delta is processed
+    extra = spark.read.parquet(str(land)).limit(5).withColumn(
+        "doc_id", F.concat(F.lit("resume."), F.col("doc_id"))
+    )
+    extra.coalesce(1).write.mode("append").parquet(str(land))
+    incremental_extraction(spark, str(land), str(out))
+    n2 = spark.read.parquet(str(out / "extracted")).count()
+    assert n2 == n1 + 5
+
+
+def test_windowed_ingest_metrics(spark, tmp_path):
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (
+            f"doc{i}",
+            [("txt", f"page {i}", f"TXT{i:08d}", 1), ("img", "", f"IMG{i:08d}", 1)],
+            base + dt.timedelta(seconds=40 * i),
+        )
+        for i in range(6)
+    ]
+    src_dir = tmp_path / "ts_landed"
+    spark.createDataFrame(rows, SPANS_SCHEMA_TS).coalesce(1).write.parquet(
+        str(src_dir)
+    )
+
+    stream = read_spans_stream(spark, str(src_dir), with_ts=True)
+    q = (
+        windowed_ingest_metrics(stream, window="1 minute", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("ingest_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"].minute: (r["n_docs"], r["n_spans"], r["n_txt_spans"])
+        for r in spark.sql("SELECT * FROM ingest_metrics").collect()
+    }
+    # 6 docs at 40s spacing -> event times 0,40,80,120,160,200s; 1-min tumbling
+    # windows hold minute0={0,40}, minute1={80}, minute2={120,160},
+    # minute3={200}. In append mode only windows strictly before the final
+    # watermark (max event time 200s with 0s delay) emit: minutes 0,1,2.
+    assert got == {0: (2, 4, 2), 1: (1, 2, 1), 2: (2, 4, 2)}
