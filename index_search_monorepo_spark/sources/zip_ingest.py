@@ -67,6 +67,20 @@ INGEST_SCHEMA = StructType(
 _NUM_STEM = re.compile(r"(\d+)")
 
 
+def pairtree_sanitize(obj_id: str) -> str:
+    """F6 (ht_document.py:34): '.'->',', ':'->'+', '/'->'='."""
+    return obj_id.translate(str.maketrans({".": ",", ":": "+", "/": "="}))
+
+
+def pairtree_path(obj_id: str) -> str:
+    """2-char pairtree shard path of a sanitized object id
+    (ht_document.py:63-74); golden: '39015051333915' ->
+    '/39/01/50/51/33/39/15/39015051333915'."""
+    s = pairtree_sanitize(obj_id)
+    shards = [s[i : i + 2] for i in range(0, len(s), 2)]
+    return "/" + "/".join(shards) + "/" + s
+
+
 def doc_id_from_zip_path(path: str, namespace: str | None = None) -> str:
     """Zip file stem -> ht_id. The stem is the pairtree-sanitized object id
     (ht_document.py:34: '.'->',', ':'->'+', '/'->'='); reverse it and prepend
