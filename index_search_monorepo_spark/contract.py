@@ -668,6 +668,105 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kbart_export",
+    """
+    WITH ids AS (
+      SELECT DISTINCT lpad(CAST(p_partkey AS VARCHAR), 9, '0') AS catalog_id
+      FROM part WHERE p_partkey % 20 = 0
+    ),
+    keyed AS (
+      SELECT catalog_id,
+             CASE WHEN ltrim(catalog_id, '0') = '' THEN '0'
+                  ELSE ltrim(catalog_id, '0') END AS k
+      FROM ids
+    ),
+    meta AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS k,
+             trim(p_name) AS title,
+             CASE WHEN p_size < 25 THEN '' ELSE trim(p_brand) END AS isbn,
+             trim(p_type) AS issn,
+             trim(p_name) AS author,
+             trim(p_brand) AS publisher
+      FROM part
+    ),
+    dates AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k,
+             max(CASE WHEN l_returnflag = 'R' THEN 'SE' ELSE 'BK' END)
+               AS bib_fmt,
+             min(CASE WHEN CAST(l_quantity AS INT) < 2 THEN '9999'
+                      ELSE CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR)
+                 END) AS d1,
+             max(CASE WHEN CAST(l_quantity AS INT) < 2 THEN '9999'
+                      ELSE CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR)
+                 END) AS d2
+      FROM lineitem GROUP BY 1
+    )
+    SELECT i.catalog_id,
+           coalesce(m.title, '') AS publication_title,
+           CASE WHEN coalesce(m.isbn, '') <> '' THEN m.isbn
+                ELSE coalesce(m.issn, '') END AS print_identifier,
+           CASE WHEN d.d1 IS NULL OR d.d1 = '9999' OR len(d.d1) < 4 THEN ''
+                ELSE d.d1 END AS date_first_issue_online,
+           CASE WHEN d.bib_fmt = 'SE'
+                THEN CASE WHEN d.d2 IS NULL OR d.d2 = '9999' OR len(d.d2) < 4
+                          THEN '' ELSE d.d2 END
+                ELSE '' END AS date_last_issue_online,
+           'https://catalog.hathitrust.org/Record/' || i.k AS title_url,
+           coalesce(m.author, '') AS first_author,
+           i.k AS title_id,
+           coalesce(m.publisher, '') AS publisher_name
+    FROM keyed i
+    JOIN meta m ON i.k = m.k
+    LEFT JOIN dates d ON i.k = d.k
+    """,
+)
+def q_kbart_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/P10/A5 KBART export (kbart_file_generator.py) over TPC-H-shaped
+    stand-ins: part as the catalog metadata, lineitem as the hf date table.
+    Exercises strip-zeros key normalization, 9999/short-date filtering, the
+    serial-only date_last gate, and the isbn->issn fallback."""
+    from index_search_monorepo_spark.operators.kbart import generate_kbart
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    holdings = part.filter(F.col("p_partkey") % 20 == 0).select(
+        F.lpad(F.col("p_partkey").cast("string"), 9, "0").alias("catalog_id")
+    )
+    catalog_meta = part.select(
+        F.array(F.col("p_partkey").cast("string")).alias("id"),
+        F.array("p_name").alias("title_display"),
+        F.array(
+            F.when(F.col("p_size") < 25, F.lit("")).otherwise(F.col("p_brand"))
+        ).alias("isbn"),
+        F.array("p_type").alias("issn"),
+        F.array("p_name").alias("mainauthor"),
+        F.array("p_brand").alias("publisher"),
+        F.array(F.lit("")).alias("oclc"),
+    )
+    hf = li.select(
+        F.col("l_partkey").cast("string").alias("bib_num"),
+        F.when(F.col("l_returnflag") == "R", F.lit("SE"))
+        .otherwise(F.lit("BK"))
+        .alias("bib_fmt"),
+        F.when(F.col("l_quantity").cast("int") < 2, F.lit("9999"))
+        .otherwise(F.year(F.col("l_shipdate").cast("date")).cast("string"))
+        .alias("rights_date_used"),
+    )
+    rows, _errors = generate_kbart(holdings, catalog_meta, hf)
+    return rows.select(
+        F.lpad(F.col("title_id"), 9, "0").alias("catalog_id"),
+        "publication_title",
+        "print_identifier",
+        "date_first_issue_online",
+        "date_last_issue_online",
+        "title_url",
+        F.col("first author").alias("first_author"),
+        "title_id",
+        "publisher_name",
+    )
+
+
 # ===========================================================================
 # Training-data curation family: dedup / similarity / text analysis /
 # multimodal (first-class per the build brief)
