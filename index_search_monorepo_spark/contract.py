@@ -668,6 +668,88 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DISMAX_TERMS = ["spark", "es"]
+
+
+def _dismax_term_sql(t: str) -> str:
+    """score_x2 contribution of one term with qf=[(text,1),(lang,50)],
+    tie=0.5: 2*score = max + sum (exact in integers)."""
+    tf_text = f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
+    tf_lang = f"(CASE WHEN lower(lang) = '{t}' THEN 1 ELSE 0 END)"
+    return (
+        f"(greatest(1 * {tf_text}, 50 * {tf_lang})"
+        f" + (1 * {tf_text} + 50 * {tf_lang}))"
+    )
+
+
+@register(
+    "search_dismax_topk",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({" + ".join(_dismax_term_sql(t) for t in _DISMAX_TERMS)}
+                  AS BIGINT) AS score_x2
+      FROM documents
+      WHERE {" OR ".join(
+          "len(list_filter(string_split(lower(text), ' '),"
+          f" x -> x = '{t}')) > 0 OR lower(lang) = '{t}'"
+          for t in _DISMAX_TERMS
+      )}
+    )
+    SELECT doc_id, score_x2, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score_x2 DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 25
+    """,
+)
+def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/§3.2 dismax relevance top-k (search.engine over the documents
+    table): qf=[(text,1),(lang,50)], tie=0.5, operator OR, integer score via
+    score_x2 = 2*score = max + sum per term."""
+    from index_search_monorepo_spark.search import SearchQuery, with_dismax_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    q = SearchQuery(
+        q=" ".join(_DISMAX_TERMS),
+        operator="OR",
+        qf=[("text", 1.0), ("lang", 50.0)],
+        pf=[],
+        tie=0.5,
+    )
+    scored = (
+        with_dismax_score(docs, q)
+        .filter(F.col("score").isNotNull())
+        .select(
+            "doc_id", F.round(F.col("score") * 2, 0).cast("long").alias("score_x2")
+        )
+    )
+    w = Window.orderBy(F.desc("score_x2"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 25)
+    )
+
+
+@register(
+    "search_facets",
+    """
+    SELECT value, cnt FROM (
+      SELECT source AS value, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, source) AS rnk
+      FROM documents GROUP BY source
+    ) WHERE rnk <= 5
+    """,
+)
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 facet counts through the search engine surface
+    (facet.limit analog; deterministic tie-break on value)."""
+    from index_search_monorepo_spark.search import facet_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = facet_counts(docs, ["source"], mincount=1, limit=5)["source"]
+    return out.select("value", F.col("count").alias("cnt"))
+
+
 @register(
     "kbart_export",
     """

@@ -1,0 +1,159 @@
+"""Spark-first full-text search over the extracted documents table
+(SURVEY.md §3.2/§3.3, §2.5 W2, §2.4 A6, §2.1 S7).
+
+The reference delegates scoring to Solr's edismax parser
+(ht_query.py:157-222, boosts config_query.yaml); here the same dismax
+semantics are a pure column-expression scoring plan over the documents
+DataFrame — no UDFs, whole-stage codegen end to end:
+
+  per query term t:
+      field score s_f(t)   = boost_f * tf(t, f)      (term frequency)
+      term score  s(t)     = max_f s_f(t) + tie * (sum_f s_f(t) - max_f)
+  mm=100%: every term must match at least one field  (edismax minimum-match)
+  phrase boost: + boost_pf once per pf field containing the whole phrase
+  doc score = sum_t s(t) + phrase boosts
+
+Scale shape: scoring is embarrassingly parallel (narrow, no shuffle); the
+only shuffle is the global top-k ordering, which Spark executes as per-
+partition top-k (TakeOrderedAndProject) — identical to Solr's per-shard
+top-k + merge across its 11 shards (config_search.py:19-20, O12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from index_search_monorepo_spark.search.query import SearchQuery
+
+
+def _field_tokens(df: DataFrame, name: str) -> Column:
+    """Lowercased token array of a field; multivalued fields are flattened
+    (Solr analyzes each value of a multivalued field into one index)."""
+    col = F.col(name)
+    if isinstance(df.schema[name].dataType, ArrayType):
+        col = F.array_join(col, " ")
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != F.lit(""))
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+
+def with_dismax_score(
+    df: DataFrame, query: SearchQuery, score_col: str = "score"
+) -> DataFrame:
+    """Adds the dismax score column; rows failing mm=100% score NULL.
+
+    Token arrays are materialized once per field behind a Project boundary
+    (`_toks_*`) so the per-term tf expressions share one tokenize pass
+    instead of recomputing it per (term, field)."""
+    terms = query.terms()
+    qf = [(f, b) for f, b in query.qf if f in df.columns]
+    pf = [(f, b) for f, b in query.pf if f in df.columns]
+    if not terms or not qf:
+        return df.withColumn(score_col, F.lit(1.0))
+
+    toks_cols = {f: f"_toks_{f}" for f, _ in {**dict(qf), **dict(pf)}.items()}
+    scored = df
+    for f, c in toks_cols.items():
+        scored = scored.withColumn(c, _field_tokens(df, f))
+
+    term_scores = []
+    term_matched = []
+    for t in terms:
+        fscores = [
+            F.lit(float(b)) * _tf(F.col(toks_cols[f]), t).cast("double")
+            for f, b in qf
+        ]
+        best = F.greatest(*fscores) if len(fscores) > 1 else fscores[0]
+        total = sum(fscores[1:], fscores[0])
+        term_scores.append(best + F.lit(query.tie) * (total - best))
+        term_matched.append(best > 0)
+
+    score = sum(term_scores[1:], term_scores[0])
+    for f, b in pf:
+        phrase = " ".join(terms)
+        in_field = F.array_join(F.col(toks_cols[f]), " ").contains(phrase)
+        score = score + F.when(in_field, F.lit(float(b))).otherwise(F.lit(0.0))
+
+    if query.operator == "OR":
+        matched = term_matched[0]
+        for m in term_matched[1:]:
+            matched = matched | m
+    else:  # exact phrase and AND both require every term (mm=100%)
+        matched = term_matched[0]
+        for m in term_matched[1:]:
+            matched = matched & m
+    if query.operator is None and len(terms) > 1:
+        # exact phrase: the full phrase must appear in at least one qf field
+        phrase = " ".join(terms)
+        any_phrase = None
+        for f, _ in qf:
+            hit = F.array_join(F.col(toks_cols[f]), " ").contains(phrase)
+            any_phrase = hit if any_phrase is None else (any_phrase | hit)
+        matched = matched & any_phrase
+
+    return scored.withColumn(
+        score_col, F.when(matched, score)
+    ).drop(*toks_cols.values())
+
+
+def search(df: DataFrame, query: SearchQuery, id_col: str = "id") -> DataFrame:
+    """W2 relevance top-k with P5/P6/P7 filters and start/rows pagination
+    (ht_searcher.py:150-164's start+=rows loop becomes offset/limit)."""
+    out = df
+    if query.rights:
+        out = out.filter(F.col("rights").isin(query.rights))
+    if query.id_filter:
+        out = out.filter(F.col(id_col).isin(query.id_filter))
+    out = with_dismax_score(out, query).filter(F.col("score").isNotNull())
+    out = out.orderBy(F.desc("score"), F.asc(id_col))
+    if query.start:
+        out = out.offset(query.start)
+    out = out.limit(query.rows)
+    fl = query.fl or [id_col]
+    cols = [c for c in fl if c in out.columns]
+    return out.select(*cols, "score")
+
+
+def facet_counts(
+    df: DataFrame,
+    facet_fields: list[str],
+    mincount: int = 1,
+    limit: int = 30,
+) -> dict[str, DataFrame]:
+    """A6 facet counts (ht_searcher.py:70-104; config_facet_filters.yaml):
+    per field, value counts with mincount and limit, descending. Multivalued
+    fields explode first (Solr facets count each value)."""
+    out = {}
+    for f in facet_fields:
+        if f not in df.columns:
+            continue
+        col = df.select(
+            F.explode(F.col(f)).alias("value")
+            if isinstance(df.schema[f].dataType, ArrayType)
+            else F.col(f).alias("value")
+        ).filter(F.col("value").isNotNull())
+        out[f] = (
+            col.groupBy("value")
+            .agg(F.count("*").cast("long").alias("count"))
+            .filter(F.col("count") >= mincount)
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(limit)
+        )
+    return out
+
+
+def export_all(
+    df: DataFrame, query: SearchQuery, id_col: str = "id"
+) -> DataFrame:
+    """S7 cursor export (export_all_results.py:127-174): the cursorMark loop
+    is an HTTP artifact; the native operation is a stable-ordered full scan
+    with the fl projection (process_results, :43-54)."""
+    out = df
+    if query.rights:
+        out = out.filter(F.col("rights").isin(query.rights))
+    fl = [c for c in (query.fl or [id_col]) if c in df.columns]
+    return out.select(*fl).orderBy(id_col)
