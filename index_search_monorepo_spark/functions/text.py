@@ -45,7 +45,7 @@ def _xml_escape(col: Column) -> Column:
     return col
 
 
-def quoteattr_expr(col: Column) -> Column:
+def quoteattr_expr(col: Column, crlf_possible: bool = True) -> Column:
     """Bit-exact `xml.sax.saxutils.quoteattr` (CPython) as a column expr.
 
     Semantics (matched against CPython source; golden-tested):
@@ -54,21 +54,37 @@ def quoteattr_expr(col: Column) -> Column:
       2. if '"' in s: if "'" also in s -> wrap in '"', escaping '"'->&quot;
                       else -> wrap in "'"
          else -> wrap in '"'
-    """
+
+    Pass crlf_possible=False when the input provably contains no \\r/\\n
+    (e.g. after string_preparation's CR/LF->space replacement) to skip two
+    full-string no-op passes. The escaped intermediate is bound once via a
+    single-element transform: this expression runs inside higher-order
+    lambdas (the per-page OCR path) where interpreted evaluation has no
+    common-subexpression elimination, so a naive `when(contains(esc),...)`
+    recomputes the whole escape chain up to 3x per page."""
     esc = _xml_escape(col)
-    esc = F.replace(esc, F.lit("\n"), F.lit("&#10;"))
-    esc = F.replace(esc, F.lit("\r"), F.lit("&#13;"))
+    if crlf_possible:
+        esc = F.replace(esc, F.lit("\n"), F.lit("&#10;"))
+        esc = F.replace(esc, F.lit("\r"), F.lit("&#13;"))
     esc = F.replace(esc, F.lit("\t"), F.lit("&#9;"))
-    has_dq = F.contains(esc, F.lit('"'))
-    has_sq = F.contains(esc, F.lit("'"))
-    return (
-        F.when(
-            has_dq & has_sq,
-            F.concat(F.lit('"'), F.replace(esc, F.lit('"'), F.lit("&quot;")), F.lit('"')),
+
+    def wrap(e: Column) -> Column:
+        has_dq = F.contains(e, F.lit('"'))
+        has_sq = F.contains(e, F.lit("'"))
+        return (
+            F.when(
+                has_dq & has_sq,
+                F.concat(
+                    F.lit('"'),
+                    F.replace(e, F.lit('"'), F.lit("&quot;")),
+                    F.lit('"'),
+                ),
+            )
+            .when(has_dq, F.concat(F.lit("'"), e, F.lit("'")))
+            .otherwise(F.concat(F.lit('"'), e, F.lit('"')))
         )
-        .when(has_dq, F.concat(F.lit("'"), esc, F.lit("'")))
-        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
-    )
+
+    return F.element_at(F.transform(F.array(esc), lambda e: wrap(e)), 1)
 
 
 def string_preparation_expr(col: Column) -> Column:
@@ -82,7 +98,8 @@ def string_preparation_expr(col: Column) -> Column:
     """
     s = F.replace(col, F.lit("\r"), F.lit(" "))
     s = F.replace(s, F.lit("\n"), F.lit(" "))
-    return quoteattr_expr(pystrip(s))
+    # CR/LF were just replaced, so quoteattr's &#10;/&#13; passes are no-ops
+    return quoteattr_expr(pystrip(s), crlf_possible=False)
 
 
 def xmlesc_expr(col: Column) -> Column:

@@ -64,7 +64,7 @@ def extract_documents(
         spans = spans.unionByName(tables["documents_spans_bad"])
     clean, errors = split_errors(spans)
     if repartition:
-        clean = salted_repartition(clean)
+        clean = salted_repartition(clean, skip_if_scan_parallel=True)
     docs = with_ocr_skew_aware(clean, page_threshold=page_threshold)
     docs = docs.withColumn("span_count", F.size("spans")).drop("spans")
     docs = with_mysql_fields(
