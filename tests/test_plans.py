@@ -1,0 +1,77 @@
+"""Physical-plan property tests: the plan shapes the 100 TB design relies on
+must not regress (pushdown, broadcast enrichment, vectorized-only Python).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.enrichment import with_mysql_fields
+from index_search_monorepo_spark.operators.extraction import (
+    with_ocr,
+    with_ocr_skew_aware,
+)
+from index_search_monorepo_spark.plans.pipeline import extract_documents
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    df = tables["documents_spans"].filter(F.col("doc_id") == "zzz")
+    plan = _plan(df)
+    assert "FileScan parquet" in plan
+    # the predicate must appear as a scan-level data filter, not only a
+    # post-scan Filter node
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "doc_id" in scan_line and "zzz" in scan_line
+
+
+def test_ocr_paths_are_python_free(spark, tables):
+    """A1 (flagship) runs entirely JVM-side: no Python eval of any kind in
+    either the per-row or the skew-aware plan."""
+    for df in (
+        with_ocr(tables["documents_spans"]),
+        with_ocr_skew_aware(tables["documents_spans"], page_threshold=10),
+    ):
+        plan = _plan(df.select("doc_id", "ocr"))
+        assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_enrichment_joins_broadcast(spark, tables):
+    docs = tables["documents_spans"].select(
+        "doc_id", F.size("spans").alias("span_count")
+    )
+    out = with_mysql_fields(
+        docs,
+        tables["rights_current"],
+        tables["holdings_htitem_htmember"],
+        tables["mb_coll_item"],
+        tables["mb_collection"],
+    )
+    plan = _plan(out)
+    # all four dim enrichments must be broadcast-hash, never shuffle the
+    # fact side on a dim key
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EvalPython" not in plan
+
+
+def test_pipeline_python_is_arrow_only(spark, tables):
+    """The only Python in the full assembly is the Arrow-vectorized
+    allfields UDF — no row-at-a-time BatchEvalPython anywhere."""
+    docs, _errors = extract_documents(spark, tables, page_threshold=20)
+    plan = _plan(docs)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") >= 1
+
+
+def test_column_pruning_span_count(spark, tables):
+    """Selecting only doc_id prunes the fat spans column from the scan."""
+    df = tables["documents_spans"].select("doc_id")
+    scan_line = next(
+        ln for ln in _plan(df).splitlines() if "FileScan parquet" in ln
+    )
+    assert "ReadSchema" in scan_line or "doc_id" in scan_line
+    assert "spans" not in scan_line.split("ReadSchema")[-1]
