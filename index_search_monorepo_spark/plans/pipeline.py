@@ -55,9 +55,15 @@ def extract_documents(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     include_poison: bool = True,
-    page_threshold: int = 1000,
+    page_threshold: int = 10_000,
     repartition: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
+    # page_threshold: docs above it take the explode->distribute->reassemble
+    # path (extraction.with_ocr_skew_aware). Measured ablation (BASELINE.md):
+    # at 2 000 pages/doc the per-row work is ~10 ms, and in-place processing
+    # beats the explode path 3x even at 10% skew — the explode path only
+    # pays when ONE document's work approaches a whole task's budget
+    # (pathological 10^5-page volumes), so the default is deliberately high.
     """Full §1.3 document assembly. Returns (documents, errors)."""
     spans = tables["documents_spans"]
     if include_poison and "documents_spans_bad" in tables:
