@@ -960,20 +960,71 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "sum(CASE WHEN (strpos('0123456789abcdef',"
                  f" substr(hh, {b + 1}, 1)) - 1) % 2 = 1"
                  f" THEN 1 ELSE -1 END) AS v{b}"
-                 for b in range(16)
+                 for b in range(32)
              )}
       FROM h GROUP BY doc_id
     )
     SELECT doc_id,
            CAST({" + ".join(
                f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
-               for b in range(16)
+               for b in range(32)
            )} AS BIGINT) AS simhash
     FROM v
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.with_simhash(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_SIMHASH_CORPUS_CTE = f"""
+stoks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM corpus
+),
+sh_h AS (SELECT doc_id, md5(tok) AS hh FROM stoks),
+sh_v AS (
+  SELECT doc_id,
+         {", ".join(
+             "sum(CASE WHEN (strpos('0123456789abcdef',"
+             f" substr(hh, {b + 1}, 1)) - 1) % 2 = 1"
+             f" THEN 1 ELSE -1 END) AS v{b}"
+             for b in range(32)
+         )}
+  FROM sh_h GROUP BY doc_id
+),
+sh_s AS (
+  SELECT doc_id,
+         CAST({" + ".join(
+             f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
+             for b in range(32)
+         )} AS BIGINT) AS simhash
+  FROM sh_v
+)
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {PLANTED_DOCS_CTE.strip()}, {_SIMHASH_CORPUS_CTE.strip()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {b} AS band_no,"
+          f" (simhash // {256 ** b}) % 256 AS band_val FROM sh_s"
+          for b in range(4)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.band_no = b.band_no AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded hamming LSH join (equality shuffle on
+    (band_no, band_value), then exact bit_count(xor) verification)."""
+    return D.simhash_near_dup_pairs(planted_documents(spark, sf_dir))
 
 
 @register(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 MINHASH_K = 8
 _HEX = "0123456789abcdef"
 
@@ -277,4 +277,60 @@ def simhash_expr(text: Column, bits: int = SIMHASH_BITS) -> Column:
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return _spread(df).select(
         "doc_id", simhash_expr(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded hamming join.
+
+    Pigeonhole LSH on the fingerprint: split the `bits`-wide simhash into
+    `n_bands` contiguous bands; any pair within hamming distance
+    < n_bands must agree exactly on at least one band (max_hamming <
+    n_bands makes the banding EXACT, no recall loss; the defaults 4
+    bands / hamming<=2 are exact), so candidates come from
+    an equality shuffle join on (band_no, band_value) — never O(n^2) — and
+    are verified with bit_count(simhash XOR simhash) <= max_hamming.
+    Output: (doc_a, doc_b, hamming), exact integers on both engines.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = with_simhash(df, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band_no", "bb.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
     )
