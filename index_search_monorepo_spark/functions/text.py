@@ -26,15 +26,14 @@ PY_WHITESPACE = (
     "    　"
 )
 
-_PY_WS_CLASS = (
-    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x85\\xA0\\u1680\\u2000-\\u200A"
-    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
-)
-
-
 def pystrip(col: Column) -> Column:
-    """Python-str.strip() parity: strip the full unicode whitespace set."""
-    return F.regexp_replace(col, f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$", "")
+    """Python-str.strip() parity: strip the full unicode whitespace set.
+
+    btrim with an explicit character set is O(stripped ends), not a
+    full-string regex pass — on the per-page OCR hot path the previous
+    anchored regexp_replace was one of ~9 full-string passes per page
+    (memory-bandwidth-bound at 32 cores; see BENCH scaling notes)."""
+    return F.btrim(col, F.lit(PY_WHITESPACE))
 
 
 def _xml_escape(col: Column) -> Column:
@@ -96,8 +95,8 @@ def string_preparation_expr(col: Column) -> Column:
     to the error sink (see operators/errors.py), so this expression starts
     from a string column.
     """
-    s = F.replace(col, F.lit("\r"), F.lit(" "))
-    s = F.replace(s, F.lit("\n"), F.lit(" "))
+    # translate fuses the two single-char replaces into ONE string pass
+    s = F.translate(col, "\r\n", "  ")
     # CR/LF were just replaced, so quoteattr's &#10;/&#13; passes are no-ops
     return quoteattr_expr(pystrip(s), crlf_possible=False)
 

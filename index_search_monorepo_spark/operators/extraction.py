@@ -92,14 +92,29 @@ def with_ocr(df: DataFrame, spans_col: str = "spans") -> DataFrame:
 
 
 def with_ocr_skew_aware(
-    df: DataFrame, spans_col: str = "spans", page_threshold: int = 1000
+    df: DataFrame,
+    spans_col: str = "spans",
+    page_threshold: int = 1000,
+    single_scan: bool = True,
 ) -> DataFrame:
     """A1 with explicit skew handling (O13). Docs with ≤ threshold spans take
     the zero-shuffle per-row path; oversized volumes are exploded so their
     per-page prep work distributes across cores, then re-assembled with an
     order-anchored collect_list (order rides in data via media_ref, never in
     row order). The big path touches only the skew fraction (~2%), so the
-    extra shuffle is tiny and bounded."""
+    extra shuffle is tiny and bounded.
+
+    single_scan=True (default) persists the input before branching: the
+    size(spans) filters cannot prune a parquet scan, so the naive two-branch
+    plan decodes every spans.text column chunk TWICE (VERDICT r01 #5). The
+    persisted working set is read once from source and served to both
+    branches from executor memory/local disk (LRU-evicted afterwards). Pass
+    single_scan=False on object-store clusters where re-scanning is cheaper
+    than caching the working set."""
+    if single_scan:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = F.size(F.col(spans_col))
     small = df.filter(n <= page_threshold).withColumn(
         "ocr", ocr_expr(F.col(spans_col))

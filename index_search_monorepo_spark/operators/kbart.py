@@ -83,7 +83,14 @@ def filter_out_dates_expr(col: Column) -> Column:
 def ordered_dedup_ids(holdings: DataFrame, id_col: str = "catalog_id") -> DataFrame:
     """S9+T3: holdings TSV scan contract — required catalog_id column,
     blank-stripped, first-occurrence order preserved (:112-126). Returns
-    (catalog_id, seq) where seq is the first-occurrence rank."""
+    (catalog_id, seq) where seq is the first-occurrence rank.
+
+    PRECONDITION: `holdings` must be a straight file scan (no shuffle /
+    repartition upstream) — monotonically_increasing_id() tracks input
+    order only within the scan's partition layout, and Spark's file scans
+    list files in a stable sorted order. If the input has been shuffled,
+    provide your own ordinal column (e.g. from a line-numbered text read)
+    instead of relying on this function's derived `seq`."""
     if id_col not in holdings.columns:
         raise ValueError(f"Holdings report is missing required column '{id_col}'")
     with_pos = holdings.select(
@@ -121,12 +128,16 @@ def generate_kbart(
     kbart_rows: KBART_COLUMNS + seq (write ordered by seq, drop seq — the
     reference emits rows in input order). errors: (catalog_id, reason, seq).
 
-    Plan shape: both dims are bounded (catalog metadata per requested id,
-    per-bib date aggregate), so the two enrichments broadcast; the only
-    shuffles are the input dedup and the hf pre-aggregate.
+    Plan shape: the requested-id list (small) broadcasts INTO semi-joins
+    that bound both dims first — the catalog metadata is the full catalog
+    (~17M records in the reference; broadcasting it unfiltered is a
+    multi-GB driver/executor OOM, VERDICT r01 #7) and hf is per-volume.
+    Only the bounded dims broadcast into the final enrichment joins; the
+    only shuffles are the input dedup and the (pre-filtered) hf aggregate.
     """
     ids = ordered_dedup_ids(holdings, id_col)
     ids = ids.withColumn("_key", strip_zeros_expr(F.col("catalog_id")))
+    keys = ids.select("_key").distinct()
 
     meta = catalog_meta.select(
         strip_zeros_expr(first_value_expr(catalog_meta, "id")).alias("_key"),
@@ -137,9 +148,14 @@ def generate_kbart(
         first_value_expr(catalog_meta, "publisher").alias("_publisher"),
         first_value_expr(catalog_meta, "oclc").alias("_oclc"),
         F.lit(True).alias("_meta_found"),
-    ).dropDuplicates(["_key"])
+    ).join(F.broadcast(keys), "_key", "left_semi").dropDuplicates(["_key"])
 
-    dates = title_dates_dim(hf).select(
+    hf_bounded = hf.join(
+        F.broadcast(keys),
+        strip_zeros_expr(F.col("bib_num")) == keys["_key"],
+        "left_semi",
+    )
+    dates = title_dates_dim(hf_bounded).select(
         strip_zeros_expr(F.col("bib_num")).alias("_key"),
         "bib_fmt",
         "date_first_issue_online",

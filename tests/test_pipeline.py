@@ -60,10 +60,18 @@ def test_checkpointed_run_and_resume(spark, tables, corpus_dir, tmp_path):
     assert errs.count() == 2 * tables["documents_spans_bad"].count()
 
 
-def test_salted_repartition_balances_pages(spark, tables):
-    df = salted_repartition(
-        tables["documents_spans"], target_weight_per_partition=60, min_partitions=4
-    )
+def test_salted_repartition_balances_pages(spark, tables, monkeypatch):
+    # sizing must come from file metadata / parameters, never a pre-scan
+    # job on the input (VERDICT r01 #4): fail the test if any driver-side
+    # collect fires while building the plan.
+    from pyspark.sql import DataFrame
+
+    def _boom(self):  # pragma: no cover - should never run
+        raise AssertionError("salted_repartition ran a driver-side pre-pass")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    df = salted_repartition(tables["documents_spans"], min_partitions=4)
+    monkeypatch.undo()
     sizes = (
         df.withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
@@ -75,3 +83,8 @@ def test_salted_repartition_balances_pages(spark, tables):
     assert total == tables["documents_spans"].select(
         F.sum(F.size("spans"))
     ).collect()[0][0]
+
+
+def test_salted_repartition_explicit_count(spark, tables):
+    df = salted_repartition(tables["documents_spans"], num_partitions=6, min_partitions=2)
+    assert df.rdd.getNumPartitions() == 6

@@ -20,6 +20,8 @@ def _plan(df) -> str:
 
 
 def test_filter_pushdown_reaches_scan(spark, tables):
+    # a persisted relation from another test would shadow the FileScan
+    spark.catalog.clearCache()
     df = tables["documents_spans"].filter(F.col("doc_id") == "zzz")
     plan = _plan(df)
     assert "FileScan parquet" in plan
@@ -67,8 +69,44 @@ def test_pipeline_python_is_arrow_only(spark, tables):
     assert plan.count("ArrowEvalPython") >= 1
 
 
+def test_kbart_dims_bounded_before_broadcast(spark, tables):
+    """VERDICT r01 #7: the catalog-metadata and hf-dates dims must be
+    semi-joined down to the requested ids BEFORE they broadcast (an
+    unbounded broadcast of the full catalog is a driver OOM at reference
+    scale), and the enrichment joins stay broadcast-hash."""
+    from index_search_monorepo_spark.operators.kbart import generate_kbart
+
+    holdings = spark.createDataFrame(
+        [("000000007",), ("42",)], "catalog_id string"
+    )
+    catalog_meta = spark.range(1000).select(
+        F.array(F.col("id").cast("string")).alias("id"),
+        F.array(F.concat(F.lit("t"), F.col("id"))).alias("title_display"),
+        F.array(F.lit("i")).alias("isbn"),
+        F.array(F.lit("s")).alias("issn"),
+        F.array(F.lit("a")).alias("mainauthor"),
+        F.array(F.lit("p")).alias("publisher"),
+        F.array(F.lit("o")).alias("oclc"),
+    )
+    hf = spark.range(1000).select(
+        F.col("id").cast("string").alias("bib_num"),
+        F.lit("SE").alias("bib_fmt"),
+        F.lit("1999").alias("rights_date_used"),
+    )
+    rows, _errors = generate_kbart(holdings, catalog_meta, hf)
+    plan = _plan(rows)
+    # two bounding semi-joins + two broadcast enrichments; the fact (ids)
+    # side never sort-merge-joins
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    got = {r["title_id"]: r["publication_title"] for r in rows.collect()}
+    assert got == {"7": "t7", "42": "t42"}
+
+
 def test_column_pruning_span_count(spark, tables):
     """Selecting only doc_id prunes the fat spans column from the scan."""
+    spark.catalog.clearCache()
     df = tables["documents_spans"].select("doc_id")
     scan_line = next(
         ln for ln in _plan(df).splitlines() if "FileScan parquet" in ln
