@@ -42,18 +42,36 @@ def _tf(toks: Column, term: str) -> Column:
 
 
 def with_dismax_score(
-    df: DataFrame, query: SearchQuery, score_col: str = "score"
+    df: DataFrame,
+    query: SearchQuery,
+    score_col: str = "score",
+    explain: bool = False,
 ) -> DataFrame:
     """Adds the dismax score column; rows failing mm=100% score NULL.
 
     Token arrays are materialized once per field behind a Project boundary
     (`_toks_*`) so the per-term tf expressions share one tokenize pass
-    instead of recomputing it per (term, field)."""
+    instead of recomputing it per (term, field).
+
+    explain=True adds `score_explanation`: one struct per (term, field) with
+    the field contribution — the per-document score breakdown the reference
+    surfaces from Solr's debug.explain output
+    (ht_full_text_searcher.py:47-53). Same narrow plan; the breakdown
+    reuses the already-bound token arrays."""
     terms = query.terms()
     qf = [(f, b) for f, b in query.qf if f in df.columns]
     pf = [(f, b) for f, b in query.pf if f in df.columns]
     if not terms or not qf:
-        return df.withColumn(score_col, F.lit(1.0))
+        out = df.withColumn(score_col, F.lit(1.0))
+        if explain:
+            out = out.withColumn(
+                "score_explanation",
+                F.array().cast(
+                    "array<struct<term:string,field:string,boost:double,"
+                    "field_score:double>>"
+                ),
+            )
+        return out
 
     toks_cols = {f: f"_toks_{f}" for f, _ in {**dict(qf), **dict(pf)}.items()}
     scored = df
@@ -62,11 +80,22 @@ def with_dismax_score(
 
     term_scores = []
     term_matched = []
+    explain_entries = []
     for t in terms:
         fscores = [
             F.lit(float(b)) * _tf(F.col(toks_cols[f]), t).cast("double")
             for f, b in qf
         ]
+        if explain:
+            for (f, b), fs in zip(qf, fscores):
+                explain_entries.append(
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.lit(f).alias("field"),
+                        F.lit(float(b)).alias("boost"),
+                        fs.alias("field_score"),
+                    )
+                )
         best = F.greatest(*fscores) if len(fscores) > 1 else fscores[0]
         total = sum(fscores[1:], fscores[0])
         term_scores.append(best + F.lit(query.tie) * (total - best))
@@ -95,27 +124,40 @@ def with_dismax_score(
             any_phrase = hit if any_phrase is None else (any_phrase | hit)
         matched = matched & any_phrase
 
-    return scored.withColumn(
-        score_col, F.when(matched, score)
-    ).drop(*toks_cols.values())
+    scored = scored.withColumn(score_col, F.when(matched, score))
+    if explain:
+        scored = scored.withColumn(
+            "score_explanation", F.array(*explain_entries)
+        )
+    return scored.drop(*toks_cols.values())
 
 
-def search(df: DataFrame, query: SearchQuery, id_col: str = "id") -> DataFrame:
+def search(
+    df: DataFrame,
+    query: SearchQuery,
+    id_col: str = "id",
+    explain: bool = False,
+) -> DataFrame:
     """W2 relevance top-k with P5/P6/P7 filters and start/rows pagination
-    (ht_searcher.py:150-164's start+=rows loop becomes offset/limit)."""
+    (ht_searcher.py:150-164's start+=rows loop becomes offset/limit).
+    explain=True appends the per-doc score_explanation breakdown
+    (ht_full_text_searcher.py:47-53)."""
     out = df
     if query.rights:
         out = out.filter(F.col("rights").isin(query.rights))
     if query.id_filter:
         out = out.filter(F.col(id_col).isin(query.id_filter))
-    out = with_dismax_score(out, query).filter(F.col("score").isNotNull())
+    out = with_dismax_score(out, query, explain=explain).filter(
+        F.col("score").isNotNull()
+    )
     out = out.orderBy(F.desc("score"), F.asc(id_col))
     if query.start:
         out = out.offset(query.start)
     out = out.limit(query.rows)
     fl = query.fl or [id_col]
     cols = [c for c in fl if c in out.columns]
-    return out.select(*cols, "score")
+    extra = ["score_explanation"] if explain else []
+    return out.select(*cols, "score", *extra)
 
 
 def facet_counts(

@@ -47,7 +47,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv6Addresses=false")
+        # local-mode perf: the driver JVM is the executor. Throughput-first
+        # GC (Parallel) beats G1's low-pause goal for batch string churn at
+        # high thread counts; overridable for experiments.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_EXTRA_JAVA_OPTS",
+                "-Djava.net.preferIPv6Addresses=false -XX:+UseParallelGC",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

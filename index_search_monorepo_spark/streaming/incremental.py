@@ -88,6 +88,7 @@ def incremental_extraction(
     output_dir: str,
     max_files_per_trigger: int = 8,
     await_termination: bool = True,
+    poll_interval: str | None = None,
 ) -> StreamingQuery:
     """Incremental span extraction: new spans files -> extracted span
     sequences + error sink, exactly-once via the streaming checkpoint.
@@ -96,6 +97,13 @@ def incremental_extraction(
       extracted/   (doc_id, extracted_spans) parquet, appended per batch
       errors/      R2 dead-letter rows (error envelope, F15)
       _stream_checkpoint/   source offsets + batch commit log
+
+    poll_interval=None (default) drains what exists and stops
+    (trigger(availableNow)); an interval string like '1 seconds' is the R6
+    poll-until-work loop (document_retriever_service's blocking consume
+    loop): the query keeps polling the landing directory on that cadence
+    and picks up files that arrive later — the caller stops it. With a poll
+    interval, await_termination is ignored (the query never self-ends).
     """
     out = Path(output_dir)
     stream = read_spans_stream(spark, input_dir, max_files_per_trigger)
@@ -113,13 +121,15 @@ def incremental_extraction(
             str(out / "errors" / f"batch_id={batch_id}")
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", str(out / "_stream_checkpoint"))
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", str(out / "_stream_checkpoint")
     )
-    if await_termination:
+    if poll_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    q = writer.start()
+    if await_termination and poll_interval is None:
         q.awaitTermination()
     return q
 

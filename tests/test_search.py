@@ -119,6 +119,31 @@ def test_dismax_arithmetic(corpus):
     assert got == {"d1": 21.0, "d2": 2.0, "d3": 113.0}
 
 
+def test_score_explanation_breakdown(corpus):
+    """W2 per-doc score explanation (ht_full_text_searcher.py:47-53): one
+    (term, field, boost, field_score) entry per pair; field scores
+    recombine to the scalar score under the dismax formula."""
+    out = {
+        r["id"]: r
+        for r in search(
+            corpus, _q(q="apple pie", operator="OR"), explain=True
+        ).collect()
+    }
+    d1 = {(e["term"], e["field"]): e for e in out["d1"]["score_explanation"]}
+    assert d1[("apple", "body")]["field_score"] == 2.0  # tf=2 * boost 1
+    assert d1[("apple", "title")]["field_score"] == 10.0  # tf=1 * boost 10
+    assert d1[("pie", "body")]["field_score"] == 0.0
+    assert d1[("pie", "title")]["field_score"] == 10.0
+    assert d1[("apple", "title")]["boost"] == 10.0
+    # recombine: per term max + tie*(sum-max), summed over terms
+    tie = 0.5
+    score = 0.0
+    for t in ("apple", "pie"):
+        fs = [d1[(t, f)]["field_score"] for f in ("body", "title")]
+        score += max(fs) + tie * (sum(fs) - max(fs))
+    assert score == out["d1"]["score"] == 21.0
+
+
 def test_mm_100_and_exact_phrase(corpus):
     # AND: both terms must match somewhere -> d2 drops (no apple)
     got = search(corpus, _q(q="apple pie", operator="AND"))

@@ -49,6 +49,50 @@ def test_incremental_matches_batch(spark, corpus_dir, tmp_path):
     assert set(err.columns) >= {"service_name", "error_message", "ht_id"}
 
 
+def test_poll_loop_picks_up_late_files(spark, corpus_dir, tmp_path):
+    """R6 — processingTime poll loop (document_retriever_service's blocking
+    consume): the query stays up on a cadence and ingests files that land
+    AFTER it started; the caller stops it."""
+    import shutil
+    import time
+
+    land = tmp_path / "landed"
+    stage = tmp_path / "stage"
+    out = tmp_path / "out"
+    _land_in_files(spark, corpus_dir, stage, n_files=2)
+    land.mkdir()
+    files = sorted(p for p in stage.glob("*.parquet"))
+    assert len(files) == 2
+    shutil.copy(files[0], land / files[0].name)
+
+    q = incremental_extraction(
+        spark, str(land), str(out), poll_interval="1 seconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                n1 = spark.read.parquet(str(out / "extracted")).count()
+                if n1 > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert n1 > 0
+        # second file lands while the query is live -> next poll ingests it
+        shutil.copy(files[1], land / files[1].name)
+        bad = spark.read.parquet(f"{corpus_dir}/documents_spans_bad.parquet").count()
+        total = spark.read.parquet(str(stage)).count() - bad
+        while time.time() < deadline:
+            n2 = spark.read.parquet(str(out / "extracted")).count()
+            if n2 >= total:
+                break
+            time.sleep(0.5)
+        assert n2 >= total
+    finally:
+        q.stop()
+
+
 def test_incremental_resume_is_idempotent(spark, corpus_dir, tmp_path):
     """Re-running availableNow over the same checkpoint adds nothing; new
     files are picked up incrementally (R5 resume semantics)."""
