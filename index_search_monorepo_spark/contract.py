@@ -1346,6 +1346,83 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, query_ids=list(range(10)), k=1)
 
 
+_IVF_COS = (
+    "round(list_cosine_similarity("
+    "CAST(e.embedding AS DOUBLE[]), c.c_vec), 6)"
+)
+_IVF_ASSIGN_CTE = f"""
+cents AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c_vec
+  FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_IVF_COS} DESC, c.cell) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
+)
+"""
+
+
+@register(
+    "similarity_ivf_cells",
+    f"""
+    WITH {_IVF_ASSIGN_CTE.strip()}
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id
+    FROM assign GROUP BY cell
+    """,
+)
+def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell occupancy (codebook = vectors 0..15, broadcast one-row
+    array; assignment is a map-side argmax, zero corpus shuffle)."""
+    return SIM.ivf_cell_stats(
+        _t(spark, sf_dir, "embeddings"), centroid_ids=list(range(16))
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH {_IVF_ASSIGN_CTE.strip()},
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cell
+      FROM scored WHERE vec_id < 10 AND rn <= 2
+    ),
+    sims AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])), 6)
+               AS sim6
+      FROM probes q JOIN assign a
+        ON q.cell = a.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id,
+           round(sim6, 4) AS sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim6 DESC, neighbor_id) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 over an IVF coarse index (16 cells, nprobe=2) — the
+    second scale path next to sign-LSH; exact cosine runs only inside the
+    probed cells."""
+    return SIM.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        centroid_ids=list(range(16)),
+        query_ids=list(range(10)),
+        k=3,
+        nprobe=2,
+    )
+
+
 @register(
     "lang_id",
     f"""

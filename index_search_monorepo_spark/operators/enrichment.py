@@ -68,9 +68,15 @@ def with_mysql_fields(
     mb_coll_item: DataFrame,
     mb_collection: DataFrame,
     doc_id_col: str = "doc_id",
+    persist_dims: bool = True,
 ) -> DataFrame:
     """All four enrichments as broadcast left joins; adds columns
-    rights, ht_heldby, ht_heldby_brlm, coll_id."""
+    rights, ht_heldby, ht_heldby_brlm, coll_id.
+
+    persist_dims pins the once-per-job dim-build semantic: on a real run the
+    four pre-aggregates are built once and broadcast; without persist a
+    caller that materializes the output k times rebuilds them k times (at
+    small scale that near-serial rebuild dominates high-core wall time)."""
     did = F.col(doc_id_col)
     docs = docs.withColumn("_ns", namespace_expr(did)).withColumn(
         "_obj", object_id_expr(did)
@@ -80,6 +86,13 @@ def with_mysql_fields(
     )
     heldby, brlm = holdings_dims(holdings)
     colls = coll_dim(mb_coll_item, mb_collection)
+    if persist_dims:
+        r, heldby, brlm, colls = (
+            r.persist(),
+            heldby.persist(),
+            brlm.persist(),
+            colls.persist(),
+        )
     out = (
         docs.join(broadcast(r), ["_ns", "_obj"], "left")
         .join(

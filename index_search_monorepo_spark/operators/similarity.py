@@ -204,6 +204,176 @@ def lsh_topk(
     )
 
 
+def ivf_codebook(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row codebook: sorted array<struct<cell, c_vec, c_norm>>.
+
+    IVF coarse quantization needs a codebook on every task; at 10^9 vectors
+    the codebook is k_cells x dim floats (a few MB) while the corpus is TBs,
+    so the right plan is: build the codebook once (tiny pushed-down id scan),
+    broadcast it as ONE row, and make assignment a per-row map — the corpus
+    never shuffles. Centroid ids are an explicit parameter (in production the
+    codebook comes from offline k-means; deterministic ids keep the SQL
+    oracle reproducible). Norms are precomputed here so assignment does one
+    dot per (row, cell), not a norm per (row, cell)."""
+    return (
+        emb.filter(F.col(id_col).isin(centroid_ids))
+        .select(
+            F.struct(
+                F.col(id_col).cast("long").alias("cell"),
+                _as_double(F.col(vec_col)).alias("c_vec"),
+                norm_expr(F.col(vec_col)).alias("c_norm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+
+def _scored_cells(vec_col: str) -> Column:
+    """array<struct<sim, neg_cell>> — cosine vs every codebook cell, rounded
+    to 6 dp; struct order = (sim asc, neg_cell asc) so array_max / descending
+    sort rank by sim DESC then cell ASC (ties go to the lowest cell id,
+    matching the oracle's row_number ORDER BY). The row-vector norm is bound
+    ONCE inside the expression via the single-element-transform trick
+    (CLAUDE.md lesson #1: an interpreted HOF re-evaluates a repeated
+    sub-expression per element — naive nesting would recompute the row norm
+    per cell)."""
+
+    def scored(bound: Column) -> Column:
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(bound["dvec"], c["c_vec"], lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    / (bound["vnorm"] * c["c_norm"]),
+                    6,
+                ).alias("sim"),
+                (-c["cell"]).alias("neg_cell"),
+            ),
+        )
+
+    vec = F.col(vec_col)
+    return F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    norm_expr(vec).alias("vnorm"),
+                    _as_double(vec).alias("dvec"),
+                )
+            ),
+            scored,
+        ),
+        1,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, vec, cell): nearest-centroid assignment, zero corpus shuffle.
+
+    broadcast(one-row codebook) x corpus is a map-side nested-loop join;
+    argmax is a JVM-side array_max over the scored-cells array. At scale the
+    output is what you'd write partitioned/bucketed BY cell so probes become
+    partition pruning."""
+    best = F.array_max(_scored_cells(vec_col))
+    return (
+        emb.join(F.broadcast(codebook))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            (-best["neg_cell"]).cast("long").alias("cell"),
+        )
+    )
+
+
+def ivf_cell_stats(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell occupancy — the balance diagnostic for the IVF index (a hot cell
+    is a skewed partition at query time)."""
+    a = ivf_assign(emb, ivf_codebook(emb, centroid_ids, id_col, vec_col), id_col, vec_col)
+    return a.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("vid").cast("long").alias("min_vec_id"),
+        F.max("vid").cast("long").alias("max_vec_id"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over an IVF (inverted-file) coarse index — the alternative
+    scale path to sign-LSH (`lsh_topk`): corpus vectors are assigned to their
+    nearest centroid cell (map-side, codebook broadcast, no shuffle); each
+    query probes its `nprobe` nearest cells; exact cosine runs only inside
+    probed cells. nprobe = len(centroid_ids) degenerates to exact brute
+    force (tests pin that equivalence); recall/latency scales with nprobe.
+    Candidate fan-in is an equality join on `cell` against the broadcast
+    probe side — per-cell, never per-corpus. Each corpus vector lives in
+    exactly one cell, so (query, neighbor) candidates are already unique: no
+    dedup shuffle (unlike OR-amplified LSH)."""
+    codebook = ivf_codebook(emb, centroid_ids, id_col, vec_col)
+    corpus = ivf_assign(emb, codebook, id_col, vec_col)
+
+    q = emb
+    if query_ids is not None:
+        q = q.filter(F.col(id_col).isin(query_ids))
+    probes = (
+        q.join(F.broadcast(codebook))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_scored_cells(vec_col))), 1, nprobe
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_vec", (-F.col("p.neg_cell")).cast("long").alias("cell"))
+    )
+    sims = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine_expr(F.col("q_vec"), F.col("vec")), 6).alias("sim6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim6"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round(F.col("sim6"), 4).alias("sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold_e6: int = 990000,

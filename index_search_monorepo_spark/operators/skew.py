@@ -44,6 +44,23 @@ def _estimated_input_bytes(df: DataFrame) -> int | None:
     return int(total * len(files) / len(sample))
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a few-split source before compute-heavy
+    narrow work (pandas UDFs, hash chains). A dimension table written as
+    one parquet file scans as ONE split, so everything downstream of it
+    runs on one core regardless of cluster size — a serial stage that caps
+    N->4N scaling (Amdahl) long before data volume matters. Partition count
+    = spark.sql.shuffle.partitions, i.e. sized to the cluster."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int | None = None,

@@ -38,7 +38,10 @@ from index_search_monorepo_spark.operators.extraction import (
     with_mets_fields,
     with_ocr_skew_aware,
 )
-from index_search_monorepo_spark.operators.skew import salted_repartition
+from index_search_monorepo_spark.operators.skew import (
+    salted_repartition,
+    spread_small_scan,
+)
 
 
 def load_corpus(spark: SparkSession, corpus_dir: str) -> dict[str, DataFrame]:
@@ -57,7 +60,18 @@ def extract_documents(
     include_poison: bool = True,
     page_threshold: int = 10_000,
     repartition: bool = True,
+    persist_dims: bool = True,
+    doc_meta_join: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
+    # doc_meta_join: join strategy hint ("shuffle_hash" | "merge" | None=auto)
+    # for the two DOC-CARDINALITY metadata joins (catalog items, METS
+    # fields). Unlike the four true dims (rights/holdings/collections, which
+    # stay broadcast), these grow WITH the corpus — the reference catalog is
+    # ~17M fat records, far past any broadcast threshold — so at production
+    # scale they must shuffle (or be bucket-co-located at write time). None
+    # lets Catalyst/AQE decide, which at bench scale picks broadcast: correct
+    # for a one-shot job, but the per-run driver-side broadcast build is a
+    # fixed serial cost that a 1000-executor run would not have.
     # page_threshold: docs above it take the explode->distribute->reassemble
     # path (extraction.with_ocr_skew_aware). Measured ablation (BASELINE.md):
     # at 2 000 pages/doc the per-row work is ~10 ms, and in-place processing
@@ -79,12 +93,27 @@ def extract_documents(
         tables["holdings_htitem_htmember"],
         tables["mb_coll_item"],
         tables["mb_collection"],
+        persist_dims=persist_dims,
     )
-    catalog = tables["catalog"].withColumn(
+    # the catalog dim often lands as one parquet file -> one split; without
+    # the spread the MARC-XML parse runs on ONE core at any cluster size (a
+    # serial stage that caps N->4N scaling; measured ~30% of 32-core wall)
+    catalog = spread_small_scan(tables["catalog"]).withColumn(
         "allfields", extract_allfields(F.col("fullrecord"))
     )
     items = catalog_item_metadata(catalog, extra_passthrough=("allfields",))
     mets = with_mets_fields(tables["mets_meta"])
+    if persist_dims:
+        # broadcast dims are built once per job on a real run (their cost
+        # amortizes to zero against the fact side); persisting pins that
+        # once-per-job semantic for callers that materialize the output
+        # multiple times. Dim cardinality is bounded (catalog items, per-doc
+        # METS fields), so the footprint is small.
+        items = items.persist()
+        mets = mets.persist()
+    if doc_meta_join:
+        items = items.hint(doc_meta_join)
+        mets = mets.hint(doc_meta_join)
     assembled = assemble_full_text_documents(
         docs, items.drop("fullrecord"), mets, extra_cols=("span_count",)
     )

@@ -63,6 +63,66 @@ class TestLshTopk:
             assert sim == 1.0
 
 
+class TestIvfTopk:
+    CENTS = list(range(16))
+
+    def test_exhaustive_probe_equals_brute_force(self, spark):
+        """nprobe = n_cells probes every cell -> IVF degenerates to exact
+        brute force (same rows, same ranks, same sims)."""
+        emb = _emb(spark)
+        qids = list(range(10))
+        exact = sorted(
+            tuple(r) for r in SIM.cosine_topk(emb, query_ids=qids, k=3).collect()
+        )
+        ivf = sorted(
+            tuple(r)
+            for r in SIM.ivf_topk(
+                emb, self.CENTS, query_ids=qids, k=3, nprobe=len(self.CENTS)
+            ).collect()
+        )
+        assert ivf == exact
+
+    def test_recall_at_nprobe2(self, spark):
+        """The contract configuration (16 cells, nprobe=2) must find the
+        brute-force top-1 for >= 80% of queries on the testdata."""
+        emb = _emb(spark)
+        qids = list(range(10))
+        exact = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.cosine_topk(emb, query_ids=qids, k=1).collect()
+        }
+        approx = {
+            r["query_id"]: r["neighbor_id"]
+            for r in SIM.ivf_topk(
+                emb, self.CENTS, query_ids=qids, k=1, nprobe=2
+            ).collect()
+        }
+        hits = sum(1 for q in qids if approx.get(q) == exact[q])
+        assert hits >= 0.8 * len(qids), (hits, exact, approx)
+
+    def test_cells_partition_the_corpus(self, spark):
+        """Every vector lands in exactly one cell (stats sum to corpus
+        size), so IVF candidates need no dedup shuffle."""
+        emb = _emb(spark)
+        stats = SIM.ivf_cell_stats(emb, self.CENTS).collect()
+        assert sum(r["n_vecs"] for r in stats) == emb.count()
+
+    def test_assignment_is_map_side(self, spark):
+        """Corpus assignment must not shuffle the corpus: the only exchange
+        in the plan is the one-row codebook aggregation (broadcast side)."""
+        emb = _emb(spark)
+        code = SIM.ivf_codebook(emb, self.CENTS)
+        plan = (
+            SIM.ivf_assign(emb, code)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        n_exchange = plan.count("Exchange")
+        assert n_exchange <= 2, plan  # codebook partial+final agg only
+
+
 class TestCosineNearDupPairs:
     def test_bucket_blocking_finds_planted_copies(self, spark):
         """Default blocking is the LSH bucket (no label column needed)."""
