@@ -1479,6 +1479,38 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.with_token_count(_t(spark, sf_dir, "documents"))
 
 
+# the pre-tokenizer regex, written in the Java/RE2-common subset so both
+# engines tokenize identically (textstats.BPE_PRETOKEN_RE); the leading
+# apostrophe is doubled for the SQL string literal
+_BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    WITH pt AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+                         x -> NOT regexp_matches(x, '^\\s+$')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^ ?\\p{{L}}')))
+             AS BIGINT) AS n_word_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^ ?\\p{{N}}')))
+             AS BIGINT) AS n_numeric_tokens,
+           CAST(coalesce(list_sum(list_transform(t,
+             x -> (len(trim(x)) + 3) // 4)), 0) AS BIGINT) AS subword_est
+    FROM pt
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style regex pre-tokenization counts + ~4-chars/subword
+    estimate (training-data token budgeting)."""
+    return TS.with_token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "doc_fingerprint",
     """

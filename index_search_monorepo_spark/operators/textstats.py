@@ -38,6 +38,45 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to syntax both Java regex (Spark)
+# and RE2 (DuckDB) support identically: no lookahead, unicode classes only.
+# Leftmost-first alternation order is semantic (contractions before words).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token statistics: GPT-2-style regex pre-tokenization (the
+    stage before byte-pair merges) plus a ~4-chars-per-subword estimate.
+    Complements the whitespace counter (`with_token_count`) for
+    training-data budgeting, where whitespace counts undercount CJK /
+    punctuation-heavy text.
+
+    Pure column expressions (one regexp pass per row, bound once behind a
+    Project boundary — CLAUDE.md lesson #1; zero Python, zero shuffle)."""
+    pt = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    nws = F.filter(F.col("_pt"), lambda t: ~t.rlike(r"^\s+$"))
+    return (
+        df.withColumn("_pt", pt)
+        .withColumn("_nws", nws)
+        .select(
+            "doc_id",
+            F.size("_nws").cast("long").alias("n_bpe_tokens"),
+            F.size(F.filter("_nws", lambda t: t.rlike(r"^ ?\p{L}")))
+            .cast("long")
+            .alias("n_word_tokens"),
+            F.size(F.filter("_nws", lambda t: t.rlike(r"^ ?\p{N}")))
+            .cast("long")
+            .alias("n_numeric_tokens"),
+            F.aggregate(
+                "_nws",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.floor((F.length(F.btrim(t)) + 3) / 4).cast("long"),
+            ).alias("subword_est"),
+        )
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer-exact quality features + a per-mille lexical-diversity score:
     score = (1000 * unique_tokens) DIV tokens; quality bands on the score.

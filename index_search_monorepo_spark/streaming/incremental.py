@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
@@ -132,6 +133,129 @@ def incremental_extraction(
     if await_termination and poll_interval is None:
         q.awaitTermination()
     return q
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("n_expected", IntegerType()),
+    ]
+)
+
+ASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("n_spans", IntegerType()),
+        StructField("complete", BooleanType()),
+    ]
+)
+
+_ASSEMBLER_STATE = StructType(
+    [
+        StructField("chunks_json", StringType()),
+        StructField("n_expected", IntegerType()),
+    ]
+)
+
+
+def stateful_doc_assembler(
+    chunk_stream: DataFrame, timeout_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): assemble documents
+    whose span chunks arrive across micro-batches.
+
+    The reference's retriever streams a document's pages in parts and the
+    generator assembles them before indexing (full_text_search_retriever_
+    service.py batching + full_text_document_generator.py assembly); in the
+    streaming rebuild that becomes keyed state per doc_id: each incoming
+    chunk row is (doc_id, spans, n_expected); the operator accumulates spans
+    until n_expected are present, then emits the document with its spans in
+    canonical (offset, media_ref) order and drops the state. A processing-
+    time timeout (timeout_ms, long-lived poll-mode queries only) flushes
+    stalled documents as complete=false rows — the DLQ analog (errors are
+    rows, never job failures). The default is no timeout: a drain-mode
+    run (trigger(availableNow)) otherwise keeps scheduling empty
+    state-cleanup batches until the timeout horizon passes before it can
+    terminate.
+
+    Scale: state is per-in-flight-document only (completed keys are removed
+    immediately), partitioned by doc_id across executors by the streaming
+    state store; a 10^12-doc backfill holds state only for the documents
+    currently split across batch boundaries, not the corpus.
+
+    State is kept as a JSON string rather than nested Arrow arrays: chunk
+    arrival order is not ordered anyway (order rides in `offset` — repo
+    convention), and a flat string state avoids per-batch Arrow struct
+    round-trips of fat page text.
+    """
+    import json
+
+    import pandas as pd
+
+    def assemble(key, pdfs, state):
+        doc_id = key[0]
+        if state.hasTimedOut:
+            chunks_json, n_expected = state.get
+            spans = json.loads(chunks_json)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [doc_id],
+                    "spans": [_canonical(spans)],
+                    "n_spans": [len(spans)],
+                    "complete": [False],
+                }
+            )
+            return
+        spans: list[dict] = []
+        n_expected = None
+        if state.exists:
+            chunks_json, n_expected = state.get
+            spans = json.loads(chunks_json)
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                for s in row["spans"]:
+                    d = dict(s) if not isinstance(s, dict) else s
+                    spans.append(
+                        {
+                            "kind": d["kind"],
+                            "text": d["text"],
+                            "media_ref": d["media_ref"],
+                            "offset": int(d["offset"]),
+                        }
+                    )
+                if row["n_expected"] is not None:
+                    n_expected = int(row["n_expected"])
+        if n_expected is not None and len(spans) >= n_expected:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [doc_id],
+                    "spans": [_canonical(spans)],
+                    "n_spans": [len(spans)],
+                    "complete": [True],
+                }
+            )
+        else:
+            state.update((json.dumps(spans), n_expected))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    def _canonical(spans: list[dict]) -> list[dict]:
+        return sorted(spans, key=lambda s: (s["offset"], s["media_ref"]))
+
+    return chunk_stream.groupBy("doc_id").applyInPandasWithState(
+        assemble,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=_ASSEMBLER_STATE,
+        outputMode="append",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if timeout_ms is not None else "NoTimeout"
+        ),
+    )
 
 
 def windowed_ingest_metrics(
