@@ -1465,6 +1465,85 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.with_quality_score(_t(spark, sf_dir, "documents"))
 
 
+_PUNCT_TERMS = " + ".join(
+    "(len(text) - len(replace(text, '{c}', '')))".format(c=c.replace("'", "''"))
+    for c in TS.PUNCT_CHARS
+)
+_STOPLIST = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
+
+
+@register(
+    "quality_signals",
+    f"""
+    WITH counted AS (
+      SELECT doc_id,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST({_PUNCT_TERMS} AS BIGINT) AS n_punct,
+             CAST(len(list_filter({_TOKS}, x -> x IN ({_STOPLIST})))
+               AS BIGINT) AS n_stopwords
+      FROM documents
+    ),
+    pm AS (
+      SELECT *,
+             CAST(CASE WHEN n_chars = 0 THEN 0
+                  ELSE 1000 * n_punct // n_chars END AS BIGINT) AS punct_pmille,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+                  ELSE 1000 * n_stopwords // n_tokens END AS BIGINT)
+               AS stopword_pmille
+      FROM counted
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+           punct_pmille, stopword_pmille,
+           CASE WHEN punct_pmille > 150 THEN 'noisy'
+                WHEN stopword_pmille < 30 THEN 'flat'
+                ELSE 'clean' END AS signal_band
+    FROM pm
+    """,
+)
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation/stopword-ratio quality signals (corpus-filter
+    heuristics; integer-exact per-mille arithmetic)."""
+    return TS.with_quality_signals(_t(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql(lang: str) -> str:
+    terms = " + ".join(
+        f"(len(t) - len(replace(t, '{tri}', ''))) // 3"
+        for tri in TS.TRIGRAM_PROFILES[lang]
+    )
+    return f"CAST({terms} AS BIGINT) AS {lang}_hits"
+
+
+_LANGS = list(TS.TRIGRAM_PROFILES)
+_GREATEST = f"greatest({', '.join(f'{lang}_hits' for lang in _LANGS)})"
+
+
+@register(
+    "lang_id_ngram",
+    f"""
+    WITH lc AS (SELECT doc_id, lower(text) AS t FROM documents),
+    hits AS (
+      SELECT doc_id, {", ".join(_lang_hits_sql(lang) for lang in _LANGS)}
+      FROM lc
+    )
+    SELECT doc_id, {", ".join(f"{lang}_hits" for lang in _LANGS)},
+           CASE WHEN {_GREATEST} = 0 THEN 'unknown'
+                {" ".join(
+                    f"WHEN {lang}_hits = {_GREATEST} THEN '{lang}'"
+                    for lang in _LANGS[:-1]
+                )}
+                ELSE '{_LANGS[-1]}' END AS lang_guess
+    FROM hits
+    """,
+)
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (argmax over per-language profile hit
+    counts, deterministic tie-break) — the n-gram heuristic complement to
+    the stopword-marker `lang_id`."""
+    return TS.with_lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "token_count",
     f"""

@@ -136,6 +136,118 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PUNCT_CHARS = ".,;:!?'\"()[]-"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Punctuation-ratio and stopword-ratio quality signals (the corpus-
+    filter heuristics alongside `with_quality_score`'s length/diversity):
+    per-mille punct chars, per-mille stopword tokens, and a band —
+    'noisy' (punct-heavy, OCR garbage / tables), 'flat' (no stopword mass,
+    unsegmented or non-English), else 'clean'.
+
+    Counting is replace-shrinkage per punct char (codegen'd String.replace,
+    no regex-dialect risk vs the oracle) + one tokenize pass bound once."""
+    counted = (
+        df.withColumn("_toks", tokens_expr(F.col(text_col)))
+        .select(
+            "doc_id",
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            sum(
+                (
+                    F.length(F.col(text_col))
+                    - F.length(F.replace(F.col(text_col), F.lit(c)))
+                    for c in PUNCT_CHARS
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_punct"),
+            F.size(
+                F.filter("_toks", lambda t: t.isin(*STOPWORDS))
+            )
+            .cast("long")
+            .alias("n_stopwords"),
+        )
+    )
+    punct_pm = F.expr(
+        "CAST(CASE WHEN n_chars = 0 THEN 0"
+        " ELSE 1000 * n_punct DIV n_chars END AS BIGINT)"
+    )
+    stop_pm = F.expr(
+        "CAST(CASE WHEN n_tokens = 0 THEN 0"
+        " ELSE 1000 * n_stopwords DIV n_tokens END AS BIGINT)"
+    )
+    band = (
+        F.when(punct_pm > 150, F.lit("noisy"))
+        .when(stop_pm < 30, F.lit("flat"))
+        .otherwise(F.lit("clean"))
+    )
+    return counted.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_punct",
+        "n_stopwords",
+        punct_pm.alias("punct_pmille"),
+        stop_pm.alias("stopword_pmille"),
+        band.alias("signal_band"),
+    )
+
+
+# character-trigram profiles (8 highest-frequency trigrams per language,
+# ASCII-only so Spark/DuckDB substring semantics cannot diverge). Order of
+# the dict is the deterministic argmax tie-break order.
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", " an", "nd ", "er ", "ed "),
+    "fr": (" de", "es ", " le", "le ", "ent", "et ", " la", "ait"),
+    "de": ("en ", "er ", "ch ", "der", "ein", "ich", "sch", "und"),
+    "es": (" de", "de ", "os ", "la ", "el ", "as ", "ue ", "que"),
+}
+
+
+def _tri_count(lc: Column, tri: str) -> Column:
+    """Non-overlapping occurrence count of `tri` via replace-shrinkage:
+    (len - len(remove(tri))) / 3 — one codegen'd String.replace pass per
+    trigram, identical semantics in DuckDB, integer-exact."""
+    return (F.length(lc) - F.length(F.replace(lc, F.lit(tri)))) / 3
+
+
+def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram language ID: per-language hit counts against small
+    frequency profiles, argmax with deterministic tie-break (profile order),
+    'unknown' when no profile trigram occurs. The n-gram complement to the
+    stopword-marker heuristic (`with_lang_id`): markers need tokenizable
+    space-separated text, trigrams also work on unsegmented/OCR-noisy text.
+
+    Plan: `_lc` (lowercase pass) bound once behind a Project boundary
+    (CLAUDE.md lesson #1), then 8 replace passes per language — pure
+    whole-stage-codegen column expressions, zero Python, zero shuffle."""
+    counted = df.withColumn("_lc", F.lower(F.col(text_col))).select(
+        "doc_id",
+        *[
+            sum(
+                (_tri_count(F.col("_lc"), tri) for tri in tris),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"{lang}_hits")
+            for lang, tris in TRIGRAM_PROFILES.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in TRIGRAM_PROFILES])
+    guess = F.when(best == 0, F.lit("unknown"))
+    for lang in TRIGRAM_PROFILES:
+        guess = guess.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return counted.select(
+        "doc_id",
+        *[f"{lang}_hits" for lang in TRIGRAM_PROFILES],
+        guess.alias("lang_guess"),
+    )
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", shingle_len: int = 8, stride: int = 4
 ) -> DataFrame:

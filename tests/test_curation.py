@@ -176,7 +176,12 @@ class TestTextstatsSinglePass:
         column per operator (VERDICT r01 #6: the old plan re-tokenized up to
         5x per row)."""
         docs = _docs(spark)
-        for op in (TS.with_quality_score, TS.with_lang_id, TS.with_token_count):
+        for op in (
+            TS.with_quality_score,
+            TS.with_lang_id,
+            TS.with_token_count,
+            TS.with_quality_signals,
+        ):
             plan = (
                 op(docs)._jdf.queryExecution().optimizedPlan().toString()
             )
