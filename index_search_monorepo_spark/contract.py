@@ -39,6 +39,7 @@ from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators.extraction import (
+    explode_noinline,
     with_extracted_spans,
     with_ocr,
 )
@@ -163,7 +164,9 @@ def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (kind, text, media_ref, order), one row per span."""
     spans = documents_to_spans(_t(spark, sf_dir, "documents"))
     out = with_extracted_spans(spans)
-    s = F.explode("extracted_spans")
+    # explode_noinline: a plain explode would duplicate the classifier UDF
+    # into an inferred Generate pre-filter (two ArrowEvalPython stages)
+    s = explode_noinline("extracted_spans")
     return out.select("doc_id", s.alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),

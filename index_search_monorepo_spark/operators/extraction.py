@@ -196,16 +196,44 @@ def extracted_spans_expr(spans: Column, cleaned_html: Column) -> Column:
 
 def with_extracted_spans(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Adds `extracted_spans`. One pandas-UDF stage for html; everything else
-    JVM-side. No shuffle."""
+    JVM-side. No shuffle.
+
+    The UDF result is bound inside ONE expression via the single-element-
+    transform trick (CLAUDE.md lesson #1) rather than an intermediate
+    `_cleaned_html` column: when `spans` is itself a derived expression
+    (e.g. documents_to_spans), CollapseProject inlines the once-referenced
+    UDF column through the next Project while re-projecting spans, leaving
+    TWO ArrowEvalPython stages that each run the classifier over every
+    html span (measured: the whole span_sequence query ~2x slower)."""
     spans = F.col(spans_col)
     html_texts = F.transform(
         F.filter(spans, lambda s: s["kind"] == F.lit("html")), lambda s: s["text"]
     )
-    df = df.withColumn("_cleaned_html", _clean_html_batch(html_texts))
-    df = df.withColumn(
-        "extracted_spans", extracted_spans_expr(spans, F.col("_cleaned_html"))
+    extracted = F.element_at(
+        F.transform(
+            F.array(_clean_html_batch(html_texts)),
+            lambda cleaned: extracted_spans_expr(spans, cleaned),
+        ),
+        1,
     )
-    return df.drop("_cleaned_html")
+    return df.withColumn("extracted_spans", extracted)
+
+
+def explode_noinline(col: str | Column) -> Column:
+    """explode() that blocks the optimizer from inlining the defining
+    expression of `col` into the Generate node.
+
+    When the exploded column is expensive (a pandas-UDF-derived array like
+    `extracted_spans`), CollapseProject inlines it into Generate (single
+    lexical reference) and InferFiltersFromGenerate then copies the whole
+    generator expression into an inferred pre-filter — after python-UDF
+    extraction that is TWO ArrowEvalPython stages, i.e. the classifier runs
+    twice per row (measured: span_sequence 2x slower). Referencing the
+    column twice inside the generator (`when(size(c) >= 0, c)`, a no-op:
+    null arrays stay null, others pass through) makes the inline illegal,
+    so the UDF stays in the child Project and is extracted exactly once."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.explode(F.when(F.size(c) >= 0, c))
 
 
 def with_mets_fields(df: DataFrame) -> DataFrame:

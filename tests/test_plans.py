@@ -69,6 +69,32 @@ def test_pipeline_python_is_arrow_only(spark, tables):
     assert plan.count("ArrowEvalPython") >= 1
 
 
+def test_span_sequence_classifier_runs_once(spark, tables):
+    """Exploding the UDF-derived extracted_spans must NOT duplicate the
+    classifier into an inferred Generate pre-filter: exactly one
+    ArrowEvalPython stage (explode_noinline guard; a plain explode yields
+    two, i.e. the pandas UDF runs twice per row)."""
+    from index_search_monorepo_spark.operators.extraction import (
+        explode_noinline,
+        with_extracted_spans,
+    )
+
+    out = with_extracted_spans(tables["documents_spans"]).select(
+        "doc_id", explode_noinline("extracted_spans").alias("s")
+    )
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+    plain = with_extracted_spans(tables["documents_spans"]).select(
+        "doc_id", F.explode("extracted_spans").alias("s")
+    )
+    # same row multiset either way (the guard is a no-op on the data)
+    assert (
+        out.select("doc_id", "s").exceptAll(plain.select("doc_id", "s")).count()
+        == 0
+    )
+
+
 def test_kbart_dims_bounded_before_broadcast(spark, tables):
     """VERDICT r01 #7: the catalog-metadata and hf-dates dims must be
     semi-joined down to the requested ids BEFORE they broadcast (an
