@@ -91,12 +91,23 @@ def word_shingles_expr(text: Column, n: int = 4) -> Column:
 
 
 def _exploded_shingles(
-    df: DataFrame, text_col: str, n: int, max_df: int | None
+    df: DataFrame,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    persist: bool = False,
 ) -> DataFrame:
     sh = _spread(df).select(
         "doc_id", F.explode(word_shingles_expr(F.col(text_col), n)).alias("shingle")
     )
     if max_df is not None:
+        if persist:
+            # the pre-cap frame feeds BOTH the df-count aggregate and the
+            # capped output; without persist the tokenize+shingle explode
+            # runs twice
+            from pyspark import StorageLevel
+
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         # stop-shingle removal: drop keys whose document frequency explodes
         # the pair join (skew cap). Window-free: aggregate + join back.
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
@@ -114,6 +125,7 @@ def ngram_candidate_pairs(
     n: int = 4,
     min_intersection: int = 2,
     max_df: int | None = 1000,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard candidates: pairs sharing >= min_intersection shingles,
     with exact integer (intersection, union) counts.
@@ -127,8 +139,20 @@ def ngram_candidate_pairs(
     #1; df-based pruning per Lee et al. 2022). A shingle in >1000 docs
     carries no dedup signal — any pair it connects at Jaccard >= 0.8 shares
     plenty of rarer shingles. Uncapped mode is an explicit opt-in
-    (max_df=None)."""
-    sh = _exploded_shingles(df, text_col, n, max_df)
+    (max_df=None).
+
+    persist_shingles=True pins the (doc_id, shingle) frame: it is consumed
+    FOUR times (both self-join sides + the per-doc size aggregate + the
+    df-count aggregate), and without persist each consumer re-runs the full
+    scan -> tokenize -> shingle -> explode chain — 4x the dominant cost at
+    corpus scale (plan-audited, round 2). The frame is ~shingles-per-doc x
+    corpus rows; MEMORY_AND_DISK spills under pressure. Disable on
+    clusters where re-compute beats spill-to-disk."""
+    sh = _exploded_shingles(df, text_col, n, max_df, persist=persist_shingles)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -163,11 +187,12 @@ def near_duplicate_pairs_jaccard(
     n: int = 4,
     threshold_pct: int = 80,
     max_df: int | None = 1000,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Jaccard >= threshold_pct/100, decided in integer arithmetic
     (100*inter >= pct*union) so the oracle compare is exact. Stop-shingle
     cap defaults ON (see ngram_candidate_pairs)."""
-    cand = ngram_candidate_pairs(df, text_col, n, 1, max_df)
+    cand = ngram_candidate_pairs(df, text_col, n, 1, max_df, persist_shingles)
     return cand.filter(
         F.col("inter_cnt") * 100 >= F.col("union_cnt") * threshold_pct
     )
