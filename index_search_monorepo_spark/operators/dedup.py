@@ -231,11 +231,18 @@ def lsh_candidate_pairs(
     k: int = MINHASH_K,
     band_size: int = 2,
     n: int = 4,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
     on md5(band values), emit distinct candidate pairs per shared bucket.
     The bucket join is an equality shuffle join; band hashing keeps bucket
-    keys uniform unless documents truly collide."""
+    keys uniform unless documents truly collide.
+
+    persist_bands=True pins the tiny (doc_id, band_no, bucket) frame before
+    the self-join: both join sides consume it, and without persist each
+    side re-runs the dominant tokenize -> shingle -> k x md5 MinHash pass
+    (plan-audited, round 2). Rows are three short columns — negligible
+    storage next to 2x signature compute."""
     sigs = minhash_signatures(df, text_col, k, n)
     n_bands = k // band_size
     bands = sigs.select(
@@ -260,6 +267,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band_no", "bb.bucket")
+    if persist_bands:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -319,6 +330,7 @@ def simhash_near_dup_pairs(
     bits: int = SIMHASH_BITS,
     n_bands: int = 4,
     max_hamming: int = 2,
+    persist_bands: bool = True,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded hamming join.
 
@@ -351,6 +363,13 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band_no", "bb.band_val")
+    if persist_bands:
+        # both self-join sides consume the frame; without persist each
+        # recomputes the per-token md5 fold (same rationale as
+        # lsh_candidate_pairs; plan-audited, round 2)
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     hamming = F.bit_count(
