@@ -52,7 +52,7 @@ if str(REPO) not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 CORPUS_CACHE = REPO / ".bench" / f"corpus_{BENCH_DOCS}"
 TASK_WAVES = 4
 
@@ -148,7 +148,10 @@ def worker_main(cores: int, corpus_dir: str) -> None:
         },
     )
     try:
-        out = run_extraction(spark, Path(corpus_dir), runs=2 if cores <= 2 else 3)
+        # 3 timed runs at every core count: the 2-core config's long (~26 s)
+        # windows are the most exposed to co-tenant drift, and the max-of-N
+        # estimator needs equal sampling depth per config to be unbiased
+        out = run_extraction(spark, Path(corpus_dir), runs=3)
         out["cores"] = cores
         print("BENCH_WORKER " + json.dumps(out))
     finally:
