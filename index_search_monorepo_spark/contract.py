@@ -1232,6 +1232,50 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(planted_documents(spark, sf_dir))
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {PLANTED_DOCS_CTE.strip()}, {_SIMHASH_CORPUS_CTE.strip()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {b} AS band_no,"
+          f" (simhash // {256 ** b}) % 256 AS band_val FROM sh_s"
+          for b in range(4)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+           least(src, min(dst)) = src AS is_canonical
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over SimHash near-dup pairs — the dedup
+    DECISION step: cluster_id = component-min doc_id, is_canonical marks
+    the one kept row per cluster. Spark side is iterative min-label
+    propagation (O(diameter) rounds of equality joins on the PAIR set);
+    oracle is a DuckDB recursive-CTE transitive closure."""
+    return D.duplicate_clusters(
+        D.simhash_near_dup_pairs(planted_documents(spark, sf_dir))
+    )
+
+
 def _bucket_band_sql(band: int, bits: int = 8, table: str = "") -> str:
     """Sign-LSH bucket id for one band (coords band*bits+1 .. band*bits+bits),
     mirroring similarity.sign_bucket_expr."""

@@ -386,3 +386,99 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: the step that turns
+    pairwise evidence into the actual dedup decision. Output one row per
+    document that appears in any pair: (doc_id, cluster_id, is_canonical),
+    cluster_id = min doc_id of the component, is_canonical marks the one
+    row per cluster a pipeline KEEPS (all others are the drop set).
+
+    Iterative min-label propagation with a group-min shortcut: each round
+    (1) every doc takes the min label over itself and its neighbors, then
+    (2) every current label group adopts the min candidate found by ANY of
+    its members — the star-contraction step that collapses chains in
+    O(log diameter) rounds instead of O(diameter). Iterative-algorithm
+    essentials, each load-bearing (hang-debugged in round 2):
+     - `localCheckpoint()` per round: persist alone does NOT truncate
+       lineage for PLANNING — the logical plan doubles per round and
+       Catalyst analysis time grows exponentially (the classic iterative
+       pitfall; 2 700 edges hung the driver at 22 cores for minutes);
+     - convergence via the label SUM, which is strictly monotone
+       decreasing until fixpoint — one aggregate job per round, no
+       old-vs-new join;
+     - the driver loop is a documented exception to the no-driver-loop
+       rule: each round is a constant number of distributed jobs over the
+       PAIR set (docs with no near-dup pair never enter the loop), never
+       per-row driver work.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(
+            F.col(doc_a).cast("long").alias("src"),
+            F.col(doc_b).cast("long").alias("dst"),
+        )
+        .union(
+            pairs.select(
+                F.col(doc_b).cast("long").alias("src"),
+                F.col(doc_a).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # label[d] starts as min(d, min neighbor) — one round for free
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.col("src")).alias("label"))
+        .select(F.col("src").alias("doc_id"), "label")
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("min_nbr_label"))
+        )
+        cand = labels.join(
+            nbr.select(F.col("src").alias("doc_id"), "min_nbr_label"),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            "label",
+            F.least("label", F.coalesce("min_nbr_label", "label")).alias(
+                "cand"
+            ),
+        )
+        gmin = cand.groupBy("label").agg(F.min("cand").alias("gmin"))
+        labels = (
+            cand.join(gmin, "label")
+            .select("doc_id", F.least("cand", "gmin").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select(
+        "doc_id",
+        F.col("label").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out

@@ -170,6 +170,48 @@ class TestNgramJaccardCap:
         ].default == 1000
 
 
+class TestDuplicateClusters:
+    def test_chain_collapses_to_one_cluster(self, spark):
+        """A 6-node chain (worst case for plain hash-to-min) must converge
+        to a single cluster via the group-min shortcut rounds."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "doc_a LONG, doc_b LONG"
+        )
+        out = D.duplicate_clusters(pairs).collect()
+        assert {r["cluster_id"] for r in out} == {0}
+        assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 3, 4, 5]
+        assert [r["doc_id"] for r in out if r["is_canonical"]] == [0]
+
+    def test_disjoint_components_stay_disjoint(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],
+            "doc_a LONG, doc_b LONG",
+        )
+        out = {r["doc_id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_exactly_one_canonical_per_cluster(self, spark):
+        docs = _docs(spark).filter(F.col("doc_id") < 50)
+        planted = docs.unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        pairs = D.simhash_near_dup_pairs(planted)
+        out = D.duplicate_clusters(pairs)
+        per_cluster = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .collect()
+        )
+        for r in per_cluster:
+            assert r["n_canon"] == 1
+            assert r["min_doc"] == r["cluster_id"]
+
+
 class TestTextstatsSinglePass:
     def test_tokenize_bound_once(self, spark):
         """The optimized plan must contain exactly ONE split() of the text
