@@ -1276,6 +1276,51 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_filtered_corpus",
+    f"""
+    WITH RECURSIVE {PLANTED_DOCS_CTE.strip()}, {_SIMHASH_CORPUS_CTE.strip()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {b} AS band_no,"
+          f" (simhash // {256 ** b}) % 256 AS band_val FROM sh_s"
+          for b in range(4)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_no = b.band_no AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    drops AS (
+      SELECT src AS doc_id FROM reach
+      GROUP BY src HAVING least(src, min(dst)) <> src
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executed dedup decision end-to-end: planted corpus -> SimHash
+    pairs -> connected components -> drop non-canonical members."""
+    docs = planted_documents(spark, sf_dir)
+    clusters = D.duplicate_clusters(D.simhash_near_dup_pairs(docs))
+    return D.drop_duplicates_by_cluster(docs, clusters).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def _bucket_band_sql(band: int, bits: int = 8, table: str = "") -> str:
     """Sign-LSH bucket id for one band (coords band*bits+1 .. band*bits+bits),
     mirroring similarity.sign_bucket_expr."""

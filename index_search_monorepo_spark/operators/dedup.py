@@ -482,3 +482,19 @@ def duplicate_clusters(
     )
     edges.unpersist()
     return out
+
+
+def drop_duplicates_by_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """The executed dedup decision: keep every document that is either
+    untouched by pair evidence or the canonical member of its cluster.
+    One broadcast-able anti-join against the (small) non-canonical set —
+    the drop set is proportional to duplicates found, not corpus size,
+    so the corpus never shuffles."""
+    drop = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias(doc_id_col)
+    )
+    return docs.join(F.broadcast(drop), doc_id_col, "left_anti")
