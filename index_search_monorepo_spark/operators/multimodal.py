@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as `binary` columns with a typed
-metadata struct. The actual codec work (PIL/ffmpeg decode, resize, frame
-sampling) is NOT available in this container, so the decode kernel is a
-deterministic fake clearly marked as a stub — but everything Spark-side is
-real and tested: schema, Arrow batch shape, `mapInPandas` iterator protocol,
+metadata struct. Uncompressed raster formats (PPM P6, 24/32-bit BMP) are
+decoded FOR REAL with numpy — header parse, pixel grid, nearest-neighbor
+resize. Compressed codecs (JPEG/PNG/ffmpeg containers) are not available in
+this container, so those payloads fall back to a deterministic fake clearly
+marked as a stub. Everything Spark-side is real and tested either way:
+schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
 
@@ -17,24 +19,96 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODE_IS_STUB = True  # flip when a real codec backend is wired in
+# real numpy decode for these; everything else hits the stub fallback
+REAL_FORMATS = frozenset({"ppm", "bmp"})
+DECODE_IS_STUB = True  # still true for compressed codecs (no PIL/ffmpeg)
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
 )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB decode kernel. Deterministic function of the payload bytes only.
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> then raw RGB rows.
+    Header tokens are whitespace-separated with '#' comments."""
+    if not payload.startswith(b"P6"):
+        return None
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.find(b"\n", pos)
+            if pos < 0:
+                return None
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    if maxval > 255 or w <= 0 or h <= 0 or len(payload) < pos + w * h * 3:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
 
-    A real implementation would `PIL.Image.open(io.BytesIO(payload))` /
-    `soundfile.read` here; the container has no codec libs, so we derive
-    plausible metadata arithmetically. Replace body, keep signature.
-    """
+
+def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER), bottom-up rows with
+    4-byte row padding."""
+    if not payload.startswith(b"BM") or len(payload) < 54:
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    nch = bpp // 8
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * nch + 3) & ~3
+    if len(payload) < off + stride * h:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    # BGR(A) -> RGB
+    return w, h, rows[:, :, 2::-1][:, :, :3]
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
+    """REAL decode for the uncompressed formats; None for anything else."""
+    parsed = _parse_ppm(payload)
+    if parsed is not None:
+        return (*parsed, "ppm")
+    parsed = _parse_bmp(payload)
+    if parsed is not None:
+        return (*parsed, "bmp")
+    return None
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB fallback for compressed codecs. Deterministic function of the
+    payload bytes only. A real implementation would
+    `PIL.Image.open(io.BytesIO(payload))` / `soundfile.read` here; the
+    container has no codec libs, so we derive plausible metadata
+    arithmetically. Replace body, keep signature."""
     n = len(payload)
     return {
         "n_bytes": n,
@@ -44,9 +118,17 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def _decode_one(payload: bytes) -> dict:
+    real = decode_image(payload)
+    if real is not None:
+        w, h, _px, fmt = real
+        return {"n_bytes": len(payload), "width": w, "height": h, "media_format": fmt}
+    return _fake_decode(payload)
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        metas = [_fake_decode(p) for p in pdf["payload"]]
+        metas = [_decode_one(p) for p in pdf["payload"]]
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
@@ -94,16 +176,43 @@ EMBED_SCHEMA = "doc_id long, embedding array<float>"
 
 
 def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
-    """STUB resize kernel: deterministic byte transform standing in for
-    `PIL.Image.resize`. Output length w*h bytes, derived by tiling the
-    payload (replace body, keep signature)."""
+    """STUB resize fallback for undecodable payloads: deterministic byte
+    transform standing in for `PIL.Image.resize`. Output length w*h bytes,
+    derived by tiling the payload (replace body, keep signature)."""
     if not payload:
         return b"\x00" * (w * h)
     reps = (w * h) // len(payload) + 1
     return (payload * reps)[: w * h]
 
 
+def nearest_resize(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize on a decoded (H, W, 3) grid — index
+    striding, no interpolation libs needed."""
+    src_h, src_w = px.shape[:2]
+    rows = (np.arange(h) * src_h) // h
+    cols = (np.arange(w) * src_w) // w
+    return px[rows][:, cols]
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Canonical re-encode of a decoded grid as binary PPM (P6)."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _resize_one(payload: bytes, w: int, h: int) -> bytes:
+    real = decode_image(payload)
+    if real is not None:
+        _w, _h, px, _fmt = real
+        return encode_ppm(nearest_resize(px, w, h))
+    return _fake_resize(payload, w, h)
+
+
 def resize_media(df_with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize kernel over the scan (mapInPandas, no shuffle): REAL
+    numpy nearest-neighbor for decodable formats (output re-encoded as
+    PPM), stub fallback for compressed codecs."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -113,7 +222,7 @@ def resize_media(df_with_payload: DataFrame, width: int, height: int) -> DataFra
                     "out_width": width,
                     "out_height": height,
                     "resized": [
-                        _fake_resize(p, width, height) for p in pdf["payload"]
+                        _resize_one(p, width, height) for p in pdf["payload"]
                     ],
                 }
             )

@@ -30,6 +30,75 @@ def test_media_metadata_deterministic(spark):
     assert out == again
 
 
+def _ppm_bytes(w, h):
+    import numpy as np
+
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes(), px
+
+
+def _bmp_bytes(w, h):
+    """Minimal uncompressed 24-bit bottom-up BMP."""
+    import numpy as np
+
+    px = (np.arange(w * h * 3, dtype=np.uint8) * 3).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = (
+        b"BM"
+        + (54 + len(rows)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(rows).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(rows), px
+
+
+def test_real_decode_ppm_and_bmp(spark):
+    """Uncompressed rasters decode FOR REAL (numpy header+pixel parse), not
+    via the stub fallback."""
+    ppm, ppm_px = _ppm_bytes(5, 3)
+    bmp, bmp_px = _bmp_bytes(4, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r.asDict() for r in MM.extract_media_metadata(df).collect()}
+    assert out[1]["width"] == 5 and out[1]["height"] == 3
+    assert out[1]["media_format"] == "ppm"
+    assert out[2]["width"] == 4 and out[2]["height"] == 2
+    assert out[2]["media_format"] == "bmp"
+    # pixel-level check of the decoders themselves
+    import numpy as np
+
+    w, h, px = MM._parse_ppm(ppm)
+    assert (w, h) == (5, 3) and np.array_equal(px, ppm_px)
+    w, h, px = MM._parse_bmp(bmp)
+    assert (w, h) == (4, 2) and np.array_equal(px, bmp_px)
+
+
+def test_real_resize_nearest(spark):
+    """Real resize: decoded grid downsampled by index striding, re-encoded
+    as PPM; round-trips through the decoder with exact pixel values."""
+    import numpy as np
+
+    ppm, px = _ppm_bytes(4, 4)
+    df = spark.createDataFrame([(1, bytearray(ppm))], "doc_id long, payload binary")
+    out = MM.resize_media(df, width=2, height=2).collect()[0]
+    w, h, got = MM._parse_ppm(bytes(out["resized"]))
+    assert (w, h) == (2, 2)
+    assert np.array_equal(got, px[[0, 2]][:, [0, 2]])  # nearest = rows/cols 0,2
+
+
 def test_resize_shape(spark):
     out = MM.resize_media(_payloads(spark), width=8, height=4).collect()
     for r in out:
