@@ -103,6 +103,73 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
     return None
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, channels long,"
+    " bits_per_sample long, n_samples long, duration_ms long,"
+    " media_format string"
+)
+
+
+def parse_wav(payload: bytes) -> dict | None:
+    """REAL RIFF/WAVE header parse (PCM fmt chunk + data chunk size) —
+    stdlib byte slicing only. Returns None for non-WAV payloads."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            fmt = payload[pos + 8 : pos + 8 + 16]
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels == 0 or sample_rate == 0 or bits == 0:
+        return None
+    frame_bytes = channels * (bits // 8)
+    n_samples = data_size // frame_bytes if frame_bytes else 0
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate,
+        "media_format": "wav",
+    }
+
+
+def extract_audio_metadata(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> typed audio metadata (REAL for RIFF/WAVE; other
+    payloads yield a NULL-fielded row with media_format 'unknown'). Same
+    no-shuffle mapInPandas shape as the image kernel."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_wav(bytes(payload))
+                if meta is None:
+                    meta = {
+                        "n_bytes": len(payload),
+                        "sample_rate": None,
+                        "channels": None,
+                        "bits_per_sample": None,
+                        "n_samples": None,
+                        "duration_ms": None,
+                        "media_format": "unknown",
+                    }
+                rows.append({"doc_id": doc_id, **meta})
+            yield pd.DataFrame(rows)
+
+    return df_with_payload.mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
 def _fake_decode(payload: bytes) -> dict:
     """STUB fallback for compressed codecs. Deterministic function of the
     payload bytes only. A real implementation would

@@ -99,6 +99,33 @@ def test_real_resize_nearest(spark):
     assert np.array_equal(got, px[[0, 2]][:, [0, 2]])  # nearest = rows/cols 0,2
 
 
+def test_real_wav_metadata(spark):
+    """RIFF/WAVE headers parse for real: stdlib `wave`-written bytes come
+    back with exact rate/channels/bits/duration."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 4000)  # 4000 frames = 500 ms
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r.asDict() for r in MM.extract_audio_metadata(df).collect()}
+    assert out[1]["sample_rate"] == 8000
+    assert out[1]["channels"] == 2
+    assert out[1]["bits_per_sample"] == 16
+    assert out[1]["n_samples"] == 4000
+    assert out[1]["duration_ms"] == 500
+    assert out[1]["media_format"] == "wav"
+    assert out[2]["media_format"] == "unknown" and out[2]["sample_rate"] is None
+
+
 def test_resize_shape(spark):
     out = MM.resize_media(_payloads(spark), width=8, height=4).collect()
     for r in out:
