@@ -1599,6 +1599,141 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.with_quality_signals(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "catalog_positional_explode",
+    """
+    WITH cat AS (
+      SELECT o_custkey,
+             list_transform(list_sort(list(o_orderkey)),
+                            k -> 'vol.' || CAST(k AS VARCHAR)) AS ht_id,
+             list_slice(
+               list_transform(list_sort(list(o_orderkey)),
+                              k -> 'src' || CAST(k % 3 AS VARCHAR)),
+               1,
+               greatest(len(list(o_orderkey)) - 1, 1)) AS htsource,
+             ['a|b|' || CASE WHEN o_custkey % 4 = 0 THEN 'x'
+                             ELSE 'enum' || CAST(o_custkey AS VARCHAR) END]
+               AS ht_id_display
+      FROM orders GROUP BY o_custkey
+    ),
+    exploded AS (
+      SELECT ht_id[g.pos] AS vol_id, g.pos AS pos, htsource, ht_id_display
+      FROM cat, unnest(generate_series(1, len(ht_id))) AS g(pos)
+    )
+    SELECT vol_id,
+           CASE WHEN len(htsource) >= pos THEN htsource[pos]
+                ELSE htsource[1] END AS htsource,
+           CASE WHEN len(string_split(ht_id_display[1], '|')) >= 3
+                 AND len(string_split(ht_id_display[1], '|')[3]) > 1
+                THEN string_split(ht_id_display[1], '|')[3] END
+             AS volume_enumcron
+    FROM exploded
+    """,
+)
+def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W5 in the driver gate: catalog record -> one row per ht_id item
+    via posexplode, POSITIONAL htsource pick with first-element fallback
+    when the htsource list is shorter (catalog_metadata.py quirk), and the
+    ht_id_display '|'-split volume_enumcron parse with its len>1 guard.
+    The catalog-shaped frame is synthesized deterministically from
+    `orders` (one record per customer, items = sorted order keys) so the
+    REAL catalog_item_metadata operator runs against the DuckDB mirror."""
+    from index_search_monorepo_spark.operators.catalog import (
+        catalog_item_metadata,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ks = F.sort_array(F.collect_list(F.col("o_orderkey")))
+    cat = (
+        orders.groupBy("o_custkey")
+        .agg(ks.alias("ks"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id"),
+            F.transform(
+                "ks", lambda k: F.concat(F.lit("vol."), k.cast("string"))
+            ).alias("ht_id"),
+            F.slice(
+                F.transform(
+                    "ks",
+                    lambda k: F.concat(
+                        F.lit("src"), F.pmod(k, F.lit(3)).cast("string")
+                    ),
+                ),
+                1,
+                F.greatest(F.size("ks") - 1, F.lit(1)),
+            ).alias("htsource"),
+            F.array(
+                F.concat(
+                    F.lit("a|b|"),
+                    F.when(
+                        F.pmod("o_custkey", F.lit(4)) == 0, F.lit("x")
+                    ).otherwise(
+                        F.concat(
+                            F.lit("enum"), F.col("o_custkey").cast("string")
+                        )
+                    ),
+                )
+            ).alias("ht_id_display"),
+            F.lit(None).cast("string").alias("ht_json"),
+        )
+    )
+    items = catalog_item_metadata(cat)
+    return items.select(
+        "vol_id",
+        "htsource",
+        "volume_enumcron",
+    )
+
+
+_SOLR_TAG = lambda name, val: f"'<field name=\"{name}\">' || {val} || '</field>'"  # noqa: E731
+
+
+@register(
+    "solr_doc_xml",
+    f"""
+    SELECT CAST(c_custkey AS BIGINT) AS doc_id,
+           '<add><doc>' || array_to_string(flatten([
+             [{_SOLR_TAG('c_name', xmlesc_sql('c_name'))}],
+             CASE WHEN c_custkey % 7 = 0 OR c_mktsegment IS NULL THEN []
+                  ELSE [{_SOLR_TAG('segment', xmlesc_sql('c_mktsegment'))}] END,
+             list_transform(string_split(c_name, '#'),
+               p -> {_SOLR_TAG('name_parts', xmlesc_sql("(p || '<')"))}),
+             CASE WHEN c_custkey % 3 = 0 THEN []
+                  ELSE [{_SOLR_TAG('small_num', "CAST(c_custkey % 3 AS VARCHAR)")}] END,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN [{_SOLR_TAG('flag', "'True'")}] ELSE [] END
+           ]), chr(10)) || '</doc></add>' AS solr_xml
+    FROM customer
+    """,
+)
+def q_solr_doc_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 in the driver gate: the Solr add-doc XML serialization
+    (create_solr_string quirks — falsy scalars dropped, list elements NOT
+    filtered, booleans as 'True', xmlesc on strings only) over a typed
+    frame synthesized from `customer`; each branch (string, empty-string
+    drop, escaped array elements, zero-drop numeric, boolean) is planted."""
+    from index_search_monorepo_spark.functions.solrdoc import (
+        create_solr_string_expr,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("doc_id"),
+        F.col("c_name"),
+        F.when(F.pmod("c_custkey", F.lit(7)) == 0, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.transform(
+            F.split("c_name", "#"), lambda p: F.concat(p, F.lit("<"))
+        ).alias("name_parts"),
+        F.pmod("c_custkey", F.lit(3)).cast("int").alias("small_num"),
+        (F.pmod("c_custkey", F.lit(2)) == 0).alias("flag"),
+    )
+    xml = create_solr_string_expr(
+        cust, ["c_name", "segment", "name_parts", "small_num", "flag"]
+    )
+    return cust.select("doc_id", xml.alias("solr_xml"))
+
+
 def _lang_hits_sql(lang: str) -> str:
     terms = " + ".join(
         f"(len(t) - len(replace(t, '{tri}', ''))) // 3"
