@@ -58,7 +58,7 @@ TASK_WAVES = 4
 
 # Representative headline queries spanning the operator families (extraction,
 # relational, window, dedup, similarity, text analysis); the full query
-# matrix (53 entries) is correctness-gated separately via
+# matrix (54 entries) is correctness-gated separately via
 # tests/test_contract.py and the driver's CORRECTNESS run.
 HEADLINE = [
     "ocr_concat",

@@ -1685,6 +1685,117 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "marc_dissertation_extracts",
+    """
+    WITH recs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 'Thesis PhD dissertation'
+                  ELSE 'Note text' END AS v502,
+             CASE WHEN doc_id % 3 = 0 THEN ' MIU '
+                  ELSE 'SRC_' || upper(source) END AS v974b,
+             CASE WHEN doc_id % 5 = 0 THEN 'n.d.'
+                  ELSE 'c' || CAST(1900 + doc_id % 120 AS VARCHAR) || '.'
+                  END AS v264c,
+             'printed ' || CAST(1800 + doc_id % 100 AS VARCHAR) AS v260c,
+             ' subj' || CAST(doc_id % 5 AS VARCHAR) || ' ' AS v650a
+      FROM documents
+    )
+    SELECT doc_id,
+           (
+             contains(lower(v502 || ' ' || v650a || ' ' || ''), 'dissertation')
+             OR contains(lower(v502 || ' ' || v650a || ' ' || ''), 'phd')
+             OR contains(lower(v502 || ' ' || v650a || ' ' || ''), 'ph.d.')
+             OR contains(lower(v502 || ' ' || v650a || ' ' || ''), 'doctoral')
+             OR contains(lower(v502 || ' ' || v650a || ' ' || ''),
+                         'degree of doctor')
+           ) AS matches_kw,
+           lower(trim(v974b)) = 'miu' AS has_miu,
+           CASE WHEN doc_id % 5 = 0
+                THEN regexp_extract(v260c, '[0-9]{4}')
+                ELSE regexp_extract(v264c, '[0-9]{4}') END AS pub_year,
+           trim(v650a) AS subjects
+    FROM recs
+    """,
+)
+def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/P9/F9 in the driver gate: keyword predicate over pymarc-style
+    formatted keyword fields, casefolded 974$b institution equality,
+    first-4-digit-year extraction (264$c before 260$c), and subject
+    collection — over a MARC record shape synthesized from `documents`
+    (fields 502 / 974 / 264 / 260 / 650 / empty 653, planted to hit every
+    branch), running the REAL marc_extracts expressions."""
+    from index_search_monorepo_spark.operators import marc_extracts as MX
+
+    d = F.col("doc_id")
+
+    def fld(tag, code, value):
+        return F.struct(
+            F.lit(tag).alias("tag"),
+            F.lit(None).cast("string").alias("data"),
+            F.array(
+                F.struct(F.lit(code).alias("code"), value.alias("value"))
+            ).alias("subfields"),
+        )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array(
+            fld(
+                "502",
+                "a",
+                F.when(
+                    F.pmod(d, F.lit(4)) == 0, F.lit("Thesis PhD dissertation")
+                ).otherwise(F.lit("Note text")),
+            ),
+            fld(
+                "974",
+                "b",
+                F.when(F.pmod(d, F.lit(3)) == 0, F.lit(" MIU ")).otherwise(
+                    F.concat(F.lit("SRC_"), F.upper("source"))
+                ),
+            ),
+            fld(
+                "264",
+                "c",
+                F.when(F.pmod(d, F.lit(5)) == 0, F.lit("n.d.")).otherwise(
+                    F.concat(
+                        F.lit("c"),
+                        (F.lit(1900) + F.pmod(d, F.lit(120))).cast("string"),
+                        F.lit("."),
+                    )
+                ),
+            ),
+            fld(
+                "260",
+                "c",
+                F.concat(
+                    F.lit("printed "),
+                    (F.lit(1800) + F.pmod(d, F.lit(100))).cast("string"),
+                ),
+            ),
+            fld(
+                "650",
+                "a",
+                F.concat(
+                    F.lit(" subj"),
+                    F.pmod(d, F.lit(5)).cast("string"),
+                    F.lit(" "),
+                ),
+            ),
+            fld("653", "a", F.lit("")),
+        ).alias("fields"),
+    )
+    f = F.col("fields")
+    return docs.select(
+        "doc_id",
+        MX.matches_keywords_expr(f).alias("matches_kw"),
+        MX.has_institution_expr(f).alias("has_miu"),
+        MX.pub_year_expr(f).alias("pub_year"),
+        F.array_join(MX.subjects_expr(f), ";").alias("subjects"),
+    )
+
+
 _SOLR_TAG = lambda name, val: f"'<field name=\"{name}\">' || {val} || '</field>'"  # noqa: E731
 
 
