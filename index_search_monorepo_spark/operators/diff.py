@@ -37,6 +37,40 @@ def symmetric_id_diff(
     )
 
 
+def engine_hits_compare(
+    a: DataFrame,
+    b: DataFrame,
+    query_cols: tuple[str, ...] = ("query_string", "operator"),
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """A/B engine hit-count comparison (reference:
+    app/solr_query/src/data_analysis/solr_engines_total_hits.py:47-88):
+    per (query_string, operator), the total result-row count of each
+    engine's export, merged side by side. The reference counts each CSV's
+    rows per query and records 0 for a query whose export file is missing;
+    here each side is one groupBy count and the merge is a full-outer join
+    with 0-fill, so a missing query on either side surfaces as 0 rather
+    than dropping the row. One shuffle per side on the (small) query key —
+    result cardinality is queries x operators, never corpus-sized."""
+    keys = list(query_cols)
+    ha = a.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(f"total_hits{suffixes[0]}")
+    )
+    hb = b.groupBy(*keys).agg(
+        F.count("*").cast("long").alias(f"total_hits{suffixes[1]}")
+    )
+    merged = ha.join(hb, keys, "full_outer")
+    return merged.select(
+        *keys,
+        F.coalesce(
+            F.col(f"total_hits{suffixes[0]}"), F.lit(0).cast("long")
+        ).alias(f"total_hits{suffixes[0]}"),
+        F.coalesce(
+            F.col(f"total_hits{suffixes[1]}"), F.lit(0).cast("long")
+        ).alias(f"total_hits{suffixes[1]}"),
+    )
+
+
 def positional_diff(
     a: DataFrame,
     b: DataFrame,

@@ -77,6 +77,44 @@ def with_token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C11 combined: whitespace token counts AND BPE-style pre-tokenizer
+    counts in one projection — one tokenize pass + one regexp pass per row,
+    each bound once behind a Project boundary (CLAUDE.md lesson #1). The
+    single-family variants (`with_token_count`, `with_token_count_bpe`)
+    remain for callers that need only one side; this is the contract-gated
+    shape covering both."""
+    pt = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return (
+        df.withColumn("_toks", tokens_expr(F.col(text_col)))
+        .withColumn(
+            "_nws",
+            F.filter(pt, lambda t: ~t.rlike(r"^\s+$")),
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            F.size(F.array_distinct("_toks"))
+            .cast("long")
+            .alias("n_unique_tokens"),
+            F.size("_nws").cast("long").alias("n_bpe_tokens"),
+            F.size(F.filter("_nws", lambda t: t.rlike(r"^ ?\p{L}")))
+            .cast("long")
+            .alias("n_word_tokens"),
+            F.size(F.filter("_nws", lambda t: t.rlike(r"^ ?\p{N}")))
+            .cast("long")
+            .alias("n_numeric_tokens"),
+            F.aggregate(
+                "_nws",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.floor((F.length(F.btrim(t)) + 3) / 4).cast("long"),
+            ).alias("subword_est"),
+        )
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Integer-exact quality features + a per-mille lexical-diversity score:
     score = (1000 * unique_tokens) DIV tokens; quality bands on the score.
@@ -197,6 +235,69 @@ def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C10 combined: lexical-diversity score AND punct/stopword signals in
+    one projection, sharing a single tokenize pass (the standalone
+    `with_quality_score` / `with_quality_signals` each tokenize once; a
+    pipeline wanting both would pay twice and shuffle a join — this is the
+    contract-gated one-pass shape)."""
+    counted = df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_unique_tokens"),
+        F.size(F.filter("_toks", lambda t: F.length(t) <= 2))
+        .cast("long")
+        .alias("n_short_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        sum(
+            (
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit(c)))
+                for c in PUNCT_CHARS
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_punct"),
+        F.size(F.filter("_toks", lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    score = F.expr("CAST(1000 * n_unique_tokens DIV n_tokens AS BIGINT)")
+    quality_band = (
+        F.when(score >= 300, F.lit("high"))
+        .when(score >= 150, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    punct_pm = F.expr(
+        "CAST(CASE WHEN n_chars = 0 THEN 0"
+        " ELSE 1000 * n_punct DIV n_chars END AS BIGINT)"
+    )
+    stop_pm = F.expr(
+        "CAST(CASE WHEN n_tokens = 0 THEN 0"
+        " ELSE 1000 * n_stopwords DIV n_tokens END AS BIGINT)"
+    )
+    signal_band = (
+        F.when(punct_pm > 150, F.lit("noisy"))
+        .when(stop_pm < 30, F.lit("flat"))
+        .otherwise(F.lit("clean"))
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique_tokens",
+        "n_short_tokens",
+        score.alias("diversity_pmille"),
+        quality_band.alias("quality_band"),
+        "n_chars",
+        "n_punct",
+        "n_stopwords",
+        punct_pm.alias("punct_pmille"),
+        stop_pm.alias("stopword_pmille"),
+        signal_band.alias("signal_band"),
+    )
+
+
 # character-trigram profiles (8 highest-frequency trigrams per language,
 # ASCII-only so Spark/DuckDB substring semantics cannot diverge). Order of
 # the dict is the deterministic argmax tie-break order.
@@ -245,6 +346,51 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         *[f"{lang}_hits" for lang in TRIGRAM_PROFILES],
         guess.alias("lang_guess"),
+    )
+
+
+def with_lang_id_full(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C9 combined: the stopword-marker heuristic AND the character-trigram
+    profile vote in one projection (`marker_guess` / `ngram_guess`), sharing
+    one tokenize pass and one lowercase pass. The contract-gated shape
+    covering both language-ID families."""
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    counted = (
+        df.withColumn("_toks", tokens_expr(F.col(text_col)))
+        .withColumn("_lc", F.lower(F.col(text_col)))
+        .select(
+            "doc_id",
+            F.size(F.filter("_toks", lambda t: F.array_contains(markers, t)))
+            .cast("long")
+            .alias("marker_hits"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            *[
+                sum(
+                    (_tri_count(F.col("_lc"), tri) for tri in tris),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"{lang}_hits")
+                for lang, tris in TRIGRAM_PROFILES.items()
+            ],
+        )
+    )
+    pmille = F.expr("CAST(1000 * marker_hits DIV n_tokens AS BIGINT)")
+    marker_guess = F.when(
+        pmille >= LANG_THRESHOLD_PMILLE, F.lit("en-like")
+    ).otherwise(F.lit("other"))
+    best = F.greatest(*[F.col(f"{lang}_hits") for lang in TRIGRAM_PROFILES])
+    ngram_guess = F.when(best == 0, F.lit("unknown"))
+    for lang in TRIGRAM_PROFILES:
+        ngram_guess = ngram_guess.when(F.col(f"{lang}_hits") == best, F.lit(lang))
+    return counted.select(
+        "doc_id",
+        "marker_hits",
+        "n_tokens",
+        pmille.alias("marker_pmille"),
+        marker_guess.alias("marker_guess"),
+        *[f"{lang}_hits" for lang in TRIGRAM_PROFILES],
+        ngram_guess.alias("ngram_guess"),
     )
 
 

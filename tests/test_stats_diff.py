@@ -65,3 +65,36 @@ class TestDiff:
         b = spark.createDataFrame([("y",), ("q",)], "id string")
         out = {(r["id"], r["side"]) for r in symmetric_id_diff(a, b).collect()}
         assert out == {("x", "a_only"), ("q", "b_only")}
+
+    def test_engine_hits_compare(self, spark):
+        from index_search_monorepo_spark.operators.diff import (
+            engine_hits_compare,
+        )
+
+        # engine A has 3 hits for (q1, AND), 1 for (q2, OR); engine B has 2
+        # for (q1, AND) and a (q3, None-op) group A never produced
+        a = spark.createDataFrame(
+            [("q1", "AND", 1), ("q1", "AND", 2), ("q1", "AND", 3),
+             ("q2", "OR", 4)],
+            "query_string string, operator string, doc int",
+        )
+        b = spark.createDataFrame(
+            [("q1", "AND", 1), ("q1", "AND", 2), ("q3", "None", 9)],
+            "query_string string, operator string, doc int",
+        )
+        out = {
+            (r["query_string"], r["operator"]): (
+                r["total_hits_solr6"],
+                r["total_hits_solr8"],
+            )
+            for r in engine_hits_compare(
+                a, b, suffixes=("_solr6", "_solr8")
+            ).collect()
+        }
+        # missing side reports 0 (the reference's missing-file branch,
+        # solr_engines_total_hits.py:73-80)
+        assert out == {
+            ("q1", "AND"): (3, 2),
+            ("q2", "OR"): (1, 0),
+            ("q3", "None"): (0, 1),
+        }
