@@ -80,22 +80,61 @@ def filter_out_dates_expr(col: Column) -> Column:
     ).otherwise(col)
 
 
-def ordered_dedup_ids(holdings: DataFrame, id_col: str = "catalog_id") -> DataFrame:
+def read_holdings_tsv(spark, path: str) -> DataFrame:
+    """S9 — holdings TSV scan with a REAL line ordinal (VERDICT r02 next
+    #6): `spark.read.text` + `zipWithIndex` assigns each line its global
+    file position (partitions enumerate file splits in offset order, so
+    the index IS the line number), the header row names the columns, and
+    the parse stays in column expressions. The returned `_line_no` rides
+    in data, so any downstream shuffle/repartition preserves input order —
+    unlike monotonically_increasing_id, which only encodes the scan's
+    partition layout.
+
+    The ordinal costs one extra pass (zipWithIndex counts rows per
+    partition first) — the right trade for an ingest whose contract is
+    first-occurrence order (kbart_file_generator.py:112-126). Single
+    logical file expected (the reference reads one report); for a
+    multi-file glob the index still orders by (sorted file, offset)."""
+    header = spark.read.text(path).first()["value"].split("\t")
+    lines = (
+        spark.read.text(path)
+        .rdd.zipWithIndex()
+        .toDF(["line", "_line_no"])
+        .select(F.col("line.value").alias("_raw"), "_line_no")
+        .filter(F.col("_line_no") > 0)
+    )
+    parts = F.split("_raw", "\t")
+    return lines.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(header)],
+        F.col("_line_no").cast("long").alias("_line_no"),
+    )
+
+
+def ordered_dedup_ids(
+    holdings: DataFrame,
+    id_col: str = "catalog_id",
+    seq_col: str | None = None,
+) -> DataFrame:
     """S9+T3: holdings TSV scan contract — required catalog_id column,
     blank-stripped, first-occurrence order preserved (:112-126). Returns
     (catalog_id, seq) where seq is the first-occurrence rank.
 
-    PRECONDITION: `holdings` must be a straight file scan (no shuffle /
-    repartition upstream) — monotonically_increasing_id() tracks input
-    order only within the scan's partition layout, and Spark's file scans
-    list files in a stable sorted order. If the input has been shuffled,
-    provide your own ordinal column (e.g. from a line-numbered text read)
-    instead of relying on this function's derived `seq`."""
+    Pass seq_col (e.g. `_line_no` from `read_holdings_tsv`) whenever the
+    input may have been shuffled: an explicit ordinal rides in data and is
+    shuffle-proof. Without it the ordinal falls back to
+    monotonically_increasing_id(), which is ONLY correct for a straight
+    file scan (no shuffle/repartition upstream) — Spark file scans list
+    splits in a stable sorted order, but any exchange re-deals rows."""
     if id_col not in holdings.columns:
         raise ValueError(f"Holdings report is missing required column '{id_col}'")
+    pos = (
+        F.col(seq_col).cast("long")
+        if seq_col is not None
+        else F.monotonically_increasing_id()
+    )
     with_pos = holdings.select(
         F.trim(F.col(id_col).cast("string")).alias("catalog_id"),
-        F.monotonically_increasing_id().alias("_pos"),
+        pos.alias("_pos"),
     ).filter(F.col("catalog_id") != "")
     return (
         with_pos.groupBy("catalog_id")
@@ -122,6 +161,7 @@ def generate_kbart(
     catalog_meta: DataFrame,
     hf: DataFrame,
     id_col: str = "catalog_id",
+    seq_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (kbart_rows, errors).
 
@@ -135,7 +175,7 @@ def generate_kbart(
     Only the bounded dims broadcast into the final enrichment joins; the
     only shuffles are the input dedup and the (pre-filtered) hf aggregate.
     """
-    ids = ordered_dedup_ids(holdings, id_col)
+    ids = ordered_dedup_ids(holdings, id_col, seq_col)
     ids = ids.withColumn("_key", strip_zeros_expr(F.col("catalog_id")))
     keys = ids.select("_key").distinct()
 

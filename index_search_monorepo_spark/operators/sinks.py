@@ -43,7 +43,18 @@ def post_json_batches(
     row per batch; a failed batch reports status=-1 with the error text
     (DLQ-equivalent: requeue decisions belong to the caller, the job never
     fails). Legitimate RDD/mapPartitions use: a sink boundary with
-    imperative per-partition I/O."""
+    imperative per-partition I/O.
+
+    Delivery semantics: **at-least-once, materialized exactly once per
+    call.** The POSTs run eagerly inside this function (the status RDD is
+    localCheckpoint'ed and counted before the DataFrame is built), so
+    counting AND collecting the returned statuses — or any number of later
+    actions — replays cached status rows, not the HTTP requests (ADVICE
+    r02: the previous lazy form re-sent every partition's batches on every
+    action). Task retries and speculative attempts can still re-send a
+    partition's batches — that is inherent to side-effecting tasks — so
+    the receiving endpoint must be idempotent (Solr's update-by-id is);
+    disable spark.speculation for jobs driving non-idempotent sinks."""
     cols = docs.columns
 
     def run(it):
@@ -75,9 +86,20 @@ def post_json_batches(
         if batch:
             yield flush(batch, bno)
 
-    return docs.sparkSession.createDataFrame(
-        docs.rdd.mapPartitions(run), _STATUS_SCHEMA
+    from pyspark import StorageLevel
+
+    # persist + count fires the POSTs NOW, one task attempt per partition.
+    # persist (not localCheckpoint): only the python-side is_cached flag
+    # stops PySpark from PIPELINING createDataFrame's row-conversion into
+    # the same Python stage as `run` — a pipelined composite re-executes
+    # the POSTs on every downstream action even with a JVM checkpoint.
+    # MEMORY_AND_DISK: status rows are tiny (one per batch); spill, never
+    # recompute.
+    status_rdd = docs.rdd.mapPartitions(run).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    status_rdd.count()
+    return docs.sparkSession.createDataFrame(status_rdd, _STATUS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

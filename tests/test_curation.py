@@ -228,3 +228,83 @@ class TestTextstatsSinglePass:
                 op(docs)._jdf.queryExecution().optimizedPlan().toString()
             )
             assert plan.count("split(") == 1, (op.__name__, plan)
+
+
+class TestScaleGuards:
+    """Round-3 scale-footnote closures (VERDICT r02 wrong #2-#4)."""
+
+    def test_topk_rejects_all_pairs_mode(self, spark):
+        import pytest
+
+        emb = _emb(spark)
+        with pytest.raises(ValueError, match="query_ids=None"):
+            SIM.cosine_topk(emb)
+        with pytest.raises(ValueError, match="query_ids=None"):
+            SIM.lsh_topk(emb)
+        with pytest.raises(ValueError, match="query_ids=None"):
+            SIM.ivf_topk(emb, centroid_ids=[0, 1])
+
+    def test_topk_all_pairs_explicit_opt_in(self, spark):
+        emb = _emb(spark).filter(F.col("vec_id") < 6)
+        out = SIM.cosine_topk(emb, k=1, allow_all_queries=True).collect()
+        assert len(out) == 6  # one top-1 row per corpus vector
+
+    def test_sign_bucket_short_embeddings(self, spark):
+        """ADVICE r02: dims shorter than n_bands*band_bits must not throw
+        under ANSI element_at — missing coordinates contribute bit 0, so
+        the high bands collapse to bucket 0 instead of failing."""
+        rows = [(1, [1.0] * 4), (2, [-1.0] * 4)]
+        emb = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        out = {
+            (r["vid"], r["band_no"]): r["bucket_id"]
+            for r in SIM._banded(emb, 3, 8, "vec_id", "embedding").collect()
+        }
+        # band 0 sees coords 1-8 (only 4 exist): vec 1 -> 0b1111 = 15
+        assert out[(1, 0)] == 15 and out[(2, 0)] == 0
+        # bands 1-2 read fully out-of-range coords -> bucket 0, no error
+        assert out[(1, 1)] == 0 and out[(1, 2)] == 0
+
+    def test_cache_registry_release(self, spark):
+        docs = _docs(spark).limit(50)
+        reg: list = []
+        pairs = D.lsh_candidate_pairs(docs, cache_registry=reg)
+        pairs.count()
+        assert len(reg) == 1
+        assert reg[0].storageLevel.useMemory
+        cached_frame = reg[0]
+        D.release_caches(reg)
+        assert not reg
+        assert not cached_frame.storageLevel.useMemory
+
+    def test_capped_jaccard_persists_only_precap(self, spark):
+        reg: list = []
+        pairs = D.near_duplicate_pairs_jaccard(
+            _docs(spark).limit(50), max_df=20, cache_registry=reg
+        )
+        pairs.count()
+        # exactly ONE cached frame (the pre-cap shingles), not two
+        assert len(reg) == 1
+        D.release_caches(reg)
+
+    def test_drop_duplicates_auto_still_broadcasts_small_drop_set(self, spark):
+        """With broadcast='auto' (no forced hint) a small drop set must
+        still end up broadcast at runtime (AQE), so the corpus side never
+        shuffles; and the result must equal the forced-broadcast path."""
+        docs = _docs(spark).limit(100)
+        clusters = spark.createDataFrame(
+            [(1, 1, True), (2, 1, False), (3, 1, False)],
+            "doc_id long, cluster_id long, is_canonical boolean",
+        )
+        auto = D.drop_duplicates_by_cluster(docs, clusters)
+        forced = D.drop_duplicates_by_cluster(docs, clusters, broadcast=True)
+        assert auto.count() == forced.count() == 98
+        auto.collect()  # materialize so AQE finalizes the plan
+        plan = auto._jdf.queryExecution().executedPlan().toString()
+        # the adaptive plan prints the pre-AQE recipe under '== Initial
+        # Plan ==' — only the finalized section above it is what ran
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final, plan
+        assert "BroadcastHashJoin" in final, plan
+        assert "SortMergeJoin" not in final, plan

@@ -61,6 +61,34 @@ def test_ordered_dedup_and_normalization(spark):
     assert [r["n"] for r in norm] == ["123456", "0", "42"]
 
 
+def test_ordered_dedup_survives_shuffled_input(spark, tmp_path):
+    """VERDICT r02 next #6: with a real line ordinal the first-occurrence
+    order is shuffle-proof. The same input WITHOUT seq_col (derived
+    monotonically_increasing_id) gets re-dealt by the repartition and
+    would rank 'b' first — the old path's failure mode."""
+    from index_search_monorepo_spark.operators.kbart import read_holdings_tsv
+
+    path = tmp_path / "holdings.tsv"
+    # 'a' first at line 1, duplicated later; 'b' second
+    path.write_text(
+        "catalog_id\toclc\n"
+        + "a\t1\n"
+        + "".join(f"b{i % 2}\t{i}\n" for i in range(20))
+        + "a\t99\n"
+    )
+    holdings = read_holdings_tsv(spark, str(path))
+    assert holdings.columns == ["catalog_id", "oclc", "_line_no"]
+    # adversarial shuffle: re-deal rows across partitions in reverse
+    shuffled = holdings.orderBy(F.desc("_line_no")).repartition(7)
+    got = (
+        ordered_dedup_ids(shuffled, seq_col="_line_no")
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["catalog_id"] for r in got] == ["a", "b0", "b1"]
+    assert [r["seq"] for r in got] == [1, 2, 3]
+
+
 def test_generate_kbart_rows_and_errors(spark):
     rows, errors = generate_kbart(_holdings(spark), _catalog_meta(spark), _hf(spark))
     got = {r["title_id"]: r.asDict() for r in rows.collect()}

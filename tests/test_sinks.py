@@ -65,6 +65,27 @@ class TestHttpSink:
         finally:
             srv.shutdown()
 
+    def test_posts_fire_once_across_multiple_actions(self, spark):
+        """ADVICE r02: the sink must materialize exactly once per call —
+        count() + collect() + a second collect() on the returned status
+        frame must NOT re-send any batch."""
+        _Collector.batches = []
+        srv = _serve()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/update/json/docs"
+            docs = spark.range(30).select(
+                F.col("id").alias("doc_id")
+            ).coalesce(1)
+            status = post_json_batches(docs, url, batch_size=10)
+            n_after_call = len(_Collector.batches)
+            assert n_after_call == 3  # fired eagerly, inside the call
+            status.count()
+            status.collect()
+            status.collect()
+            assert len(_Collector.batches) == n_after_call  # no re-sends
+        finally:
+            srv.shutdown()
+
     def test_failed_batch_is_a_row_not_a_job_failure(self, spark):
         """DLQ semantics: an unreachable endpoint produces status=-1 rows
         (requeue is the caller's decision); the Spark job succeeds."""
