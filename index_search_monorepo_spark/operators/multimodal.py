@@ -1,11 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as `binary` columns with a typed
-metadata struct. Uncompressed raster formats (PPM P6, 24/32-bit BMP) are
-decoded FOR REAL with numpy — header parse, pixel grid, nearest-neighbor
-resize. Compressed codecs (JPEG/PNG/ffmpeg containers) are not available in
-this container, so those payloads fall back to a deterministic fake clearly
-marked as a stub. Everything Spark-side is real and tested either way:
+metadata struct. Raster formats PPM P6, 24/32-bit BMP, AND PNG (8-bit
+gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
+reconstruction, no PIL needed) are decoded FOR REAL: header parse, pixel
+grid, nearest-neighbor resize. Codecs that genuinely need external libs
+(JPEG entropy decode, ffmpeg containers) fall back to a deterministic fake
+clearly marked as a stub. Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -25,8 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
-REAL_FORMATS = frozenset({"ppm", "bmp"})
-DECODE_IS_STUB = True  # still true for compressed codecs (no PIL/ffmpeg)
+REAL_FORMATS = frozenset({"ppm", "bmp", "png"})
+DECODE_IS_STUB = True  # still true for JPEG/video containers (no PIL/ffmpeg)
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -92,14 +93,139 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, rows[:, :, 2::-1][:, :, :3]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(
+    f: int, row: np.ndarray, prev: np.ndarray, nch: int
+) -> np.ndarray | None:
+    """One scanline of PNG filter reconstruction (RFC 2083 §6). Filters
+    none/up/sub vectorize (up = add prev row; sub = per-channel cumsum —
+    out[p,c] = Σ raw[q<=p,c] mod 256); average/paeth need the in-row left
+    neighbor, so they run byte-sequential (rows are short; the zlib
+    inflate dominates anyway)."""
+    stride = row.shape[0]
+    if f == 0:
+        return row.copy()
+    if f == 2:  # up
+        return ((row.astype(np.int16) + prev) % 256).astype(np.uint8)
+    if f == 1:  # sub
+        px = row.reshape(-1, nch).astype(np.int64)
+        return (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(stride)
+    if f in (3, 4):  # average / paeth
+        cur = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = int(cur[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            if f == 3:
+                pred = (a + b) // 2
+            else:
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = (int(row[i]) + pred) % 256
+        return cur.astype(np.uint8)
+    return None  # undefined filter type
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL PNG decode — stdlib zlib inflate + numpy filter reconstruction
+    (no PIL needed): 8-bit gray / RGB / RGBA, non-interlaced. Palette,
+    16-bit, and Adam7 payloads return None (stub fallback) rather than
+    mis-decoding."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 8 + clen > len(payload):
+            return None
+        data = payload[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+        return None
+    if w <= 0 or h <= 0 or w * h > 64_000_000:  # decompression-bomb guard
+        return None
+    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    grid = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(raw, np.uint8, stride, rpos + 1)
+        rpos += stride + 1
+        cur = _png_unfilter_row(f, row, prev, nch)
+        if cur is None:
+            return None
+        grid[y] = cur
+        prev = cur
+    px = grid.reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, np.ascontiguousarray(px[:, :, :3])  # drop alpha
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Canonical PNG re-encode of a decoded (H, W, 3) grid: filter-0
+    scanlines, one zlib-compressed IDAT — stdlib only."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    raw = b"".join(
+        b"\x00" + px[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
-    """REAL decode for the uncompressed formats; None for anything else."""
+    """REAL decode for PPM/BMP/PNG; None for anything else."""
     parsed = _parse_ppm(payload)
     if parsed is not None:
         return (*parsed, "ppm")
     parsed = _parse_bmp(payload)
     if parsed is not None:
         return (*parsed, "bmp")
+    parsed = _parse_png(payload)
+    if parsed is not None:
+        return (*parsed, "png")
     return None
 
 
