@@ -71,7 +71,10 @@ def extract_documents(
     # scale they must shuffle (or be bucket-co-located at write time). None
     # lets Catalyst/AQE decide, which at bench scale picks broadcast: correct
     # for a one-shot job, but the per-run driver-side broadcast build is a
-    # fixed serial cost that a 1000-executor run would not have.
+    # fixed serial cost that a 1000-executor run would not have. For
+    # repeated-enrichment deployments, write both sides bucketed on doc_id
+    # instead (operators/bucketing.py) — the join then needs no Exchange at
+    # all (test_bucketing.py).
     # page_threshold: docs above it take the explode->distribute->reassemble
     # path (extraction.with_ocr_skew_aware). Measured ablation (BASELINE.md):
     # at 2 000 pages/doc the per-row work is ~10 ms, and in-place processing

@@ -223,11 +223,24 @@ class TestTextstatsSinglePass:
             TS.with_lang_id,
             TS.with_token_count,
             TS.with_quality_signals,
+            # r3 merged one-pass variants: combining two families must NOT
+            # reintroduce a second tokenize
+            TS.with_quality,
+            TS.with_lang_id_full,
+            TS.with_token_stats,
         ):
             plan = (
                 op(docs)._jdf.queryExecution().optimizedPlan().toString()
             )
             assert plan.count("split(") == 1, (op.__name__, plan)
+        # the merged lang op also binds lower() once
+        plan = (
+            TS.with_lang_id_full(docs)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("lower(") == 1, plan
 
 
 class TestScaleGuards:
