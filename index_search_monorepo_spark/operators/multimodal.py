@@ -1,10 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as `binary` columns with a typed
-metadata struct. Raster formats PPM P6, 24/32-bit BMP, AND PNG (8-bit
+metadata struct. Raster formats PPM P6, 24/32-bit BMP, PNG (8-bit
 gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
-reconstruction, no PIL needed) are decoded FOR REAL: header parse, pixel
-grid, nearest-neighbor resize. Codecs that genuinely need external libs
+reconstruction) AND GIF (87a/89a first frame — spec LZW decoder, palette
+expansion, deinterlace) are decoded FOR REAL, no PIL needed: header
+parse, pixel grid, nearest-neighbor resize. Codecs that genuinely need external libs
 (JPEG entropy decode, ffmpeg containers) fall back to a deterministic fake
 clearly marked as a stub. Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
@@ -26,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
-REAL_FORMATS = frozenset({"ppm", "bmp", "png"})
+REAL_FORMATS = frozenset({"ppm", "bmp", "png", "gif"})
 DECODE_IS_STUB = True  # still true for JPEG/video containers (no PIL/ffmpeg)
 
 MEDIA_META_SCHEMA = (
@@ -215,8 +216,132 @@ def encode_png(px: np.ndarray) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray | None:
+    """GIF-variant LZW (GIF89a spec appendix F): LSB-first bit packing,
+    variable code width starting at min_code_size+1 (max 12), CLEAR resets
+    the table, EOI terminates. Returns the index stream or None on a
+    malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset_table() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(clear))
+        table.append(b"")  # clear
+        table.append(b"")  # eoi
+        return min_code_size + 1
+
+    width = reset_table()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = reset_table()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out.extend(entry)
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return out
+    return out if len(out) >= n_pixels else None
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL GIF decode (GIF87a/89a, first image frame): logical screen +
+    color tables, extension skip, LZW index stream, palette expansion,
+    Adam-style 4-pass deinterlace when flagged. Pure python/numpy — the
+    LZW variant is spec'd in the GIF89a appendix, no external codec."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        return None
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or w <= 0 or h <= 0 or w * h > 64_000_000:
+                return None
+            if pos >= len(payload):
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                blen = payload[pos]
+                data += payload[pos + 1 : pos + 1 + blen]
+                pos += 1 + blen
+            idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+            if idx is None:
+                return None
+            indices = np.frombuffer(bytes(idx[: w * h]), np.uint8)
+            palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+            if indices.max(initial=0) >= palette.shape[0]:
+                return None
+            px = palette[indices].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deinterlaced = np.empty_like(px)
+                deinterlaced[order] = px
+                px = deinterlaced
+            return w, h, np.ascontiguousarray(px)
+        elif b0 == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
-    """REAL decode for PPM/BMP/PNG; None for anything else."""
+    """REAL decode for PPM/BMP/PNG/GIF; None for anything else."""
     parsed = _parse_ppm(payload)
     if parsed is not None:
         return (*parsed, "ppm")
@@ -226,6 +351,9 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
     parsed = _parse_png(payload)
     if parsed is not None:
         return (*parsed, "png")
+    parsed = _parse_gif(payload)
+    if parsed is not None:
+        return (*parsed, "gif")
     return None
 
 

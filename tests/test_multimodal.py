@@ -303,3 +303,132 @@ class TestPngDecode:
         dec = MM.decode_image(bytes(resized["resized"]))
         assert dec is not None and dec[0] == 5 and dec[1] == 3
         assert np.array_equal(dec[2], MM.nearest_resize(px, 5, 3))
+
+
+class TestGifDecode:
+    """REAL GIF decode (spec LZW + palette expansion + deinterlace)."""
+
+    @staticmethod
+    def _lzw_encode(indices, min_code_size):
+        """Reference LZW encoder with table growth — exercises the
+        decoder's variable code width and the KwKwK case."""
+        clear = 1 << min_code_size
+        eoi = clear + 1
+        out_bits = []
+
+        def emit(code, width):
+            for k in range(width):
+                out_bits.append((code >> k) & 1)
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+        emit(clear, width)
+        prev = b""
+        for idx in indices:
+            cur = prev + bytes([idx])
+            if cur in table:
+                prev = cur
+                continue
+            emit(table[prev], width)
+            if next_code < 4096:
+                table[cur] = next_code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                next_code += 1
+            prev = bytes([idx])
+        if prev:
+            emit(table[prev], width)
+        emit(eoi, width)
+        data = bytearray()
+        for i in range(0, len(out_bits), 8):
+            byte = 0
+            for k, b in enumerate(out_bits[i : i + 8]):
+                byte |= b << k
+            data.append(byte)
+        return bytes(data)
+
+    @classmethod
+    def _gif_bytes(cls, w, h, indices, palette, interlaced=False):
+        import struct
+
+        n_colors = len(palette)
+        size_field = max((n_colors - 1).bit_length(), 1) - 1
+        gct = bytearray()
+        for rgb in palette:
+            gct += bytes(rgb)
+        gct += b"\x00" * (3 * ((2 << size_field) - n_colors))
+        min_code_size = max(size_field + 1, 2)
+        lzw = cls._lzw_encode(indices, min_code_size)
+        blocks = bytearray()
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blocks += bytes([len(chunk)]) + chunk
+        out = (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+            + bytes(gct)
+            # a graphic-control extension the parser must skip
+            + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+            + bytes([min_code_size])
+            + bytes(blocks)
+            + b"\x00\x3b"
+        )
+        return out
+
+    PALETTE = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+               (9, 9, 9), (200, 100, 50), (1, 2, 3), (250, 250, 250)]
+
+    def test_round_trip_with_table_growth(self):
+        import numpy as np
+
+        w, h = 23, 11
+        idx = [(3 * i + i // 7) % len(self.PALETTE) for i in range(w * h)]
+        payload = self._gif_bytes(w, h, idx, self.PALETTE)
+        got = MM.decode_image(payload)
+        assert got is not None
+        gw, gh, px, fmt = got
+        assert (gw, gh, fmt) == (w, h, "gif")
+        expect = np.array(
+            [self.PALETTE[i] for i in idx], np.uint8
+        ).reshape(h, w, 3)
+        assert np.array_equal(px, expect)
+
+    def test_interlaced_rows_reordered(self):
+        import numpy as np
+
+        w, h = 4, 9
+        # row-colored image: every pixel of row y has index y % 8
+        idx_rows = [[y % 8] * w for y in range(h)]
+        # interlaced files store rows in pass order 0,8 / 4 / 2,6 / 1,3,5,7
+        pass_order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+        stored = [i for y in pass_order for i in idx_rows[y]]
+        payload = self._gif_bytes(w, h, stored, self.PALETTE, interlaced=True)
+        got = MM.decode_image(payload)
+        assert got is not None
+        px = got[2]
+        for y in range(h):
+            assert tuple(px[y, 0]) == self.PALETTE[y % 8], y
+
+    def test_known_tiny_gif(self):
+        # the canonical 1x1 transparent GIF (public single-pixel payload)
+        import base64
+
+        payload = base64.b64decode(
+            "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+        )
+        got = MM.decode_image(payload)
+        assert got is not None
+        w, h, px, fmt = got
+        assert (w, h, fmt) == (1, 1, "gif")
+        assert tuple(px[0, 0]) == (0, 0, 0)
+
+    def test_corrupt_gif_falls_back(self):
+        idx = [0, 1, 2, 3]
+        payload = self._gif_bytes(2, 2, idx, self.PALETTE)
+        assert MM.decode_image(payload[:20]) is None  # truncated header
+        bad = bytearray(payload)
+        bad[0:6] = b"GIF90x"
+        assert MM.decode_image(bytes(bad)) is None
