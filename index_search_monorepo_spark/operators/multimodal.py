@@ -3,11 +3,13 @@
 The engine treats image/audio/video as `binary` columns with a typed
 metadata struct. Raster formats PPM P6, 24/32-bit BMP, PNG (8-bit
 gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
-reconstruction) AND GIF (87a/89a first frame — spec LZW decoder, palette
-expansion, deinterlace) are decoded FOR REAL, no PIL needed: header
-parse, pixel grid, nearest-neighbor resize. Codecs that genuinely need external libs
-(JPEG entropy decode, ffmpeg containers) fall back to a deterministic fake
-clearly marked as a stub. Everything Spark-side is real and tested either way:
+reconstruction), GIF (87a/89a first frame — spec LZW decoder, palette
+expansion, deinterlace) AND baseline JPEG (operators/jpeg.py: Huffman +
+dequant + vectorized IDCT + YCbCr, 4:4:4/4:2:0, restart intervals) are
+decoded FOR REAL, no PIL needed: header parse, pixel grid,
+nearest-neighbor resize. Payloads that genuinely need external libs
+(progressive/arithmetic JPEG, ffmpeg video containers) fall back to a
+deterministic fake clearly marked as a stub. Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -27,8 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
-REAL_FORMATS = frozenset({"ppm", "bmp", "png", "gif"})
-DECODE_IS_STUB = True  # still true for JPEG/video containers (no PIL/ffmpeg)
+REAL_FORMATS = frozenset({"ppm", "bmp", "png", "gif", "jpg"})
+DECODE_IS_STUB = True  # still true for video containers (no ffmpeg) and
+# non-baseline JPEG (progressive/arithmetic)
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -354,6 +357,12 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
     parsed = _parse_gif(payload)
     if parsed is not None:
         return (*parsed, "gif")
+    if payload[:2] == b"\xff\xd8":
+        from index_search_monorepo_spark.operators.jpeg import decode_baseline
+
+        parsed = decode_baseline(payload)
+        if parsed is not None:
+            return (*parsed, "jpg")
     return None
 
 

@@ -432,3 +432,89 @@ class TestGifDecode:
         bad = bytearray(payload)
         bad[0:6] = b"GIF90x"
         assert MM.decode_image(bytes(bad)) is None
+
+
+class TestJpegDecode:
+    """REAL baseline JPEG decode (operators/jpeg.py) — validated by
+    round-tripping through a minimal conformant encoder (standard Annex-K
+    Huffman tables), so the check is against the spec's encode side, not a
+    mirror of decoder internals."""
+
+    @staticmethod
+    def _img(w, h, seed=3):
+        import numpy as np
+
+        # smooth gradient (avoids gamut clipping so tolerances are tight)
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (40 + 2 * xx + yy) % 180 + 30
+        g = (60 + xx + 2 * yy) % 180 + 30
+        b = (80 + 3 * xx) % 180 + 30
+        return np.dstack([r, g, b]).astype(np.uint8)
+
+    def test_grayscale_round_trip_exact(self):
+        import numpy as np
+
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        px = (np.arange(24 * 17).reshape(17, 24) * 11 % 256).astype(np.uint8)
+        got = MM.decode_image(J.encode_baseline(px, quant=1))
+        assert got is not None
+        w, h, rgb, fmt = got
+        assert (w, h, fmt) == (24, 17, "jpg")
+        # flat quant=1 grayscale: DCT->IDCT rounding only
+        assert int(np.abs(rgb[:, :, 0].astype(int) - px.astype(int)).max()) <= 1
+
+    def test_color_444_round_trip(self):
+        import numpy as np
+
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        img = self._img(28, 20)
+        got = MM.decode_image(J.encode_baseline(img, quant=1))
+        assert got is not None
+        assert int(np.abs(got[2].astype(int) - img.astype(int)).max()) <= 2
+
+    def test_color_420_subsampling(self):
+        import numpy as np
+
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        # chroma constant over 2x2 cells -> 4:2:0 averaging is lossless
+        small = self._img(14, 10)
+        img = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+        got = MM.decode_image(J.encode_baseline(img, quant=1, subsampling="420"))
+        assert got is not None
+        w, h, rgb, fmt = got
+        assert (w, h) == (28, 20)
+        assert int(np.abs(rgb.astype(int) - img.astype(int)).max()) <= 3
+
+    def test_restart_intervals(self):
+        import numpy as np
+
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        img = self._img(40, 24)
+        payload = J.encode_baseline(img, quant=1, restart_interval=2)
+        assert b"\xff\xd0" in payload  # RST0 actually emitted
+        got = MM.decode_image(payload)
+        assert got is not None
+        assert int(np.abs(got[2].astype(int) - img.astype(int)).max()) <= 2
+
+    def test_quantization_smooths_but_decodes(self):
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        img = self._img(16, 16)
+        got = MM.decode_image(J.encode_baseline(img, quant=8))
+        assert got is not None and got[0] == 16 and got[1] == 16
+
+    def test_progressive_and_truncated_fall_back(self):
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        img = self._img(16, 16)
+        payload = bytearray(J.encode_baseline(img, quant=1))
+        # flip SOF0 -> SOF2 (progressive): refuse, don't mis-decode
+        idx = bytes(payload).find(b"\xff\xc0")
+        payload[idx + 1] = 0xC2
+        assert MM.decode_image(bytes(payload)) is None
+        # truncated entropy stream
+        assert MM.decode_image(bytes(J.encode_baseline(img))[:-40]) is None
