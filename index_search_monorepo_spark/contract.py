@@ -1884,24 +1884,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.with_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+# multimodal gate corpus: EVEN doc_ids carry a REAL binary PPM payload with
+# planted dimensions (constructible identically in SQL on both engines: the
+# header is ASCII, the pixel body is w*h*3 repeated 'x' bytes); ODD doc_ids
+# keep raw text bytes, which hit the clearly-labeled stub fallback. The
+# oracle computes the planted dims / stub arithmetic directly — so the
+# driver gate checks the REAL decoder's output against ground truth, plus
+# the dispatch to the stub.
+_MM_W = "(doc_id % 13 + 1)"
+_MM_H = "(doc_id % 7 + 1)"
+_MM_HDR = f"'P6' || chr(10) || CAST({_MM_W} AS VARCHAR) || ' ' || CAST({_MM_H} AS VARCHAR) || chr(10) || '255' || chr(10)"
+
+
 @register(
     "multimodal_meta",
-    """
+    f"""
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT) AS height,
-           CASE octet_length(encode(text)) % 3
-                WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
-             AS media_format
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
+                ELSE CAST(octet_length(encode(text)) AS BIGINT)
+           END AS n_bytes,
+           CASE WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
+                ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
+           END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
+                ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
+           END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm'
+                ELSE CASE octet_length(encode(text)) % 3
+                     WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
+           END AS media_format
     FROM documents
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: encode -> mapInPandas stub decode -> typed
-    metadata. The oracle reproduces the stub arithmetic; the Spark side runs
-    the real Arrow-batched iterator path (operators/multimodal.py)."""
-    return MM.media_metadata(_t(spark, sf_dir, "documents"))
+    """Binary-payload plumbing with the REAL decoder in the gate (r3):
+    even doc_ids get a genuine binary PPM built in column expressions with
+    planted width/height — the mapInPandas kernel must actually parse it —
+    while odd doc_ids keep undecodable text bytes that exercise the stub
+    fallback and format dispatch. The oracle knows the planted dims, so a
+    decoder that misparses headers or pixel extents fails the hash."""
+    d = F.col("doc_id")
+    w = F.pmod(d, F.lit(13)) + 1
+    h = F.pmod(d, F.lit(7)) + 1
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    ppm = F.encode(F.concat(header, F.repeat(F.lit("x"), w * h * 3)), "UTF-8")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.pmod(d, F.lit(2)) == 0, ppm)
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
+        .alias("payload"),
+    )
+    return MM.extract_media_metadata(docs)
 
 
 @register(

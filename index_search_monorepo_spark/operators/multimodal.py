@@ -407,16 +407,61 @@ def parse_wav(payload: bytes) -> dict | None:
     }
 
 
+def _parse_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate): 1 sign bit,
+    15-bit exponent, explicit-integer-bit 64-bit mantissa."""
+    if len(b) < 10:
+        return 0.0
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def parse_aiff(payload: bytes) -> dict | None:
+    """REAL AIFF header parse (big-endian IFF chunk walk, COMM chunk with
+    its 80-bit-extended sample rate) — the big-endian sibling of
+    `parse_wav`."""
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        return None
+    pos, comm = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        if cid == b"COMM" and pos + 8 + 18 <= len(payload):
+            comm = payload[pos + 8 : pos + 8 + 18]
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if comm is None:
+        return None
+    channels = int.from_bytes(comm[0:2], "big")
+    n_frames = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    rate = int(round(_parse_f80(comm[8:18])))
+    if channels == 0 or rate <= 0 or bits == 0:
+        return None
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_samples": n_frames,
+        "duration_ms": (n_frames * 1000) // rate,
+        "media_format": "aiff",
+    }
+
+
 def extract_audio_metadata(df_with_payload: DataFrame) -> DataFrame:
-    """binary payload -> typed audio metadata (REAL for RIFF/WAVE; other
-    payloads yield a NULL-fielded row with media_format 'unknown'). Same
-    no-shuffle mapInPandas shape as the image kernel."""
+    """binary payload -> typed audio metadata (REAL for RIFF/WAVE and
+    AIFF; other payloads yield a NULL-fielded row with media_format
+    'unknown'). Same no-shuffle mapInPandas shape as the image kernel."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = parse_wav(bytes(payload))
+                meta = parse_wav(bytes(payload)) or parse_aiff(bytes(payload))
                 if meta is None:
                     meta = {
                         "n_bytes": len(payload),
@@ -431,6 +476,108 @@ def extract_audio_metadata(df_with_payload: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df_with_payload.mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, n_bytes long, major_brand string, timescale long,"
+    " duration_ms long, n_tracks long, width long, height long,"
+    " media_format string"
+)
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    payload[start:end]; handles 64-bit largesize and size-0 (to-end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4/MOV) container metadata: ftyp brand, mvhd
+    timescale/duration, per-track tkhd dimensions — a pure box walk, the
+    video analog of the WAV/AIFF chunk walk. FRAME decode still needs a
+    codec (the one genuinely stubbed kernel); container metadata does not.
+    """
+    boxes = list(_mp4_boxes(payload, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return None
+    brand = payload[boxes[0][1] : boxes[0][1] + 4].decode("ascii", "replace")
+    timescale = duration = None
+    n_tracks = 0
+    width = height = 0
+    for btype, b0, b1 in boxes:
+        if btype != b"moov":
+            continue
+        for ityp, i0, i1 in _mp4_boxes(payload, b0, b1):
+            if ityp == b"mvhd":
+                ver = payload[i0]
+                if ver == 1:
+                    timescale = int.from_bytes(payload[i0 + 20 : i0 + 24], "big")
+                    duration = int.from_bytes(payload[i0 + 24 : i0 + 32], "big")
+                else:
+                    timescale = int.from_bytes(payload[i0 + 12 : i0 + 16], "big")
+                    duration = int.from_bytes(payload[i0 + 16 : i0 + 20], "big")
+            elif ityp == b"trak":
+                n_tracks += 1
+                for ttyp, t0, t1 in _mp4_boxes(payload, i0, i1):
+                    if ttyp == b"tkhd" and t1 - t0 >= 8:
+                        # width/height: 16.16 fixed point, last 8 bytes
+                        tw = int.from_bytes(payload[t1 - 8 : t1 - 4], "big") >> 16
+                        th = int.from_bytes(payload[t1 - 4 : t1], "big") >> 16
+                        width, height = max(width, tw), max(height, th)
+    if timescale is None or not timescale:
+        return None
+    return {
+        "n_bytes": len(payload),
+        "major_brand": brand,
+        "timescale": timescale,
+        "duration_ms": (duration * 1000) // timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "media_format": "mp4",
+    }
+
+
+def extract_video_metadata(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> typed container metadata (REAL for ISO-BMFF;
+    other payloads yield a NULL-fielded 'unknown' row). No-shuffle
+    mapInPandas, same shape as the image/audio kernels."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_mp4(bytes(payload))
+                if meta is None:
+                    meta = {
+                        "n_bytes": len(payload),
+                        "major_brand": None,
+                        "timescale": None,
+                        "duration_ms": None,
+                        "n_tracks": None,
+                        "width": None,
+                        "height": None,
+                        "media_format": "unknown",
+                    }
+                rows.append({"doc_id": doc_id, **meta})
+            yield pd.DataFrame(rows)
+
+    return df_with_payload.mapInPandas(fn, VIDEO_META_SCHEMA)
 
 
 def _fake_decode(payload: bytes) -> dict:

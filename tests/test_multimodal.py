@@ -518,3 +518,96 @@ class TestJpegDecode:
         assert MM.decode_image(bytes(payload)) is None
         # truncated entropy stream
         assert MM.decode_image(bytes(J.encode_baseline(img))[:-40]) is None
+
+
+class TestContainerMetadata:
+    """REAL AIFF + MP4 container parses (big-endian chunk walk / ISO-BMFF
+    box walk) — frame DECODE stays stubbed (needs codecs); metadata does
+    not."""
+
+    @staticmethod
+    def _aiff_bytes(channels=2, frames=44100, bits=16, rate=48000):
+        import struct
+
+        # 80-bit extended float for the sample rate
+        exp = rate.bit_length() - 1
+        mant = rate << (63 - exp)
+        f80 = struct.pack(">HQ", 16383 + exp, mant)
+        comm = struct.pack(">HIH", channels, frames, bits) + f80
+        body = b"COMM" + struct.pack(">I", len(comm)) + comm
+        body += b"SSND" + struct.pack(">I", 8) + b"\x00" * 8
+        return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+    @staticmethod
+    def _mp4_bytes(timescale=1000, duration=5400, w=640, h=360):
+        import struct
+
+        def box(btype, body):
+            return struct.pack(">I", 8 + len(body)) + btype + body
+
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+        mvhd = box(
+            b"mvhd",
+            b"\x00\x00\x00\x00"  # version 0 + flags
+            + struct.pack(">II", 0, 0)  # ctime, mtime
+            + struct.pack(">II", timescale, duration)
+            + b"\x00" * 80,
+        )
+        tkhd_body = (
+            b"\x00\x00\x00\x07"
+            + struct.pack(">III", 0, 0, 1)  # ctime mtime track_id
+            + struct.pack(">II", 0, duration)  # reserved, duration
+            + b"\x00" * 52  # reserved/layer/group/volume/matrix
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        trak = box(b"trak", box(b"tkhd", tkhd_body))
+        moov = box(b"moov", mvhd + trak)
+        return ftyp + moov
+
+    def test_aiff_parse(self, spark):
+        payload = self._aiff_bytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"not audio"))],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in MM.extract_audio_metadata(df).collect()
+        }
+        a = rows[1]
+        assert a["media_format"] == "aiff"
+        assert a["sample_rate"] == 48000
+        assert a["channels"] == 2
+        assert a["bits_per_sample"] == 16
+        assert a["n_samples"] == 44100
+        assert a["duration_ms"] == 44100 * 1000 // 48000
+        assert rows[2]["media_format"] == "unknown"
+
+    def test_aiff_nonpow2_rate(self):
+        # 44100 is not a power of two -> exercises the mantissa math
+        meta = MM.parse_aiff(self._aiff_bytes(rate=44100))
+        assert meta is not None and meta["sample_rate"] == 44100
+
+    def test_mp4_parse(self, spark):
+        payload = self._mp4_bytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"GIF89a???"))],
+            "doc_id long, payload binary",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in MM.extract_video_metadata(df).collect()
+        }
+        v = rows[1]
+        assert v["media_format"] == "mp4"
+        assert v["major_brand"] == "isom"
+        assert v["timescale"] == 1000
+        assert v["duration_ms"] == 5400
+        assert v["n_tracks"] == 1
+        assert (v["width"], v["height"]) == (640, 360)
+        assert rows[2]["media_format"] == "unknown"
+
+    def test_mp4_truncated_box_is_none(self):
+        payload = self._mp4_bytes()
+        assert MM.parse_mp4(payload[:30]) is None
+        assert MM.parse_mp4(b"\x00\x00\x00\x08mdat") is None  # no ftyp
