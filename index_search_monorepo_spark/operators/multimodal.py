@@ -3,8 +3,8 @@
 The engine treats image/audio/video as `binary` columns with a typed
 metadata struct. Raster formats PPM P6, 24/32-bit BMP, PNG (8-bit
 gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
-reconstruction), GIF (87a/89a first frame — spec LZW decoder, palette
-expansion, deinterlace) AND baseline JPEG (operators/jpeg.py: Huffman +
+reconstruction), GIF (87a/89a incl. animation — spec LZW decoder, palette
+expansion, deinterlace, frame composition with transparency/disposal) AND baseline JPEG (operators/jpeg.py: Huffman +
 dequant + vectorized IDCT + YCbCr, 4:4:4/4:2:0, restart intervals) are
 decoded FOR REAL, no PIL needed: header parse, pixel grid,
 nearest-neighbor resize. Payloads that genuinely need external libs
@@ -269,30 +269,58 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray
     return out if len(out) >= n_pixels else None
 
 
-def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
-    """REAL GIF decode (GIF87a/89a, first image frame): logical screen +
-    color tables, extension skip, LZW index stream, palette expansion,
-    Adam-style 4-pass deinterlace when flagged. Pure python/numpy — the
-    LZW variant is spec'd in the GIF89a appendix, no external codec."""
+def _gif_frames(
+    payload: bytes, max_frames: int
+) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
+    """REAL GIF decode (GIF87a/89a), multi-frame: logical-screen canvas,
+    per-frame LZW index streams composed with left/top offsets,
+    transparency masking, disposal none/keep/restore-background, frame
+    delays from the graphic-control extension. Returns
+    (width, height, [(delay_ms, rgb_canvas), ...]) — up to max_frames —
+    or None for malformed / restore-previous-disposal payloads."""
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
+    bg_index = payload[11]
+    if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
+        return None
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
+    bg_rgb = (0, 0, 0)
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        bg_rgb = tuple(gct[3 * bg_index : 3 * bg_index + 3])
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[tuple[int, np.ndarray]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         b0 = payload[pos]
-        if b0 == 0x21:  # extension: label + sub-blocks
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(payload):
+                return None
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                gce = payload[pos + 1 : pos + 5]
+                disposal = (gce[0] >> 2) & 0x07
+                delay_ms = int.from_bytes(gce[1:3], "little") * 10
+                transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
         elif b0 == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 return None
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             iflags = payload[pos + 9]
@@ -302,8 +330,16 @@ def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                 n = 2 << (iflags & 0x07)
                 pal = payload[pos : pos + 3 * n]
                 pos += 3 * n
-            if pal is None or w <= 0 or h <= 0 or w * h > 64_000_000:
+            if (
+                pal is None
+                or w <= 0
+                or h <= 0
+                or left + w > sw
+                or top + h > sh
+            ):
                 return None
+            if disposal == 3:
+                return None  # restore-previous: not supported
             if pos >= len(payload):
                 return None
             min_code_size = payload[pos]
@@ -315,6 +351,7 @@ def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                 blen = payload[pos]
                 data += payload[pos + 1 : pos + 1 + blen]
                 pos += 1 + blen
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
             if idx is None:
                 return None
@@ -322,7 +359,7 @@ def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
             if indices.max(initial=0) >= palette.shape[0]:
                 return None
-            px = palette[indices].reshape(h, w, 3)
+            grid = indices.reshape(h, w)
             if iflags & 0x40:  # interlaced: rows arrive in 4 passes
                 order = np.concatenate(
                     [
@@ -332,15 +369,37 @@ def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
                         np.arange(1, h, 2),
                     ]
                 )
-                deinterlaced = np.empty_like(px)
-                deinterlaced[order] = px
-                px = deinterlaced
-            return w, h, np.ascontiguousarray(px)
+                deinterlaced = np.empty_like(grid)
+                deinterlaced[order] = grid
+                grid = deinterlaced
+            region = canvas[top : top + h, left : left + w]
+            px = palette[grid]
+            if transparent is not None:
+                mask = grid != transparent
+                region[mask] = px[mask]
+            else:
+                region[:, :] = px
+            frames.append((delay_ms, canvas.copy()))
+            if disposal == 2:  # restore rect to background after display
+                canvas[top : top + h, left : left + w] = bg_rgb
+            delay_ms = 0
+            transparent = None
+            disposal = 0
+            if len(frames) >= max_frames:
+                return sw, sh, frames
         elif b0 == 0x3B:  # trailer
-            return None
+            break
         else:
             return None
-    return None
+    return (sw, sh, frames) if frames else None
+
+
+def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    out = _gif_frames(payload, 1)
+    if out is None:
+        return None
+    sw, sh, frames = out
+    return sw, sh, np.ascontiguousarray(frames[0][1])
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
@@ -707,18 +766,59 @@ def resize_media(df_with_payload: DataFrame, width: int, height: int) -> DataFra
     return df_with_payload.mapInPandas(fn, RESIZED_SCHEMA)
 
 
+def gif_sample_frames(
+    payload: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, bytes]] | None:
+    """REAL frame sampling for animated GIF: compose frames on the
+    logical-screen canvas (_gif_frames), walk the frame timeline, and emit
+    the frame on display at each every_ms sample point, re-encoded as
+    canonical PPM. Untimed frames (delay 0) count as every_ms apart, so an
+    untimed N-frame GIF yields min(N, max_frames) frames. Returns
+    [(frame_no, ts_ms, ppm_bytes)] or None for non-GIF payloads."""
+    decoded = _gif_frames(payload, 64 * max_frames)
+    if decoded is None:
+        return None
+    _sw, _sh, frames = decoded
+    out = []
+    ts = 0
+    next_sample = 0
+    for delay, canvas in frames:
+        if len(out) >= max_frames:
+            break
+        if ts >= next_sample:
+            out.append((len(out), ts, encode_ppm(canvas)))
+            next_sample = ts + every_ms
+        ts += delay if delay > 0 else every_ms
+    return out
+
+
 def sample_frames(
     df_with_payload: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (a flatMap-shaped
-    mapInPandas — output rows > input rows, still no shuffle). The STUB
-    derives a deterministic frame count from payload length; a real kernel
-    would seek the container stream at every_ms intervals."""
+    mapInPandas — output rows > input rows, still no shuffle). REAL for
+    animated GIF (frame composition + timeline sampling via
+    gif_sample_frames); the STUB fallback derives a deterministic frame
+    count from payload length for container formats whose frame decode
+    needs a codec."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                real = gif_sample_frames(payload, every_ms, max_frames)
+                if real is not None:
+                    for k, ts, frame in real:
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "frame_no": k,
+                                "frame_ts_ms": ts,
+                                "frame": frame,
+                            }
+                        )
+                    continue
                 n_frames = min(max_frames, len(payload) % max_frames + 1)
                 for k in range(n_frames):
                     lo = (k * 97) % max(len(payload), 1)
@@ -737,16 +837,44 @@ def sample_frames(
     return df_with_payload.mapInPandas(fn, FRAMES_SCHEMA)
 
 
+def image_feature_vector(px: np.ndarray, dim: int = 8) -> list[float]:
+    """REAL image embedding from decoded pixels: channel means, global
+    contrast, and a gray-intensity histogram, L2-normalized — a classic
+    color-moment descriptor; deterministic, codec-free, and directly
+    usable by the similarity operators."""
+    f = px.astype(np.float64)
+    feats = [
+        float(f[:, :, 0].mean()) / 255.0,
+        float(f[:, :, 1].mean()) / 255.0,
+        float(f[:, :, 2].mean()) / 255.0,
+        float(f.std()) / 128.0,
+    ]
+    gray = f.mean(axis=2)
+    n_bins = max(dim - len(feats), 1)
+    hist, _ = np.histogram(gray, bins=n_bins, range=(0.0, 255.0))
+    total = float(hist.sum()) or 1.0
+    feats += [float(c) / total for c in hist]
+    feats = feats[:dim] + [0.0] * (dim - len(feats))
+    norm = float(np.sqrt(sum(x * x for x in feats))) or 1.0
+    return [x / norm for x in feats]
+
+
 def extract_features(df_with_payload: DataFrame, dim: int = 8) -> DataFrame:
-    """Feature extraction: payload -> fixed-dim float embedding. STUB uses a
-    byte-histogram projection (deterministic); a real kernel would run a
-    vision/audio encoder per Arrow batch. Output feeds the similarity
-    operators (cosine_topk / lsh_topk) unchanged."""
+    """Feature extraction: payload -> fixed-dim float embedding. REAL for
+    decodable images (color-moment + intensity-histogram descriptor over
+    the decoded pixel grid); the STUB fallback uses a byte-histogram
+    projection for payloads a real deployment would hand to a vision/audio
+    encoder. Output feeds the similarity operators
+    (cosine_topk / lsh_topk) unchanged."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
             for payload in pdf["payload"]:
+                real = decode_image(bytes(payload))
+                if real is not None:
+                    embs.append(image_feature_vector(real[2], dim))
+                    continue
                 acc = [0.0] * dim
                 for i, b in enumerate(payload[:4096]):
                     acc[i % dim] += b

@@ -611,3 +611,81 @@ class TestContainerMetadata:
         payload = self._mp4_bytes()
         assert MM.parse_mp4(payload[:30]) is None
         assert MM.parse_mp4(b"\x00\x00\x00\x08mdat") is None  # no ftyp
+
+
+class TestAnimatedGif:
+    """Multi-frame GIF: composition, timeline sampling, real features."""
+
+    @staticmethod
+    def _animated(delays_cs, colors, w=6, h=4):
+        """One full-canvas frame per color; delays in centiseconds."""
+        import struct
+
+        pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        gct = b"".join(bytes(c) for c in pal)
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + gct
+        )
+        for delay, color in zip(delays_cs, colors):
+            out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            lzw = TestGifDecode._lzw_encode([color] * (w * h), 2)
+            out += b"\x02"
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                out += bytes([len(chunk)]) + chunk
+            out += b"\x00"
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_frames_composed_and_sampled_by_time(self):
+        # 4 frames at 50cs (=500ms) each; sample every 1000ms -> frames 0, 2
+        payload = self._animated([50, 50, 50, 50], [1, 2, 3, 1])
+        frames = MM.gif_sample_frames(payload, every_ms=1000, max_frames=8)
+        assert [(k, ts) for k, ts, _f in frames] == [(0, 0), (1, 1000)]
+        # the 1000ms sample shows frame index 2 (palette 3 = blue)
+        dec = MM.decode_image(frames[1][2])
+        assert tuple(dec[2][0, 0]) == (0, 0, 255)
+
+    def test_untimed_frames_default_spacing(self):
+        payload = self._animated([0, 0, 0], [1, 2, 3])
+        frames = MM.gif_sample_frames(payload, every_ms=1000, max_frames=2)
+        assert len(frames) == 2  # max_frames cap on untimed animation
+
+    def test_spark_kernel_emits_real_gif_frames(self, spark):
+        payload = self._animated([100, 100], [1, 2])
+        df = spark.createDataFrame(
+            [(1, bytearray(payload)), (2, bytearray(b"no media here!"))],
+            "doc_id long, payload binary",
+        )
+        rows = MM.sample_frames(df, every_ms=1000, max_frames=4).collect()
+        gif_rows = [r for r in rows if r["doc_id"] == 1]
+        assert len(gif_rows) == 2
+        assert all(bytes(r["frame"]).startswith(b"P6") for r in gif_rows)
+        # stub path still serves undecodable payloads
+        assert any(r["doc_id"] == 2 for r in rows)
+
+    def test_real_image_features(self, spark):
+        import numpy as np
+
+        red = np.zeros((8, 8, 3), np.uint8)
+        red[:, :, 0] = 255
+        blue = np.zeros((8, 8, 3), np.uint8)
+        blue[:, :, 2] = 255
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(MM.encode_ppm(red))),
+                (2, bytearray(MM.encode_ppm(blue))),
+                (3, bytearray(MM.encode_ppm(red))),
+            ],
+            "doc_id long, payload binary",
+        )
+        embs = {
+            r["doc_id"]: np.array(r["embedding"])
+            for r in MM.extract_features(df, dim=8).collect()
+        }
+        # identical images -> identical embeddings; different colors differ
+        assert np.allclose(embs[1], embs[3])
+        assert not np.allclose(embs[1], embs[2])
+        # channel-mean features put the mass on the right channel
+        assert embs[1][0] > embs[1][2] and embs[2][2] > embs[2][0]
