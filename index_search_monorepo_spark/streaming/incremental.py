@@ -284,3 +284,33 @@ def windowed_ingest_metrics(
             "n_txt_spans",
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text_concat",
+    id_col: str = "doc_id",
+    watermark: str = "10 minutes",
+    ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Incremental exact dedup for a training-data ingest stream: keep the
+    FIRST arrival of each content hash, drop every later copy — the
+    streaming counterpart of operators/dedup.exact_duplicates.
+
+    Spark-native: `dropDuplicatesWithinWatermark` on the md5 content key.
+    The watermark BOUNDS THE STATE — per-key state is dropped once the key
+    is older than the watermark, so state size is (unique keys per
+    watermark window), not (all keys ever): the property that makes
+    streaming dedup viable at 100 TB/day ingest. The trade is explicit and
+    standard (cf. Spark docs): a duplicate arriving later than the
+    watermark after its original is re-emitted; downstream batch dedup
+    (C1) remains the exactness backstop.
+    """
+    keyed = stream.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.md5(F.col(text_col)).alias("content_key"),
+    )
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_key"]
+    )

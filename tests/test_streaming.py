@@ -238,3 +238,54 @@ def test_windowed_ingest_metrics(spark, tmp_path):
     # minute3={200}. In append mode only windows strictly before the final
     # watermark (max event time 200s with 0s delay) emit: minutes 0,1,2.
     assert got == {0: (2, 4, 2), 1: (1, 2, 1), 2: (2, 4, 2)}
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Incremental exact dedup: first arrival of each content hash is kept,
+    later copies within the watermark are dropped; state is bounded by the
+    watermark (dropDuplicatesWithinWatermark)."""
+    from index_search_monorepo_spark.streaming.incremental import (
+        streaming_exact_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda i, text: (  # noqa: E731
+        f"doc{i}",
+        [("txt", text, f"TXT{i:08d}", 1)],
+        base + dt.timedelta(seconds=10 * i),
+    )
+    rows = [
+        mk(0, "alpha beta"),
+        mk(1, "gamma delta"),
+        mk(2, "alpha beta"),  # dup of doc0, 20s later -> dropped
+        mk(3, "epsilon"),
+        mk(4, "gamma delta"),  # dup of doc1 -> dropped
+    ]
+    src_dir = tmp_path / "dedup_landed"
+    spark.createDataFrame(rows, SPANS_SCHEMA_TS).coalesce(1).write.parquet(
+        str(src_dir)
+    )
+    stream = read_spans_stream(spark, str(src_dir), with_ts=True).select(
+        "doc_id",
+        "ingest_ts",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("txt")),
+                lambda s: s["text"],
+            ),
+        ).alias("text_concat"),
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {
+        r["doc_id"] for r in spark.sql("SELECT * FROM stream_dedup").collect()
+    }
+    assert kept == {"doc0", "doc1", "doc3"}
