@@ -1,7 +1,8 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as `binary` columns with a typed
-metadata struct. Raster formats PPM P6, 24/32-bit BMP, PNG (8-bit
+metadata struct. Raster formats PPM P6, 24/32-bit BMP, uncompressed
+8-bit TIFF (II/MM, strip assembly), PNG (8-bit
 gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
 reconstruction), GIF (87a/89a incl. animation — spec LZW decoder, palette
 expansion, deinterlace, frame composition with transparency/disposal) AND baseline JPEG (operators/jpeg.py: Huffman +
@@ -29,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
-REAL_FORMATS = frozenset({"ppm", "bmp", "png", "gif", "jpg"})
+REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
 DECODE_IS_STUB = True  # still true for video containers (no ffmpeg) and
 # non-baseline JPEG (progressive/arithmetic)
 
@@ -95,6 +96,90 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         rows = rows[::-1]
     # BGR(A) -> RGB
     return w, h, rows[:, :, 2::-1][:, :, :3]
+
+
+def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL baseline TIFF decode (the format page-scanning pipelines emit):
+    II/MM byte orders, IFD walk, strip assembly — uncompressed 8-bit
+    grayscale (both photometric polarities) and RGB(A). Compressed TIFFs
+    return None (stub fallback)."""
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd = u(payload[4:8])
+    if ifd + 2 > len(payload):
+        return None
+    n_entries = u(payload[ifd : ifd + 2])
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(payload):
+            return None
+        tag = u(payload[e : e + 2])
+        ftype = u(payload[e + 2 : e + 4])
+        count = u(payload[e + 4 : e + 8])
+        size = {1: 1, 3: 2, 4: 4}.get(ftype)
+        if size is None:
+            continue  # rational/ascii tags are irrelevant here
+        total = size * count
+        if total <= 4:
+            raw = payload[e + 8 : e + 8 + total]
+        else:
+            off = u(payload[e + 8 : e + 12])
+            if off + total > len(payload):
+                return None
+            raw = payload[off : off + total]
+        tags[tag] = [u(raw[i * size : (i + 1) * size]) for i in range(count)]
+
+    def one(tag: int, default: int | None = None) -> int | None:
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    compression = one(259, 1)
+    photometric = one(262, 1)
+    offsets = tags.get(273)
+    spp = one(277, 1)
+    counts = tags.get(279)
+    bits = tags.get(258, [8])
+    if (
+        w is None
+        or h is None
+        or offsets is None
+        or compression != 1
+        or any(b != 8 for b in bits)
+        or photometric not in (0, 1, 2)
+        or spp not in (1, 3, 4)
+        or w <= 0
+        or h <= 0
+        or w * h > 64_000_000
+    ):
+        return None
+    if counts is None:
+        counts = [w * h * spp]  # single strip
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            return None
+        data += payload[off : off + cnt]
+    if len(data) < w * h * spp:
+        return None
+    px = np.frombuffer(bytes(data), np.uint8, w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        if photometric == 0:  # WhiteIsZero
+            px = 255 - px
+        px = np.repeat(px, 3, axis=2)
+    return w, h, np.ascontiguousarray(px[:, :, :3])
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -403,13 +488,16 @@ def _parse_gif(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
-    """REAL decode for PPM/BMP/PNG/GIF; None for anything else."""
+    """REAL decode for PPM/BMP/TIFF/PNG/GIF/baseline-JPEG; None otherwise."""
     parsed = _parse_ppm(payload)
     if parsed is not None:
         return (*parsed, "ppm")
     parsed = _parse_bmp(payload)
     if parsed is not None:
         return (*parsed, "bmp")
+    parsed = _parse_tiff(payload)
+    if parsed is not None:
+        return (*parsed, "tiff")
     parsed = _parse_png(payload)
     if parsed is not None:
         return (*parsed, "png")

@@ -1,7 +1,9 @@
 """Multimodal plumbing: binary payload columns + mapInPandas kernels
-(decode / resize / frame-sample / feature-extract). Kernels are stubs
-(DECODE_IS_STUB); the plumbing under test — schemas, Arrow batching,
-flatMap-shaped output, no-shuffle plans, similarity interop — is real."""
+(decode / resize / frame-sample / feature-extract). Decode is REAL for
+PPM/BMP/TIFF/PNG/GIF/baseline-JPEG + WAV/AIFF/MP4 metadata; only
+codec-requiring payloads use the deterministic stub (DECODE_IS_STUB).
+The plumbing under test — schemas, Arrow batching, flatMap-shaped
+output, no-shuffle plans, similarity interop — is real throughout."""
 
 from __future__ import annotations
 
@@ -689,3 +691,102 @@ class TestAnimatedGif:
         assert not np.allclose(embs[1], embs[2])
         # channel-mean features put the mass on the right channel
         assert embs[1][0] > embs[1][2] and embs[2][2] > embs[2][0]
+
+
+class TestTiffDecode:
+    @staticmethod
+    def _tiff(px, photometric=None, bo="<", two_strips=False):
+        import struct
+
+        import numpy as np
+
+        h, w = px.shape[:2]
+        spp = 1 if px.ndim == 2 else px.shape[2]
+        photometric = photometric if photometric is not None else (
+            2 if spp >= 3 else 1
+        )
+        body = px.astype(np.uint8).tobytes()
+        # layout: header(8) IFD entries then strip data
+        entries = []
+
+        def entry(tag, ftype, count, value):
+            return struct.pack(bo + "HHI", tag, ftype, count) + value
+
+        n = 8 if not two_strips else 9
+        ifd_size = 2 + 12 * n + 4
+        data_off = 8 + ifd_size
+        if two_strips:
+            rows0 = h // 2
+            strip_offsets = [data_off, data_off + rows0 * w * spp]
+            strip_counts = [rows0 * w * spp, (h - rows0) * w * spp]
+            # arrays of 2 LONGs don't fit inline -> place after pixel data
+            arr_off = data_off + len(body)
+            offs_val = struct.pack(bo + "I", arr_off)
+            cnts_val = struct.pack(bo + "I", arr_off + 8)
+            tail = struct.pack(bo + "II", *strip_offsets) + struct.pack(
+                bo + "II", *strip_counts
+            )
+        else:
+            offs_val = struct.pack(bo + "I", data_off)
+            cnts_val = struct.pack(bo + "I", len(body))
+            tail = b""
+        entries.append(entry(256, 4, 1, struct.pack(bo + "I", w)))
+        entries.append(entry(257, 4, 1, struct.pack(bo + "I", h)))
+        entries.append(entry(258, 3, 1, struct.pack(bo + "HH", 8, 0)))
+        entries.append(entry(259, 3, 1, struct.pack(bo + "HH", 1, 0)))
+        entries.append(entry(262, 3, 1, struct.pack(bo + "HH", photometric, 0)))
+        entries.append(
+            entry(273, 4, 2 if two_strips else 1, offs_val)
+        )
+        entries.append(entry(277, 3, 1, struct.pack(bo + "HH", spp, 0)))
+        entries.append(
+            entry(279, 4, 2 if two_strips else 1, cnts_val)
+        )
+        if two_strips:
+            entries.append(
+                entry(278, 4, 1, struct.pack(bo + "I", h // 2))
+            )
+        magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+        out = magic + struct.pack(bo + "I", 8)
+        out += struct.pack(bo + "H", len(entries)) + b"".join(entries)
+        out += struct.pack(bo + "I", 0)  # next IFD
+        out += body + tail
+        return out
+
+    def test_rgb_little_endian(self):
+        import numpy as np
+
+        px = (np.arange(5 * 7 * 3).reshape(5, 7, 3) * 13 % 256).astype(
+            np.uint8
+        )
+        got = MM.decode_image(self._tiff(px))
+        assert got is not None
+        w, h, grid, fmt = got
+        assert (w, h, fmt) == (7, 5, "tiff")
+        assert np.array_equal(grid, px)
+
+    def test_gray_big_endian_two_strips(self):
+        import numpy as np
+
+        px = (np.arange(6 * 4).reshape(6, 4) * 29 % 256).astype(np.uint8)
+        got = MM.decode_image(self._tiff(px, bo=">", two_strips=True))
+        assert got is not None
+        assert np.array_equal(got[2][:, :, 0], px)
+
+    def test_white_is_zero_inverts(self):
+        import numpy as np
+
+        px = np.full((3, 3), 10, np.uint8)
+        got = MM.decode_image(self._tiff(px, photometric=0))
+        assert got is not None and got[2][0, 0, 0] == 245
+
+    def test_compressed_tiff_falls_back(self):
+        import numpy as np
+
+        px = np.zeros((3, 3), np.uint8)
+        payload = bytearray(self._tiff(px))
+        # flip the Compression SHORT (entry 3, value offset) to 5 (LZW)
+        # entries start at 8+2; compression is the 4th entry
+        comp_entry = 8 + 2 + 12 * 3
+        payload[comp_entry + 8] = 5
+        assert MM.decode_image(bytes(payload)) is None
