@@ -160,14 +160,18 @@ def ngram_candidate_pairs(
     min_intersection: int = 2,
     max_df: int | None = 1000,
     persist_shingles: bool = True,
-    broadcast_stoplist: bool | str = "auto",
+    broadcast_small_sides: bool | str = "auto",
     cache_registry: list | None = None,
 ) -> DataFrame:
     """n-gram Jaccard candidates: pairs sharing >= min_intersection shingles,
     with exact integer (intersection, union) counts.
 
     Plan shape: explode -> self-join on shingle (shuffle hash join) ->
-    pair-count aggregate -> broadcast join of per-doc shingle counts.
+    pair-count aggregate -> join of per-doc shingle counts
+    (broadcast_small_sides='auto': AQE broadcasts the size frame at small
+    scale; at corpus scale it is one row PER DOCUMENT — corpus
+    cardinality — and must shuffle-join on the uniform doc_id key, same
+    de-forcing rationale as the stop-list; r3 audit).
 
     The stop-shingle cap is ON by default (max_df=1000): one shingle shared
     by d documents emits d^2 candidate rows in the self-join, so a single
@@ -195,7 +199,7 @@ def ngram_candidate_pairs(
         n,
         max_df,
         persist=persist_shingles,
-        broadcast_stoplist=broadcast_stoplist,
+        broadcast_stoplist=broadcast_small_sides,
         cache_registry=cache_registry,
     )
     if persist_shingles and max_df is None:
@@ -214,9 +218,13 @@ def ngram_candidate_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # the per-doc size frame is CORPUS-cardinality (one row per document) —
+    # same at-scale reasoning as the stop-list: never force-broadcast;
+    # AQE broadcasts while it is small and shuffle-joins on the uniform
+    # doc_id key when it is not (r3 audit — the r2 sweep missed this one)
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(_maybe_broadcast(sa, broadcast_small_sides), "doc_a")
+        .join(_maybe_broadcast(sb, broadcast_small_sides), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -235,7 +243,7 @@ def near_duplicate_pairs_jaccard(
     threshold_pct: int = 80,
     max_df: int | None = 1000,
     persist_shingles: bool = True,
-    broadcast_stoplist: bool | str = "auto",
+    broadcast_small_sides: bool | str = "auto",
     cache_registry: list | None = None,
 ) -> DataFrame:
     """Jaccard >= threshold_pct/100, decided in integer arithmetic
@@ -248,7 +256,7 @@ def near_duplicate_pairs_jaccard(
         1,
         max_df,
         persist_shingles,
-        broadcast_stoplist,
+        broadcast_small_sides,
         cache_registry,
     )
     return cand.filter(
