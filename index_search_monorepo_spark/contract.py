@@ -1546,7 +1546,8 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     ),
     exploded AS (
-      SELECT ht_id[g.pos] AS vol_id, g.pos AS pos, htsource, ht_id_display
+      SELECT o_custkey, ht_id[g.pos] AS vol_id, g.pos AS pos,
+             htsource, ht_id_display
       FROM cat, unnest(generate_series(1, len(ht_id))) AS g(pos)
     )
     SELECT vol_id,
@@ -1555,15 +1556,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN len(string_split(ht_id_display[1], '|')) >= 3
                  AND len(string_split(ht_id_display[1], '|')[3]) > 1
                 THEN string_split(ht_id_display[1], '|')[3] END
-             AS volume_enumcron
+             AS volume_enumcron,
+           CAST(CASE WHEN pos = 1 THEN 1 ELSE 0 END AS BIGINT) AS epd_matches,
+           CASE WHEN pos = 1
+                THEN '19' || CAST(o_custkey % 90 + 10 AS VARCHAR)
+                ELSE '' END AS epd_first
     FROM exploded
     """,
 )
 def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5/W5 in the driver gate: catalog record -> one row per ht_id item
-    via posexplode, POSITIONAL htsource pick with first-element fallback
-    when the htsource list is shorter (catalog_metadata.py quirk), and the
-    ht_id_display '|'-split volume_enumcron parse with its len>1 guard.
+    """J5/W5/J6 in the driver gate: catalog record -> one row per ht_id
+    item via posexplode, POSITIONAL htsource pick with first-element
+    fallback when the htsource list is shorter (catalog_metadata.py
+    quirk), the ht_id_display '|'-split volume_enumcron parse with its
+    len>1 guard, and (r3) the ht_json walrus-precedence filter — truthy
+    enum_pubdate AND htid==item — with all three branches planted.
     The catalog-shaped frame is synthesized deterministically from
     `orders` (one record per customer, items = sorted order keys) so the
     REAL catalog_item_metadata operator runs against the DuckDB mirror."""
@@ -1603,7 +1610,46 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 )
             ).alias("ht_id_display"),
-            F.lit(None).cast("string").alias("ht_json"),
+            # J6 planting (r3): per record, ht_json carries (a) an entry
+            # for the FIRST item with a truthy enum_pubdate -> kept only
+            # while processing that item; (b) an entry for the second item
+            # with enum_pubdate '' -> dropped by the falsy branch despite
+            # the htid match; (c) a non-item htid with a truthy pubdate ->
+            # dropped by the htid equality despite truthiness. Together the
+            # walrus-precedence condition (enum_pubdate AND htid==item,
+            # catalog_metadata.py:85-93) is oracle-gated per branch.
+            F.to_json(
+                F.array(
+                    F.struct(
+                        F.concat(
+                            F.lit("vol."),
+                            F.element_at("ks", 1).cast("string"),
+                        ).alias("htid"),
+                        F.concat(
+                            F.lit("19"),
+                            (F.pmod("o_custkey", F.lit(90)) + 10).cast(
+                                "string"
+                            ),
+                        ).alias("enum_pubdate"),
+                    ),
+                    F.struct(
+                        F.coalesce(
+                            F.concat(
+                                F.lit("vol."),
+                                F.try_element_at("ks", F.lit(2)).cast(
+                                    "string"
+                                ),
+                            ),
+                            F.lit("vol.none"),
+                        ).alias("htid"),
+                        F.lit("").alias("enum_pubdate"),
+                    ),
+                    F.struct(
+                        F.lit("vol.none").alias("htid"),
+                        F.lit("2001").alias("enum_pubdate"),
+                    ),
+                )
+            ).alias("ht_json"),
         )
     )
     items = catalog_item_metadata(cat)
@@ -1611,6 +1657,11 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vol_id",
         "htsource",
         "volume_enumcron",
+        F.size("_doc_json").cast("long").alias("epd_matches"),
+        F.coalesce(
+            F.try_element_at("_doc_json", F.lit(1))["enum_pubdate"],
+            F.lit(""),
+        ).alias("epd_first"),
     )
 
 
