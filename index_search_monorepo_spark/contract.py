@@ -391,23 +391,37 @@ def q_regional_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            array_to_string(
              list_sort(list_distinct(array_agg(CAST(l_suppkey AS VARCHAR)))),
-             ',') AS supplier_set
+             ',') AS supplier_set,
+           coalesce(array_to_string(
+             list_sort(list_distinct(array_agg(
+               CASE WHEN CAST(l_quantity AS INT) > 25
+                    THEN CAST(l_suppkey AS VARCHAR) END))),
+             ','), '') AS supplier_set_hot
     FROM lineitem
     WHERE l_orderkey % 100 = 0
     GROUP BY l_orderkey
     """,
 )
 def q_order_supplier_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2/A4 collect_set with canonical ordering (absent-if-empty fields are
-    exercised in coll_id_default below)."""
+    """J2/A4 collect_set with canonical ordering, plus (r3) the J3 shape:
+    the same membership aggregate over a PRE-FILTERED dimension
+    (ht_heldby_brlm's access_count > 0, mysql_data_extractor.py:85-89 —
+    here quantity > 25), empty-string when no row passes. Absent-if-empty
+    fields are exercised in coll_id_default below."""
     li = _t(spark, sf_dir, "lineitem")
+    hot = F.when(
+        F.col("l_quantity").cast("int") > 25, F.col("l_suppkey").cast("string")
+    )
     return (
         li.filter(F.col("l_orderkey") % 100 == 0)
         .groupBy("l_orderkey")
         .agg(
             F.array_join(
                 F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))), ","
-            ).alias("supplier_set")
+            ).alias("supplier_set"),
+            F.array_join(
+                F.array_sort(F.collect_set(hot)), ","
+            ).alias("supplier_set_hot"),
         )
     )
 
@@ -1551,6 +1565,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cat, unnest(generate_series(1, len(ht_id))) AS g(pos)
     )
     SELECT vol_id,
+           'c' || CAST(o_custkey AS VARCHAR) AS record_no,
+           CASE WHEN o_custkey % 6 = 0 THEN 'ABSENT'
+                ELSE 'T' || CAST(o_custkey AS VARCHAR) END AS title_joined,
            CASE WHEN len(htsource) >= pos THEN htsource[pos]
                 ELSE htsource[1] END AS htsource,
            CASE WHEN len(string_split(ht_id_display[1], '|')) >= 3
@@ -1585,6 +1602,19 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(ks.alias("ks"))
         .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("id"),
+            # P3 planting: an empty title array for every 6th record must
+            # come through the identical-field projection as ABSENT
+            # (absent-if-falsy, text_processor.py:67 / catalog P3)
+            F.when(
+                F.pmod("o_custkey", F.lit(6)) == 0,
+                F.array().cast("array<string>"),
+            )
+            .otherwise(
+                F.array(
+                    F.concat(F.lit("T"), F.col("o_custkey").cast("string"))
+                )
+            )
+            .alias("title"),
             F.transform(
                 "ks", lambda k: F.concat(F.lit("vol."), k.cast("string"))
             ).alias("ht_id"),
@@ -1655,6 +1685,13 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = catalog_item_metadata(cat)
     return items.select(
         "vol_id",
+        # P4 renamed copy: record_no <- id (ht_indexer_config.py:29-34)
+        "record_no",
+        # P3 identical field, absent-if-falsy -> 'ABSENT' sentinel so the
+        # NULL round-trips the hash compare deterministically
+        F.coalesce(F.array_join(F.col("title"), "|"), F.lit("ABSENT")).alias(
+            "title_joined"
+        ),
         "htsource",
         "volume_enumcron",
         F.size("_doc_json").cast("long").alias("epd_matches"),
