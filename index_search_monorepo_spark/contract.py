@@ -176,27 +176,69 @@ def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F5/F7 planting: a reference-shaped ht_id with a multi-dot object id
+# ('mdp' etc. namespaces; split must keep LATER dots in the object id) and
+# a numeric id whose zero-pad/strip round-trips are length-dependent
+_HTID_SQL = (
+    "'ns' || CAST(doc_id % 5 AS VARCHAR) || '.39015' "
+    "|| CAST(doc_id AS VARCHAR) || '.x'"
+)
+
+
 @register(
     "string_preparation",
     f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
-           {xmlesc_sql(spike_text_sql('text'))} AS escaped
+           {xmlesc_sql(spike_text_sql('text'))} AS escaped,
+           string_split({_HTID_SQL}, '.')[1] AS namespace,
+           '39015' || CAST(doc_id AS VARCHAR) || '.x' AS object_id,
+           CASE WHEN len(CAST(doc_id AS VARCHAR)) < 9
+                THEN lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                ELSE CAST(doc_id AS VARCHAR) END AS padded_id,
+           CASE WHEN ltrim(lpad(CAST(doc_id AS VARCHAR), 9, '0'), '0') = ''
+                THEN '0'
+                ELSE ltrim(lpad(CAST(doc_id AS VARCHAR), 9, '0'), '0')
+           END AS stripped_id
     FROM documents
     """,
 )
 def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + F2 in one gate row (text_processor.py:27-41 string_preparation
-    and :10-24 xmlesc, over the same spiked full text; merged so the
-    50-query driver budget covers both scalar-function families — r3
-    matrix note in COVERAGE.md). The spiked intermediate is bound once
-    behind a Project boundary (CLAUDE.md lesson #1: both outputs reference
-    it)."""
+    """F1 + F2 + F5 + F7 in one gate row: string_preparation and xmlesc
+    over the same spiked full text (text_processor.py:27-41, :10-24),
+    plus the namespace/object-id split on a multi-dot reference-shaped
+    ht_id and the zero-pad/strip-zeros pair — the scalar-function family
+    gate (r3 matrix note in COVERAGE.md). The spiked intermediate is
+    bound once behind a Project boundary (CLAUDE.md lesson #1)."""
+    from index_search_monorepo_spark.functions.text import (
+        namespace_expr,
+        object_id_expr,
+        strip_leading_zeros_expr,
+        zero_pad_id_expr,
+    )
+
     docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ht_id = F.concat(
+        F.lit("ns"),
+        F.pmod(d, F.lit(5)).cast("string"),
+        F.lit(".39015"),
+        d.cast("string"),
+        F.lit(".x"),
+    )
     return docs.withColumn("_spiked", spike_text_expr(F.col("text"))).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
         xmlesc_expr(F.col("_spiked")).alias("escaped"),
+        # F5: split('.', 1) — namespace before the FIRST dot, object id
+        # keeps the later dots (mysql_data_extractor.py:26-38)
+        namespace_expr(ht_id).alias("namespace"),
+        object_id_expr(ht_id).alias("object_id"),
+        # F7: zfill(9) iff shorter / lstrip('0') or '0' (ht_utils.py:133-148)
+        zero_pad_id_expr(d.cast("string")).alias("padded_id"),
+        strip_leading_zeros_expr(
+            zero_pad_id_expr(d.cast("string"))
+        ).alias("stripped_id"),
     )
 
 
