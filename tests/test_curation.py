@@ -321,3 +321,42 @@ class TestScaleGuards:
         assert "isFinalPlan=true" in final, plan
         assert "BroadcastHashJoin" in final, plan
         assert "SortMergeJoin" not in final, plan
+
+
+class TestSimhashBandingExactness:
+    def test_banded_pairs_equal_brute_force_at_hamming_2(self, spark):
+        """The pigeonhole claim (dedup.simhash_near_dup_pairs docstring):
+        with 4 bands and max_hamming=2 < 4, banding loses NO pairs — the
+        banded equality join must return exactly the brute-force pair set.
+        Verified on a corpus with planted near-identical texts."""
+        base = _docs(spark).limit(80)
+        # plant near-dups: truncate 1 token off copies of the first 15 docs
+        mutated = (
+            base.filter(F.col("doc_id") < 15)
+            .selectExpr(
+                "doc_id + 500000 AS doc_id",
+                "substring(text, 1, length(text) - 8) AS text",
+            )
+        )
+        corpus = base.unionByName(mutated)
+        banded = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.simhash_near_dup_pairs(corpus).collect()
+        }
+        # brute force: all-pairs hamming over the simhash column
+        sh = D.with_simhash(corpus)
+        a = sh.selectExpr("doc_id AS doc_a", "simhash AS sim_a")
+        b = sh.selectExpr("doc_id AS doc_b", "simhash AS sim_b")
+        brute = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .filter(
+                F.bit_count(
+                    F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+                )
+                <= 2
+            )
+            .collect()
+        }
+        assert banded == brute
+        assert len(brute) >= 5  # the planted mutants actually collide
