@@ -220,14 +220,14 @@ def _png_unfilter_row(
 
 def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL PNG decode — stdlib zlib inflate + numpy filter reconstruction
-    (no PIL needed): 8-bit gray / RGB / RGBA, non-interlaced. Palette,
-    16-bit, and Adam7 payloads return None (stub fallback) rather than
-    mis-decoding."""
+    (no PIL needed): 8-bit gray / RGB / RGBA / palette (PLTE),
+    non-interlaced. Sub-8-bit, 16-bit, and Adam7 payloads return None
+    (stub fallback) rather than mis-decoding."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         clen = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -236,6 +236,8 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         data = payload[pos + 8 : pos + 8 + clen]
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -246,11 +248,13 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 6):
+    if depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
+        return None
+    if color_type == 3 and (plte is None or len(plte) % 3):
         return None
     if w <= 0 or h <= 0 or w * h > 64_000_000:  # decompression-bomb guard
         return None
-    nch = {0: 1, 2: 3, 6: 4}[color_type]
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -271,6 +275,12 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         grid[y] = cur
         prev = cur
     px = grid.reshape(h, w, nch)
+    if color_type == 3:  # palette indices -> RGB via PLTE
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= palette.shape[0]:
+            return None
+        return w, h, np.ascontiguousarray(palette[idx])
     if nch == 1:
         px = np.repeat(px, 3, axis=2)
     return w, h, np.ascontiguousarray(px[:, :, :3])  # drop alpha

@@ -790,3 +790,48 @@ class TestTiffDecode:
         comp_entry = 8 + 2 + 12 * 3
         payload[comp_entry + 8] = 5
         assert MM.decode_image(bytes(payload)) is None
+
+
+def test_png_palette_decode():
+    """color_type 3: 8-bit palette indices resolve through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pal = [(250, 1, 2), (3, 250, 4), (5, 6, 250), (9, 9, 9)]
+    w, h = 5, 3
+    idx = np.array([[((x + y) % 4) for x in range(w)] for y in range(h)], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = MM.decode_image(payload)
+    assert got is not None
+    gw, gh, px, fmt = got
+    assert (gw, gh, fmt) == (w, h, "png")
+    expect = np.array(pal, np.uint8)[idx]
+    assert np.array_equal(px, expect)
+    # out-of-range index -> refuse rather than mis-map
+    bad = bytearray(payload)
+    short_pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(pal[0]))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert MM.decode_image(short_pal) is None
