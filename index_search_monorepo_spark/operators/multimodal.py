@@ -220,9 +220,9 @@ def _png_unfilter_row(
 
 def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL PNG decode — stdlib zlib inflate + numpy filter reconstruction
-    (no PIL needed): 8-bit gray / RGB / RGBA / palette (PLTE),
-    non-interlaced. Sub-8-bit, 16-bit, and Adam7 payloads return None
-    (stub fallback) rather than mis-decoding."""
+    (no PIL needed): 8-bit gray / RGB / RGBA / palette (PLTE), sequential
+    or Adam7-interlaced. Sub-8-bit and 16-bit payloads return None (stub
+    fallback) rather than mis-decoding."""
     import zlib
 
     if not payload.startswith(_PNG_SIG):
@@ -248,7 +248,7 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 6):
+    if depth != 8 or interlace not in (0, 1) or color_type not in (0, 2, 3, 6):
         return None
     if color_type == 3 and (plte is None or len(plte) % 3):
         return None
@@ -259,22 +259,47 @@ def _parse_png(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        return None
-    grid = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        row = np.frombuffer(raw, np.uint8, stride, rpos + 1)
-        rpos += stride + 1
-        cur = _png_unfilter_row(f, row, prev, nch)
-        if cur is None:
+    def unfilter_block(bw: int, bh: int, rpos: int):
+        """Reconstruct bh scanlines of bw pixels from raw[rpos:]; returns
+        (grid, next_rpos) or None. Shared by the sequential image and each
+        Adam7 pass (a pass's filters reference the PASS's previous row)."""
+        bstride = bw * nch
+        if len(raw) < rpos + bh * (bstride + 1):
             return None
-        grid[y] = cur
-        prev = cur
-    px = grid.reshape(h, w, nch)
+        g = np.zeros((bh, bstride), dtype=np.uint8)
+        prev = np.zeros(bstride, dtype=np.uint8)
+        for y in range(bh):
+            f = raw[rpos]
+            row = np.frombuffer(raw, np.uint8, bstride, rpos + 1)
+            rpos += bstride + 1
+            cur = _png_unfilter_row(f, row, prev, nch)
+            if cur is None:
+                return None
+            g[y] = cur
+            prev = cur
+        return g.reshape(bh, bw, nch), rpos
+
+    if interlace == 0:
+        out = unfilter_block(w, h, 0)
+        if out is None:
+            return None
+        px = out[0]
+    else:  # Adam7: seven sub-images, scattered on an 8x8 lattice
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        rpos = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            out = unfilter_block(pw, ph, rpos)
+            if out is None:
+                return None
+            block, rpos = out
+            px[y0::dy, x0::dx] = block
     if color_type == 3:  # palette indices -> RGB via PLTE
         palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]

@@ -280,12 +280,58 @@ class TestPngDecode:
         good = MM.encode_png(px)
         # truncated IDAT
         assert MM.decode_image(good[:40]) is None
-        # interlaced flag set -> refuse rather than mis-decode
+        # interlace flag set but sequential-layout IDAT: Adam7 byte
+        # accounting cannot be satisfied -> refuse, never mis-decode
         bad = bytearray(good)
         bad[8 + 8 + 12] = 1  # IHDR interlace byte
         assert MM.decode_image(bytes(bad)) is None
+        # 16-bit depth -> unsupported
+        bad16 = bytearray(good)
+        bad16[8 + 8 + 8] = 16  # IHDR bit-depth byte
+        assert MM.decode_image(bytes(bad16)) is None
         # not a PNG at all
         assert MM.decode_image(b"\x89PNGnope") is None
+
+    def test_adam7_interlaced_round_trip(self):
+        """A hand-built Adam7 stream (each pass encoded filter-0 from the
+        spec's sub-sampling lattice) reconstructs the original image."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        w, h = 9, 6
+        px = self._grid(w, h)
+        raw = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            block = px[y0::dy, x0::dx]
+            if block.size == 0:
+                continue
+            for row in block:
+                raw += b"\x00" + row.astype(np.uint8).tobytes()
+
+        def chunk(ctype, data):
+            body = ctype + data
+            return (
+                struct.pack(">I", len(data))
+                + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        got = MM.decode_image(payload)
+        assert got is not None
+        gw, gh, grid, fmt = got
+        assert (gw, gh, fmt) == (w, h, "png")
+        assert np.array_equal(grid, px)
 
     def test_png_through_metadata_and_resize_kernels(self, spark):
         import numpy as np
