@@ -255,6 +255,13 @@ def decode_baseline(payload: bytes):  # noqa: C901 - marker machine
                 if frame is None:
                     return None
                 ns = seg[0]
+                if ns != len(frame["comps"]):
+                    # Non-interleaved baseline (per-component scans): this
+                    # decoder handles only the single interleaved scan, and
+                    # decoding just the first scan would mis-shape MCUs and
+                    # return a Y-only image as grayscale. Contract is
+                    # "return None rather than mis-decode" -> stub fallback.
+                    return None
                 scan = []
                 for k in range(ns):
                     cs, tables = seg[1 + 2 * k], seg[2 + 2 * k]

@@ -389,15 +389,24 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray
     return out if len(out) >= n_pixels else None
 
 
-def _gif_frames(
-    payload: bytes, max_frames: int
-) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
-    """REAL GIF decode (GIF87a/89a), multi-frame: logical-screen canvas,
-    per-frame LZW index streams composed with left/top offsets,
-    transparency masking, disposal none/keep/restore-background, frame
-    delays from the graphic-control extension. Returns
-    (width, height, [(delay_ms, rgb_canvas), ...]) — up to max_frames —
-    or None for malformed / restore-previous-disposal payloads."""
+class _GifMalformed(Exception):
+    """Raised by the _gif_open frame generator mid-stream; wrappers map it
+    to a None return so malformed corpus bytes stay rows, never failures."""
+
+
+def _gif_open(payload: bytes):
+    """REAL GIF decode (GIF87a/89a), streaming: parse the logical screen
+    eagerly and return (width, height, frame_gen) — or None for a non-GIF
+    header. frame_gen yields (delay_ms, canvas) per composed frame, where
+    canvas is the ONE live logical-screen buffer reused across frames:
+    callers must .copy() any frame they retain. This keeps decode memory
+    at a single canvas (≤64M px) no matter how many frames the payload
+    declares — a tiny GIF claiming a huge screen plus hundreds of 1×1
+    frames can no longer force per-frame canvas materialization.
+    Composition handles left/top offsets, transparency masking, disposal
+    none/keep/restore-background, and GCE frame delays; malformed or
+    restore-previous-disposal streams raise _GifMalformed from the
+    generator."""
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         return None
     sw = int.from_bytes(payload[6:8], "little")
@@ -406,111 +415,136 @@ def _gif_frames(
     bg_index = payload[11]
     if sw <= 0 or sh <= 0 or sw * sh > 64_000_000:
         return None
-    pos = 13
+    pos0 = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        gct = payload[pos : pos + 3 * n]
-        pos += 3 * n
+        gct = payload[pos0 : pos0 + 3 * n]
+        pos0 += 3 * n
     bg_rgb = (0, 0, 0)
     if gct is not None and 3 * bg_index + 3 <= len(gct):
         bg_rgb = tuple(gct[3 * bg_index : 3 * bg_index + 3])
-    canvas = np.empty((sh, sw, 3), np.uint8)
-    canvas[:, :] = bg_rgb
-    frames: list[tuple[int, np.ndarray]] = []
-    delay_ms = 0
-    transparent: int | None = None
-    disposal = 0
-    while pos < len(payload):
-        b0 = payload[pos]
-        if b0 == 0x21:  # extension
-            if pos + 2 > len(payload):
-                return None
-            label = payload[pos + 1]
-            pos += 2
-            if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
-                gce = payload[pos + 1 : pos + 5]
-                disposal = (gce[0] >> 2) & 0x07
-                delay_ms = int.from_bytes(gce[1:3], "little") * 10
-                transparent = gce[3] if gce[0] & 0x01 else None
-            while pos < len(payload) and payload[pos] != 0:
-                pos += 1 + payload[pos]
-            pos += 1
-        elif b0 == 0x2C:  # image descriptor
-            if pos + 10 > len(payload):
-                return None
-            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
-            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
-            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
-            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
-            iflags = payload[pos + 9]
-            pos += 10
-            pal = gct
-            if iflags & 0x80:  # local color table
-                n = 2 << (iflags & 0x07)
-                pal = payload[pos : pos + 3 * n]
-                pos += 3 * n
-            if (
-                pal is None
-                or w <= 0
-                or h <= 0
-                or left + w > sw
-                or top + h > sh
-            ):
-                return None
-            if disposal == 3:
-                return None  # restore-previous: not supported
-            if pos >= len(payload):
-                return None
-            min_code_size = payload[pos]
-            pos += 1
-            if not 2 <= min_code_size <= 11:
-                return None
-            data = bytearray()
-            while pos < len(payload) and payload[pos] != 0:
-                blen = payload[pos]
-                data += payload[pos + 1 : pos + 1 + blen]
-                pos += 1 + blen
-            pos += 1  # block terminator
-            idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
-            if idx is None:
-                return None
-            indices = np.frombuffer(bytes(idx[: w * h]), np.uint8)
-            palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
-            if indices.max(initial=0) >= palette.shape[0]:
-                return None
-            grid = indices.reshape(h, w)
-            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
-                order = np.concatenate(
-                    [
-                        np.arange(0, h, 8),
-                        np.arange(4, h, 8),
-                        np.arange(2, h, 4),
-                        np.arange(1, h, 2),
-                    ]
-                )
-                deinterlaced = np.empty_like(grid)
-                deinterlaced[order] = grid
-                grid = deinterlaced
-            region = canvas[top : top + h, left : left + w]
-            px = palette[grid]
-            if transparent is not None:
-                mask = grid != transparent
-                region[mask] = px[mask]
+
+    def gen():
+        canvas = np.empty((sh, sw, 3), np.uint8)
+        canvas[:, :] = bg_rgb
+        pos = pos0
+        delay_ms = 0
+        transparent: int | None = None
+        disposal = 0
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x21:  # extension
+                if pos + 2 > len(payload):
+                    raise _GifMalformed
+                label = payload[pos + 1]
+                pos += 2
+                if label == 0xF9 and pos < len(payload) and payload[pos] >= 4:
+                    gce = payload[pos + 1 : pos + 5]
+                    disposal = (gce[0] >> 2) & 0x07
+                    delay_ms = int.from_bytes(gce[1:3], "little") * 10
+                    transparent = gce[3] if gce[0] & 0x01 else None
+                while pos < len(payload) and payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                if pos + 10 > len(payload):
+                    raise _GifMalformed
+                left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+                top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+                w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+                iflags = payload[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:  # local color table
+                    n = 2 << (iflags & 0x07)
+                    pal = payload[pos : pos + 3 * n]
+                    pos += 3 * n
+                if (
+                    pal is None
+                    or w <= 0
+                    or h <= 0
+                    or left + w > sw
+                    or top + h > sh
+                ):
+                    raise _GifMalformed
+                if disposal == 3:
+                    raise _GifMalformed  # restore-previous: not supported
+                if pos >= len(payload):
+                    raise _GifMalformed
+                min_code_size = payload[pos]
+                pos += 1
+                if not 2 <= min_code_size <= 11:
+                    raise _GifMalformed
+                data = bytearray()
+                while pos < len(payload) and payload[pos] != 0:
+                    blen = payload[pos]
+                    data += payload[pos + 1 : pos + 1 + blen]
+                    pos += 1 + blen
+                pos += 1  # block terminator
+                idx = _gif_lzw_decode(bytes(data), min_code_size, w * h)
+                if idx is None:
+                    raise _GifMalformed
+                indices = np.frombuffer(bytes(idx[: w * h]), np.uint8)
+                palette = np.frombuffer(pal, np.uint8).reshape(-1, 3)
+                if indices.max(initial=0) >= palette.shape[0]:
+                    raise _GifMalformed
+                grid = indices.reshape(h, w)
+                if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                    order = np.concatenate(
+                        [
+                            np.arange(0, h, 8),
+                            np.arange(4, h, 8),
+                            np.arange(2, h, 4),
+                            np.arange(1, h, 2),
+                        ]
+                    )
+                    deinterlaced = np.empty_like(grid)
+                    deinterlaced[order] = grid
+                    grid = deinterlaced
+                region = canvas[top : top + h, left : left + w]
+                px = palette[grid]
+                if transparent is not None:
+                    mask = grid != transparent
+                    region[mask] = px[mask]
+                else:
+                    region[:, :] = px
+                yield delay_ms, canvas
+                if disposal == 2:  # restore rect to background after display
+                    canvas[top : top + h, left : left + w] = bg_rgb
+                delay_ms = 0
+                transparent = None
+                disposal = 0
+            elif b0 == 0x3B:  # trailer
+                return
             else:
-                region[:, :] = px
+                raise _GifMalformed
+
+    return sw, sh, gen()
+
+
+def _gif_frames(
+    payload: bytes, max_frames: int
+) -> tuple[int, int, list[tuple[int, np.ndarray]]] | None:
+    """Materializing wrapper over _gif_open for callers that need retained
+    frames (single-frame decode, small-N tests). Returns
+    (width, height, [(delay_ms, rgb_canvas), ...]) — up to max_frames —
+    or None for malformed / restore-previous-disposal payloads. Retains
+    max_frames canvas copies: keep max_frames small; timeline sampling
+    goes through gif_sample_frames, which never materializes the list."""
+    opened = _gif_open(payload)
+    if opened is None:
+        return None
+    sw, sh, frame_gen = opened
+    frames: list[tuple[int, np.ndarray]] = []
+    try:
+        for delay_ms, canvas in frame_gen:
             frames.append((delay_ms, canvas.copy()))
-            if disposal == 2:  # restore rect to background after display
-                canvas[top : top + h, left : left + w] = bg_rgb
-            delay_ms = 0
-            transparent = None
-            disposal = 0
             if len(frames) >= max_frames:
-                return sw, sh, frames
-        elif b0 == 0x3B:  # trailer
-            break
-        else:
-            return None
+                break
+    except _GifMalformed:
+        return None
     return (sw, sh, frames) if frames else None
 
 
@@ -892,27 +926,40 @@ def resize_media(df_with_payload: DataFrame, width: int, height: int) -> DataFra
 def gif_sample_frames(
     payload: bytes, every_ms: int, max_frames: int
 ) -> list[tuple[int, int, bytes]] | None:
-    """REAL frame sampling for animated GIF: compose frames on the
-    logical-screen canvas (_gif_frames), walk the frame timeline, and emit
-    the frame on display at each every_ms sample point, re-encoded as
-    canonical PPM. Untimed frames (delay 0) count as every_ms apart, so an
-    untimed N-frame GIF yields min(N, max_frames) frames. Returns
-    [(frame_no, ts_ms, ppm_bytes)] or None for non-GIF payloads."""
-    decoded = _gif_frames(payload, 64 * max_frames)
-    if decoded is None:
+    """REAL frame sampling for animated GIF: stream frames off the single
+    live logical-screen canvas (_gif_open) and copy/encode ONLY at sample
+    points — decode memory is one canvas regardless of declared frame
+    count, and retained output is capped at 64M pixels total
+    (screen_px × kept_frames), so a hostile payload declaring a large
+    screen plus hundreds of tiny frames cannot OOM an executor. Walked
+    frames are capped at 64 × max_frames (same decode bound as before).
+    Untimed frames (delay 0) count as every_ms apart, so an untimed
+    N-frame GIF yields min(N, max_frames) frames. Returns
+    [(frame_no, ts_ms, ppm_bytes)] or None for non-GIF/malformed
+    payloads (the caller's stub path)."""
+    opened = _gif_open(payload)
+    if opened is None:
         return None
-    _sw, _sh, frames = decoded
-    out = []
+    sw, sh, frame_gen = opened
+    # sw*sh ≤ 64M is guaranteed by _gif_open; keep total retained pixels
+    # ≤ 64M so the sampled-frame list is bounded even at max screen size.
+    max_keep = min(max_frames, max(1, 64_000_000 // (sw * sh)))
+    out: list[tuple[int, int, bytes]] = []
     ts = 0
     next_sample = 0
-    for delay, canvas in frames:
-        if len(out) >= max_frames:
-            break
-        if ts >= next_sample:
-            out.append((len(out), ts, encode_ppm(canvas)))
-            next_sample = ts + every_ms
-        ts += delay if delay > 0 else every_ms
-    return out
+    walked = 0
+    try:
+        for delay, canvas in frame_gen:
+            if ts >= next_sample and len(out) < max_keep:
+                out.append((len(out), ts, encode_ppm(canvas)))
+                next_sample = ts + every_ms
+            ts += delay if delay > 0 else every_ms
+            walked += 1
+            if len(out) >= max_keep or walked >= 64 * max_frames:
+                break
+    except _GifMalformed:
+        return None
+    return out if out else None
 
 
 def sample_frames(

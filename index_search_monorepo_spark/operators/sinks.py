@@ -30,34 +30,52 @@ from pyspark.sql import DataFrame
 # ---------------------------------------------------------------------------
 
 _STATUS_SCHEMA = (
-    "partition_id int, batch_no int, n_docs int, status int, error string"
+    "partition_id int, batch_no int, batch_id string, n_docs int,"
+    " status int, error string"
 )
 
 
 def post_json_batches(
-    docs: DataFrame, url: str, batch_size: int = 100, timeout: float = 30.0
+    docs: DataFrame,
+    url: str,
+    batch_size: int = 100,
+    timeout: float = 30.0,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """POST rows as JSON arrays of `batch_size` documents per request (the
     reference's 100-docs/POST operating constant, BASELINE.md). Returns a
-    status DataFrame — (partition_id, batch_no, n_docs, status, error) — one
-    row per batch; a failed batch reports status=-1 with the error text
-    (DLQ-equivalent: requeue decisions belong to the caller, the job never
-    fails). Legitimate RDD/mapPartitions use: a sink boundary with
-    imperative per-partition I/O.
+    status DataFrame — (partition_id, batch_no, batch_id, n_docs, status,
+    error) — one row per batch; a failed batch reports status=-1 with the
+    error text (DLQ-equivalent: requeue decisions belong to the caller, the
+    job never fails). Legitimate RDD/mapPartitions use: a sink boundary
+    with imperative per-partition I/O.
 
     Delivery semantics: **at-least-once, materialized exactly once per
     call.** The POSTs run eagerly inside this function (the status RDD is
-    localCheckpoint'ed and counted before the DataFrame is built), so
-    counting AND collecting the returned statuses — or any number of later
-    actions — replays cached status rows, not the HTTP requests (ADVICE
-    r02: the previous lazy form re-sent every partition's batches on every
-    action). Task retries and speculative attempts can still re-send a
-    partition's batches — that is inherent to side-effecting tasks — so
-    the receiving endpoint must be idempotent (Solr's update-by-id is);
-    disable spark.speculation for jobs driving non-idempotent sinks."""
+    persist(MEMORY_AND_DISK)'ed and counted before the DataFrame is
+    built), so counting AND collecting the returned statuses — or any
+    number of later actions — replays cached status rows, not the HTTP
+    requests (ADVICE r02: the previous lazy form re-sent every partition's
+    batches on every action). Task retries and speculative attempts can
+    still re-send a partition's batches — that is inherent to
+    side-effecting tasks — so each request carries a **deterministic
+    idempotency key**: `batch_id` = md5 of the exact JSON body, sent as
+    the `X-Batch-Id` header (a header, not a body field, so the body stays
+    a plain Solr-compatible document array) and recorded in the status
+    rows. A retried task re-serializes identical rows → identical
+    batch_id, so the endpoint (or a log scraper) can detect and drop
+    duplicate deliveries. Disable spark.speculation for jobs driving
+    endpoints that ignore the key.
+
+    Cache lifecycle: pass cache_registry=[] to collect the persisted
+    status RDD and release it with `operators.dedup.release_caches` once
+    the returned frame is materialized; with the default None the status
+    rows stay cached for the session (tiny — one row per batch), which
+    repeated sink calls in a long-lived session may want to avoid."""
     cols = docs.columns
 
     def run(it):
+        import hashlib as _hashlib
         import json as _json
         import urllib.request
 
@@ -68,14 +86,22 @@ def post_json_batches(
 
         def flush(batch, bno):
             body = _json.dumps(batch).encode("utf-8")
+            batch_id = _hashlib.md5(body).hexdigest()
             req = urllib.request.Request(
-                url, data=body, headers={"Content-Type": "application/json"}
+                url,
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "X-Batch-Id": batch_id,
+                },
             )
             try:
                 with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    return (pid, bno, len(batch), int(resp.status), None)
+                    return (
+                        pid, bno, batch_id, len(batch), int(resp.status), None
+                    )
             except Exception as e:  # noqa: BLE001 - errors are rows
-                return (pid, bno, len(batch), -1, str(e)[:500])
+                return (pid, bno, batch_id, len(batch), -1, str(e)[:500])
 
         batch, bno = [], 0
         for row in it:
@@ -99,6 +125,8 @@ def post_json_batches(
         StorageLevel.MEMORY_AND_DISK
     )
     status_rdd.count()
+    if cache_registry is not None:
+        cache_registry.append(status_rdd)
     return docs.sparkSession.createDataFrame(status_rdd, _STATUS_SCHEMA)
 
 

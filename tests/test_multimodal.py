@@ -555,6 +555,21 @@ class TestJpegDecode:
         got = MM.decode_image(J.encode_baseline(img, quant=8))
         assert got is not None and got[0] == 16 and got[1] == 16
 
+    def test_non_interleaved_multi_scan_falls_back(self):
+        from index_search_monorepo_spark.operators import jpeg as J
+
+        # Rewrite the 3-component interleaved SOS into a 1-component scan
+        # (legal non-interleaved baseline layout). Decoding only the Y scan
+        # would mis-shape MCUs and return grayscale; contract says None.
+        payload = bytes(J.encode_baseline(self._img(16, 16), quant=1))
+        idx = payload.find(b"\xff\xda")
+        seg = payload[idx + 4 :]  # after marker+length: ns, pairs, Ss Se AhAl
+        assert seg[0] == 3
+        new_sos = bytes([0, 8, 1]) + seg[1:3] + seg[7:10]
+        hacked = payload[: idx + 2] + new_sos + payload[idx + 14 :]
+        assert J.decode_baseline(hacked) is None
+        assert MM.decode_image(hacked) is None
+
     def test_progressive_and_truncated_fall_back(self):
         from index_search_monorepo_spark.operators import jpeg as J
 
@@ -699,6 +714,28 @@ class TestAnimatedGif:
         payload = self._animated([0, 0, 0], [1, 2, 3])
         frames = MM.gif_sample_frames(payload, every_ms=1000, max_frames=2)
         assert len(frames) == 2  # max_frames cap on untimed animation
+
+    def test_hostile_many_frame_gif_is_memory_bounded(self):
+        # A ~1 KB payload declaring a 6400x5000 logical screen (32M px)
+        # plus 20 tiny 1x1 frames used to materialize one full canvas copy
+        # PER FRAME (~1.9 GB). Frames now stream off one live canvas and
+        # retained output is capped at 64M px total -> exactly 2 kept.
+        import struct
+
+        w, h = 6400, 5000
+        pal = b"\x00\x00\x00\xff\x00\x00\x00\xff\x00\x00\x00\xff"
+        out = bytearray(
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0) + pal
+        )
+        lzw = TestGifDecode._lzw_encode([1], 2)
+        for _ in range(20):
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+            out += b"\x02" + bytes([len(lzw)]) + lzw + b"\x00"
+        out += b"\x3b"
+        assert len(out) < 2048
+        frames = MM.gif_sample_frames(bytes(out), every_ms=1000, max_frames=8)
+        assert len(frames) == 64_000_000 // (w * h) == 2
+        assert frames[0][2].startswith(b"P6")
 
     def test_spark_kernel_emits_real_gif_frames(self, spark):
         payload = self._animated([100, 100], [1, 2])

@@ -20,12 +20,14 @@ from index_search_monorepo_spark.operators.sinks import (
 
 class _Collector(http.server.BaseHTTPRequestHandler):
     batches: list[list[dict]] = []
+    batch_ids: list[str] = []
     lock = threading.Lock()
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers["Content-Length"]))
         with self.lock:
             type(self).batches.append(json.loads(body))
+            type(self).batch_ids.append(self.headers.get("X-Batch-Id", ""))
         self.send_response(200)
         self.end_headers()
         self.wfile.write(b"{}")
@@ -83,6 +85,49 @@ class TestHttpSink:
             status.collect()
             status.collect()
             assert len(_Collector.batches) == n_after_call  # no re-sends
+        finally:
+            srv.shutdown()
+
+    def test_idempotency_key_is_stable_across_resends(self, spark):
+        """At-least-once hardening: every request carries a deterministic
+        X-Batch-Id (md5 of the JSON body) that also lands in the status
+        rows — a retried/replayed send of the same rows produces the SAME
+        id, so duplicate deliveries are detectable downstream."""
+        import hashlib
+
+        _Collector.batches = []
+        _Collector.batch_ids = []
+        srv = _serve()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/u"
+            docs = spark.range(20).select(
+                F.col("id").alias("doc_id")
+            ).coalesce(1)
+            reg: list = []
+            first = post_json_batches(
+                docs, url, batch_size=10, cache_registry=reg
+            )
+            ids_first = [r["batch_id"] for r in first.collect()]
+            # server-observed header == status-row id == md5(body)
+            assert sorted(_Collector.batch_ids) == sorted(ids_first)
+            expect = [
+                hashlib.md5(json.dumps(b).encode()).hexdigest()
+                for b in _Collector.batches
+            ]
+            assert sorted(expect) == sorted(ids_first)
+            # simulated re-delivery (same rows): identical ids
+            second = post_json_batches(docs, url, batch_size=10)
+            assert sorted(r["batch_id"] for r in second.collect()) == sorted(
+                ids_first
+            )
+            # cache lifecycle: registry collected the persisted status RDD
+            assert len(reg) == 1 and reg[0].is_cached
+            from index_search_monorepo_spark.operators.dedup import (
+                release_caches,
+            )
+
+            release_caches(reg)
+            assert reg == []
         finally:
             srv.shutdown()
 
