@@ -133,6 +133,16 @@ sh AS (
 # ===========================================================================
 
 
+# A3 planting: a deterministic per-page METS LABEL (features CSV) derived
+# from (page order, doc id) so the distinct-flatten set varies per doc
+_FEAT_SQL = (
+    "CASE WHEN page_no = 1 THEN 'FRONT_COVER, IMAGE_ON_PAGE'"
+    " WHEN page_no % 3 = 0 THEN 'UNTYPICAL_PAGE, IMAGE_ON_PAGE'"
+    " WHEN CAST(doc_id AS BIGINT) % 4 = 0 THEN 'CHAPTER_START'"
+    " ELSE 'TYPICAL' END"
+)
+
+
 @register(
     "ocr_concat",
     "WITH pages AS ("
@@ -140,14 +150,47 @@ sh AS (
     + ") SELECT doc_id, string_agg("
     + string_preparation_sql("page_text")
     + ", ' ' ORDER BY page_no) AS ocr,"
-    " CAST(count(*) AS BIGINT) AS n_pages FROM pages GROUP BY doc_id",
+    " CAST(count(*) AS BIGINT) AS n_pages,"
+    " array_to_string(list_sort(list_distinct(flatten(list("
+    f"string_split({_FEAT_SQL}, ', '))))), ', ') AS ht_page_feature"
+    " FROM pages GROUP BY doc_id",
 )
 def q_ocr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 flagship: per-doc ordered page concat with bit-exact
-    string_preparation (full_text_document_generator.py:89-109)."""
+    string_preparation (full_text_document_generator.py:89-109) — plus
+    (NEW r4) the A3 distinct-METS-features fold on the same assembled-doc
+    grain: per-page LABEL values planted from (ORDER, doc id), distinct-
+    flattened through the REAL ht_page_feature_expr
+    (mets_file_extractor.py:52-61). Still pure per-row expressions,
+    zero shuffle on the Spark side of the feature column."""
+    from index_search_monorepo_spark.operators.extraction import (
+        ht_page_feature_expr,
+    )
+
     spans = documents_to_spans(_t(spark, sf_dir, "documents"))
+    d = F.col("doc_id").cast("long")
+    page_features = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            F.when(s["offset"] == 1, F.lit("FRONT_COVER, IMAGE_ON_PAGE"))
+            .when(
+                F.pmod(s["offset"], F.lit(3)) == 0,
+                F.lit("UNTYPICAL_PAGE, IMAGE_ON_PAGE"),
+            )
+            .when(F.pmod(d, F.lit(4)) == 0, F.lit("CHAPTER_START"))
+            .otherwise(F.lit("TYPICAL"))
+            .alias("features"),
+            F.lit(None).cast("string").alias("pgnum"),
+        ),
+    )
     return with_ocr(spans).select(
-        "doc_id", "ocr", F.size("spans").cast("long").alias("n_pages")
+        "doc_id",
+        "ocr",
+        F.size("spans").cast("long").alias("n_pages"),
+        F.array_join(ht_page_feature_expr(page_features), ", ").alias(
+            "ht_page_feature"
+        ),
     )
 
 
@@ -185,9 +228,20 @@ _HTID_SQL = (
 )
 
 
+_PT_RAW_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'ark:/13960/t' || CAST(doc_id AS VARCHAR)"
+    " ELSE '39015' || CAST(doc_id AS VARCHAR) || '.x' END"
+)
+
+
 @register(
     "string_preparation",
     f"""
+    WITH pt AS (
+      SELECT doc_id, text,
+             translate({_PT_RAW_SQL}, './:', ',=+') AS pt_clean
+      FROM documents
+    )
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
            {xmlesc_sql(spike_text_sql('text'))} AS escaped,
@@ -199,20 +253,30 @@ _HTID_SQL = (
            CASE WHEN ltrim(lpad(CAST(doc_id AS VARCHAR), 9, '0'), '0') = ''
                 THEN '0'
                 ELSE ltrim(lpad(CAST(doc_id AS VARCHAR), 9, '0'), '0')
-           END AS stripped_id
-    FROM documents
+           END AS stripped_id,
+           pt_clean AS pairtree_id,
+           '/' || array_to_string(
+                    regexp_extract_all(pt_clean, '(.{{1,2}})', 1), '/')
+               || '/' || pt_clean AS pairtree_path
+    FROM pt
     """,
 )
 def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 + F2 + F5 + F7 in one gate row: string_preparation and xmlesc
-    over the same spiked full text (text_processor.py:27-41, :10-24),
-    plus the namespace/object-id split on a multi-dot reference-shaped
-    ht_id and the zero-pad/strip-zeros pair — the scalar-function family
-    gate (r3 matrix note in COVERAGE.md). The spiked intermediate is
-    bound once behind a Project boundary (CLAUDE.md lesson #1)."""
+    """F1 + F2 + F5 + F6 + F7 in one gate row: string_preparation and
+    xmlesc over the same spiked full text (text_processor.py:27-41,
+    :10-24), the namespace/object-id split on a multi-dot
+    reference-shaped ht_id, the zero-pad/strip-zeros pair, and (NEW r4)
+    the F6 pairtree sanitize + 2-char shard path (ht_document.py:63-74,
+    golden ht_document_test.py:10-23) over planted ids that exercise all
+    three special characters ('.' and the ark-style ':' '/') — the
+    scalar-function family gate (r3 matrix note in COVERAGE.md). The
+    spiked intermediate is bound once behind a Project boundary
+    (CLAUDE.md lesson #1)."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
+        pairtree_path_expr,
+        pairtree_sanitize_expr,
         strip_leading_zeros_expr,
         zero_pad_id_expr,
     )
@@ -226,6 +290,11 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("string"),
         F.lit(".x"),
     )
+    # F6 planting: every third id is ark-style (':' '/'), the rest dotted
+    pt_raw = F.when(
+        F.pmod(d, F.lit(3)) == 0,
+        F.concat(F.lit("ark:/13960/t"), d.cast("string")),
+    ).otherwise(F.concat(F.lit("39015"), d.cast("string"), F.lit(".x")))
     return docs.withColumn("_spiked", spike_text_expr(F.col("text"))).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
@@ -239,6 +308,9 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_leading_zeros_expr(
             zero_pad_id_expr(d.cast("string"))
         ).alias("stripped_id"),
+        # F6: pairtree sanitize + shard path (ht_document.py:63-74)
+        pairtree_sanitize_expr(pt_raw).alias("pairtree_id"),
+        pairtree_path_expr(pt_raw).alias("pairtree_path"),
     )
 
 
@@ -868,18 +940,36 @@ def _dismax_term_sql(t: str) -> str:
           f" x -> x = '{t}')) > 0 OR lower(lang) = '{t}'"
           for t in _DISMAX_TERMS
       )}
+    ),
+    exp AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, lang AS export_lang,
+             CAST(row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR)) - 1
+                  AS BIGINT) AS export_ord
+      FROM documents
     )
-    SELECT doc_id, score_x2, CAST(rnk AS BIGINT) AS rank
+    SELECT s.doc_id, s.score_x2, CAST(s.rnk AS BIGINT) AS rank,
+           e.export_ord, e.export_lang
     FROM (SELECT *, row_number() OVER (ORDER BY score_x2 DESC, doc_id) AS rnk
-          FROM scored)
-    WHERE rnk <= 25
+          FROM scored) s
+    JOIN exp e ON CAST(s.doc_id AS VARCHAR) = e.id
+    WHERE s.rnk <= 25
     """,
 )
 def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/§3.2 dismax relevance top-k (search.engine over the documents
     table): qf=[(text,1),(lang,50)], tie=0.5, operator OR, integer score via
-    score_x2 = 2*score = max + sum per term."""
+    score_x2 = 2*score = max + sum per term.
+
+    NEW r4: also gates W3 stable export order + P5 fl projection
+    (export_all_results.py:43-54,159-174) — the REAL engine.export_all
+    runs over the full corpus with fl=[id, lang], its produced ROW ORDER
+    is materialized into data via zipWithIndex (the S9 ordinal trick:
+    order rides in data, never row order), and each top-k doc's position
+    in that export (export_ord) plus its fl-projected field (export_lang)
+    is compared against the oracle's row_number over the same sort key.
+    A mis-sort anywhere before a sampled doc shifts its ordinal."""
     from index_search_monorepo_spark.search import SearchQuery, with_dismax_score
+    from index_search_monorepo_spark.search.engine import export_all
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     q = SearchQuery(
@@ -897,10 +987,26 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.desc("score_x2"), F.asc("doc_id"))
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 25)
     )
+    # W3/P5: stable-ordered export with fl projection; zipWithIndex turns
+    # the sorted row order into a data column (bounded: one pass over the
+    # corpus, ordinals assigned per sorted partition, no driver collect)
+    exported = export_all(
+        docs.select(F.col("doc_id").cast("string").alias("id"), "lang"),
+        SearchQuery(fl=["id", "lang"]),
+    )
+    exp_df = exported.sparkSession.createDataFrame(
+        exported.rdd.zipWithIndex().map(
+            lambda t: (t[0][0], t[0][1], t[1])
+        ),
+        "id string, export_lang string, export_ord long",
+    )
+    return topk.join(
+        exp_df, topk["doc_id"].cast("string") == exp_df["id"]
+    ).select("doc_id", "score_x2", "rank", "export_ord", "export_lang")
 
 
 @register(
@@ -1759,6 +1865,7 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              'printed ' || CAST(1800 + doc_id % 100 AS VARCHAR) AS v260c,
              ' subj' || CAST(doc_id % 5 AS VARCHAR) || ' ' AS v650a
       FROM documents
+      WHERE doc_id % 50 <> 0
     )
     SELECT doc_id,
            (
@@ -1773,7 +1880,13 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 5 = 0
                 THEN regexp_extract(v260c, '[0-9]{4}')
                 ELSE regexp_extract(v264c, '[0-9]{4}') END AS pub_year,
-           trim(v650a) AS subjects
+           trim(v650a) AS subjects,
+           '01234cam' || CAST(doc_id AS VARCHAR) AS marc_leader,
+           'ctl' || CAST(doc_id AS VARCHAR) AS marc_ctrl,
+           'ab' AS marc_codes,
+           'T' || CAST(doc_id AS VARCHAR) || ' S' || CAST(doc_id AS VARCHAR)
+             AS marc_vals,
+           '10' AS marc_inds
     FROM recs
     """,
 )
@@ -1783,8 +1896,19 @@ def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-4-digit-year extraction (264$c before 260$c), and subject
     collection — over a MARC record shape synthesized from `documents`
     (fields 502 / 974 / 264 / 260 / 650 / empty 653, planted to hit every
-    branch), running the REAL marc_extracts expressions."""
+    branch), running the REAL marc_extracts expressions.
+
+    NEW r4: also gates S8's MARC-JSON normalize shape
+    (ht_marc_json_reader.py:31-84) — a planted newline-JSON MARC line per
+    row (control field, dict AND two-element-list subfield encodings, a
+    stray string skipped, every 50th line malformed) goes through the
+    SAME normalize path the gz reader uses (marc_json_record_udf) and the
+    parsed leader / control data / subfield codes+values / indicators are
+    compared; malformed lines drop out like the reader's line-skip."""
     from index_search_monorepo_spark.operators import marc_extracts as MX
+    from index_search_monorepo_spark.sources.marc_json import (
+        marc_json_record_udf,
+    )
 
     d = F.col("doc_id")
 
@@ -1844,14 +1968,54 @@ def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             fld("653", "a", F.lit("")),
         ).alias("fields"),
+        # S8 planting: a MARC-JSON line exercising the control-field,
+        # dict-subfield, list-subfield and stray-string encodings; every
+        # 50th line is malformed JSON (must be dropped, not parsed)
+        F.when(F.pmod(d, F.lit(50)) == 0, F.lit("{broken")).otherwise(
+            F.format_string(
+                '{"leader":"01234cam%s","fields":[{"008":"ctl%s"},'
+                '{"245":{"ind1":"1","ind2":"0","subfields":'
+                '[{"a":"T%s"},["b","S%s"],"stray"]}}]}',
+                d.cast("string"),
+                d.cast("string"),
+                d.cast("string"),
+                d.cast("string"),
+            )
+        ).alias("_marc_line"),
+    )
+    parsed = (
+        docs.withColumn("_rec", marc_json_record_udf()(F.col("_marc_line")))
+        .filter(F.col("_rec.leader").isNotNull())
+        .withColumn(
+            "_f245",
+            F.try_element_at(
+                F.filter(
+                    F.col("_rec.fields"), lambda x: x["tag"] == F.lit("245")
+                ),
+                F.lit(1),
+            ),
+        )
     )
     f = F.col("fields")
-    return docs.select(
+    f245 = F.col("_f245")
+    return parsed.select(
         "doc_id",
         MX.matches_keywords_expr(f).alias("matches_kw"),
         MX.has_institution_expr(f).alias("has_miu"),
         MX.pub_year_expr(f).alias("pub_year"),
         F.array_join(MX.subjects_expr(f), ";").alias("subjects"),
+        F.col("_rec.leader").alias("marc_leader"),
+        F.try_element_at(
+            F.filter(F.col("_rec.fields"), lambda x: x["tag"] == F.lit("008")),
+            F.lit(1),
+        )["data"].alias("marc_ctrl"),
+        F.array_join(
+            F.transform(f245["subfields"], lambda s: s["code"]), ""
+        ).alias("marc_codes"),
+        F.array_join(
+            F.transform(f245["subfields"], lambda s: s["value"]), " "
+        ).alias("marc_vals"),
+        F.concat(f245["ind1"], f245["ind2"]).alias("marc_inds"),
     )
 
 

@@ -135,3 +135,35 @@ def strip_leading_zeros_expr(col: Column) -> Column:
     """F7 — lstrip('0') or '0' (ht_utils.py:142-148)."""
     stripped = F.regexp_replace(col, "^0+", "")
     return F.when(stripped == "", F.lit("0")).otherwise(stripped)
+
+
+def pairtree_sanitize_expr(col: Column) -> Column:
+    """F6 — pairtree character sanitize (ht_document.py:63-74 /
+    sources.zip_ingest.pairtree_sanitize, column form): '.'->',',
+    ':'->'+', '/'->'='."""
+    return F.translate(col, "./:", ",=+")
+
+
+def pairtree_path_expr(col: Column) -> Column:
+    """F6 — 2-char pairtree shard path of the sanitized object id
+    (ht_document.py:63-74): '39015051333915' ->
+    '/39/01/50/51/33/39/15/39015051333915'. Pure codegen: translate +
+    regexp_extract_all + array_join."""
+    s = pairtree_sanitize_expr(col)
+    # bind the sanitized id once behind a single-expression boundary
+    # (CLAUDE.md lesson #1: interpreted exprs referenced k times run k
+    # times) — element_at(transform(array(s), ...), 1)
+    return F.element_at(
+        F.transform(
+            F.array(s),
+            lambda x: F.concat(
+                F.lit("/"),
+                F.array_join(
+                    F.regexp_extract_all(x, F.lit("(.{1,2})"), 1), "/"
+                ),
+                F.lit("/"),
+                x,
+            ),
+        ),
+        1,
+    )

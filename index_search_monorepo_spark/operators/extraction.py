@@ -236,6 +236,19 @@ def explode_noinline(col: str | Column) -> Column:
     return F.explode(F.when(F.size(c) >= 0, c))
 
 
+def ht_page_feature_expr(page_features) -> Column:
+    """A3 (mets_file_extractor.py:52-61 get_unique_features): split each
+    page LABEL on ', ', flatten, distinct — the reference emits a set; we
+    canonicalize sorted so the value is deterministic. Input: an
+    array<struct<.., features:string, ..>> column (or name)."""
+    col = F.col(page_features) if isinstance(page_features, str) else page_features
+    return F.array_sort(
+        F.array_distinct(
+            F.flatten(F.transform(col, lambda p: F.split(p["features"], ", ")))
+        )
+    )
+
+
 def with_mets_fields(df: DataFrame) -> DataFrame:
     """X1–X3 + A3 from the mets_meta sidecar (mets_file_extractor.py:52-86,
     full_text_document_generator.py:25-43): ht_page_feature = distinct
@@ -243,15 +256,7 @@ def with_mets_fields(df: DataFrame) -> DataFrame:
     sorted); reading-order fields renamed."""
     return df.select(
         "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.flatten(
-                    F.transform(
-                        "page_features", lambda p: F.split(p["features"], ", ")
-                    )
-                )
-            )
-        ).alias("ht_page_feature"),
+        ht_page_feature_expr("page_features").alias("ht_page_feature"),
         F.col("scanning_order").alias("ht_scanning_order"),
         F.col("reading_order").alias("ht_reading_order"),
         F.col("cover_tag").alias("ht_cover_tag"),

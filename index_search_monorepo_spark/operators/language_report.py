@@ -46,14 +46,23 @@ from index_search_monorepo_spark.operators.marc_extracts import (
 RIGHTS_CODES = ("pd", "pdus")
 ISO6393_SOURCE = "iso639-3"
 
-# Abridged ISO 639-5 (language-family) code list — the reference loads the
-# full TSV (load_iso6395_codes, report_generation.py:81-94); callers pass
-# their own list for production runs.
+# The complete ISO 639-5 (language-family) code list — all 115 codes of
+# the public standard, matching what the reference loads from its TSV
+# (load_iso6395_codes, report_generation.py:81-94). Callers may still pass
+# their own list to override.
 DEFAULT_ISO6395_CODES = (
-    "afa", "alg", "apa", "art", "ath", "aus", "bat", "ber", "cai", "cau",
-    "cel", "cus", "dra", "fiu", "gem", "ine", "ira", "iro", "map", "mkh",
-    "mno", "mun", "myn", "nai", "nic", "paa", "phi", "roa", "sai", "sem",
-    "sio", "sit", "sla", "smi", "ssa", "tai", "tut",
+    "aav", "afa", "alg", "alv", "apa", "aqa", "aql", "art", "ath", "auf",
+    "aus", "awd", "azc", "bad", "bai", "bat", "ber", "bih", "bnt", "btk",
+    "cai", "cau", "cba", "ccn", "ccs", "cdc", "cdd", "cel", "cmc", "cpe",
+    "cpf", "cpp", "crp", "csu", "cus", "day", "dmn", "dra", "egx", "esx",
+    "euq", "fiu", "fox", "gem", "gme", "gmq", "gmw", "grk", "hmx", "hok",
+    "hyx", "iir", "ijo", "inc", "ine", "ira", "iro", "itc", "jpx", "kar",
+    "kdo", "khi", "kro", "map", "mkh", "mno", "mun", "myn", "nah", "nai",
+    "ngf", "nic", "nub", "omq", "omv", "oto", "paa", "phi", "plf", "poz",
+    "pqe", "pqw", "pra", "qwe", "roa", "sai", "sal", "sdv", "sem", "sgn",
+    "sio", "sit", "sla", "smi", "son", "sqj", "ssa", "syd", "tai", "tbq",
+    "trk", "tup", "tut", "tuw", "urj", "wak", "wen", "xgn", "xnd", "ypk",
+    "zhx", "zle", "zls", "zlw", "znd",
 )
 
 

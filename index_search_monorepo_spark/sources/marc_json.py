@@ -104,6 +104,34 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["leader", "fields"])
 
 
+def marc_json_record_udf():
+    """S8 in column form: one MARC-JSON line string -> normalized record
+    struct (leader, fields) through the SAME normalize_marc_dict the file
+    source uses. Blank/malformed/non-dict lines yield a null-leader record
+    so callers can filter them — the column-level mirror of the reader's
+    line-skip (ht_marc_json_reader.py:11-29). Arrow-batched pandas UDF,
+    one stage, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(MARC_SCHEMA)
+    def parse(lines: pd.Series) -> pd.DataFrame:
+        rows = []
+        for line in lines:
+            line = (line or "").strip()
+            rec = {"leader": None, "fields": None}
+            if line:
+                try:
+                    data = json.loads(line)
+                    if isinstance(data, dict):
+                        rec = normalize_marc_dict(data)
+                except json.JSONDecodeError:
+                    pass
+            rows.append(rec)
+        return pd.DataFrame(rows, columns=["leader", "fields"])
+
+    return parse
+
+
 def read_marc_json(spark: SparkSession, path: str) -> DataFrame:
     """Distributed scan of newline-delimited MARC-JSON (gzip transparent via
     the text source), one normalized record per row. Blank and malformed

@@ -96,5 +96,5 @@ def test_matrix_size_and_priority_order():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
-    assert df.columns == ["doc_id", "ocr", "n_pages"]
+    assert df.columns == ["doc_id", "ocr", "n_pages", "ht_page_feature"]
     assert len(rows) > 0

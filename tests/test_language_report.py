@@ -101,6 +101,29 @@ class TestSet1:
         assert row["field_546"] == "In German"
 
 
+class TestFullDefaultCodeTable:
+    def test_family_code_outside_old_abridged_list_matches(self, spark):
+        """The default ISO 639-5 table is the COMPLETE 115-code standard
+        (reference loads the full TSV, report_generation.py:81-94). 'bnt'
+        (Bantu) was absent from the r3 abridged 37-code default and must
+        match via 008 with no explicit code list passed."""
+        from index_search_monorepo_spark.operators.language_report import (
+            DEFAULT_ISO6395_CODES,
+        )
+
+        assert len(DEFAULT_ISO6395_CODES) == 115
+        assert "bnt" in DEFAULT_ISO6395_CODES and "trk" in DEFAULT_ISO6395_CODES
+        row = language_report(
+            _rec(spark, _base_fields(code8="bnt"))
+        ).collect()[0]
+        assert row["matched_code"] == "bnt"
+        assert row["set_type"] == "iso639-5"
+        # individual-language codes are still not family codes
+        assert language_report(
+            _rec(spark, _base_fields(code8="eng"))
+        ).count() == 0
+
+
 class TestSet2:
     def test_iso6393_field_takes_all_codes(self, spark):
         fields = _base_fields(code8="eng")

@@ -77,6 +77,31 @@ def test_read_marc_json_gz(spark, tmp_path):
     assert f100["subfields"][0]["code"] == "a"
 
 
+def test_marc_json_record_udf_column_form(spark):
+    """S8 column form: same normalize as the gz reader, null-leader rows
+    for blank/malformed/non-dict lines (the line-skip, as a filterable
+    value)."""
+    from pyspark.sql import functions as F
+
+    from index_search_monorepo_spark.sources.marc_json import (
+        marc_json_record_udf,
+    )
+
+    lines = [
+        json.dumps(RECORDS[0]),
+        "",
+        "{not json}",
+        json.dumps([1, 2]),  # non-dict JSON
+    ]
+    df = spark.createDataFrame([(v,) for v in lines], ["value"])
+    rows = df.select(
+        marc_json_record_udf()(F.col("value")).alias("rec")
+    ).collect()
+    assert rows[0]["rec"]["leader"].startswith("01234")
+    assert rows[0]["rec"]["fields"][0]["data"] == "r1"
+    assert all(r["rec"]["leader"] is None for r in rows[1:])
+
+
 def test_predicates_and_extracts(spark, tmp_path):
     p = tmp_path / "zephir.json.gz"
     _write_gz(p)
