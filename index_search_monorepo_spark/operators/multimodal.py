@@ -22,6 +22,7 @@ pruning means metadata-only queries never deserialize the payload bytes.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -100,9 +101,12 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 
 def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL baseline TIFF decode (the format page-scanning pipelines emit):
-    II/MM byte orders, IFD walk, strip assembly — uncompressed 8-bit
-    grayscale (both photometric polarities) and RGB(A). Compressed TIFFs
-    return None (stub fallback)."""
+    II/MM byte orders, IFD walk, strip assembly — 8-bit grayscale (both
+    photometric polarities) and RGB(A), uncompressed OR deflate-compressed
+    (compression 8 'Adobe deflate' / legacy 32946; per-strip zlib inflate
+    capped at the declared pixel size, horizontal-differencing predictor 2
+    supported). Other codecs (LZW/JPEG-in-TIFF/CCITT) return None (stub
+    fallback)."""
     if len(payload) < 8:
         return None
     if payload[:4] == b"II*\x00":
@@ -152,34 +156,87 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     spp = one(277, 1)
     counts = tags.get(279)
     bits = tags.get(258, [8])
+    predictor = one(317, 1)
     if (
         w is None
         or h is None
         or offsets is None
-        or compression != 1
+        or compression not in (1, 8, 32946)
         or any(b != 8 for b in bits)
         or photometric not in (0, 1, 2)
         or spp not in (1, 3, 4)
+        or predictor not in (1, 2)
         or w <= 0
         or h <= 0
         or w * h > 64_000_000
     ):
         return None
+    needed = w * h * spp
     if counts is None:
-        counts = [w * h * spp]  # single strip
+        counts = [needed]  # single strip
     data = bytearray()
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(payload):
             return None
-        data += payload[off : off + cnt]
-    if len(data) < w * h * spp:
+        strip = payload[off : off + cnt]
+        if compression != 1:
+            # inflate capped at the bytes still needed (+1 to detect
+            # oversize) so a declared-small/zip-bomb payload cannot
+            # balloon executor memory
+            try:
+                z = zlib.decompressobj()
+                strip = z.decompress(strip, needed - len(data) + 1)
+            except zlib.error:
+                return None
+            if len(data) + len(strip) > needed:
+                return None
+        data += strip
+    if len(data) < needed:
         return None
-    px = np.frombuffer(bytes(data), np.uint8, w * h * spp).reshape(h, w, spp)
+    px = np.frombuffer(bytes(data), np.uint8, needed).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo with a mod-256 cumsum
+        px = np.cumsum(px, axis=1, dtype=np.uint8)
     if spp == 1:
         if photometric == 0:  # WhiteIsZero
             px = 255 - px
         px = np.repeat(px, 3, axis=2)
     return w, h, np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_tiff(px: np.ndarray, predictor: int = 1) -> bytes:
+    """Minimal little-endian single-strip deflate TIFF encoder (8-bit gray
+    or RGB) — the round-trip partner of _parse_tiff's compression-8 path,
+    same role encode_baseline plays for jpeg.py. Fixture-grade: writes
+    BitsPerSample as a single SHORT (accepted by common readers and by
+    _parse_tiff) rather than one per sample."""
+    import struct
+
+    h, w = px.shape[:2]
+    spp = 1 if px.ndim == 2 else px.shape[2]
+    stored = px.astype(np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing before compression
+        diff = stored.astype(np.int16)
+        diff[:, 1:] = (diff[:, 1:] - stored[:, :-1].astype(np.int16)) % 256
+        stored = diff.astype(np.uint8)
+    body = zlib.compress(stored.tobytes())
+    tags = [
+        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 8),
+        (262, 3, 2 if spp >= 3 else 1), (273, 4, None), (277, 3, spp),
+        (279, 4, len(body)),
+    ]
+    if predictor != 1:
+        tags.append((317, 3, predictor))
+    data_off = 8 + 2 + 12 * len(tags) + 4
+    out = b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", len(tags))
+    for tag, ftype, value in tags:
+        if value is None:
+            value = data_off  # strip offset
+        out += struct.pack("<HHI", tag, ftype, 1)
+        out += struct.pack("<I", value) if ftype == 4 else struct.pack(
+            "<HH", value, 0
+        )
+    out += struct.pack("<I", 0) + body
+    return out
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -778,8 +778,10 @@ class TestAnimatedGif:
 
 class TestTiffDecode:
     @staticmethod
-    def _tiff(px, photometric=None, bo="<", two_strips=False):
+    def _tiff(px, photometric=None, bo="<", two_strips=False,
+              compression=1, predictor=1):
         import struct
+        import zlib
 
         import numpy as np
 
@@ -788,20 +790,35 @@ class TestTiffDecode:
         photometric = photometric if photometric is not None else (
             2 if spp >= 3 else 1
         )
-        body = px.astype(np.uint8).tobytes()
+        stored = px.astype(np.uint8)
+        if predictor == 2:  # horizontal differencing before compression
+            grid = stored.reshape(h, w, spp).astype(np.int16)
+            diff = grid.copy()
+            diff[:, 1:] = (grid[:, 1:] - grid[:, :-1]) % 256
+            stored = diff.astype(np.uint8)
+        body = stored.tobytes()
+        rows0 = h // 2
+        if two_strips:
+            raw_strips = [
+                body[: rows0 * w * spp], body[rows0 * w * spp :]
+            ]
+        else:
+            raw_strips = [body]
+        if compression != 1:
+            raw_strips = [zlib.compress(s) for s in raw_strips]
+        body = b"".join(raw_strips)
         # layout: header(8) IFD entries then strip data
         entries = []
 
         def entry(tag, ftype, count, value):
             return struct.pack(bo + "HHI", tag, ftype, count) + value
 
-        n = 8 if not two_strips else 9
+        n = (8 if not two_strips else 9) + (1 if predictor != 1 else 0)
         ifd_size = 2 + 12 * n + 4
         data_off = 8 + ifd_size
         if two_strips:
-            rows0 = h // 2
-            strip_offsets = [data_off, data_off + rows0 * w * spp]
-            strip_counts = [rows0 * w * spp, (h - rows0) * w * spp]
+            strip_offsets = [data_off, data_off + len(raw_strips[0])]
+            strip_counts = [len(raw_strips[0]), len(raw_strips[1])]
             # arrays of 2 LONGs don't fit inline -> place after pixel data
             arr_off = data_off + len(body)
             offs_val = struct.pack(bo + "I", arr_off)
@@ -816,7 +833,9 @@ class TestTiffDecode:
         entries.append(entry(256, 4, 1, struct.pack(bo + "I", w)))
         entries.append(entry(257, 4, 1, struct.pack(bo + "I", h)))
         entries.append(entry(258, 3, 1, struct.pack(bo + "HH", 8, 0)))
-        entries.append(entry(259, 3, 1, struct.pack(bo + "HH", 1, 0)))
+        entries.append(
+            entry(259, 3, 1, struct.pack(bo + "HH", compression, 0))
+        )
         entries.append(entry(262, 3, 1, struct.pack(bo + "HH", photometric, 0)))
         entries.append(
             entry(273, 4, 2 if two_strips else 1, offs_val)
@@ -828,6 +847,10 @@ class TestTiffDecode:
         if two_strips:
             entries.append(
                 entry(278, 4, 1, struct.pack(bo + "I", h // 2))
+            )
+        if predictor != 1:
+            entries.append(
+                entry(317, 3, 1, struct.pack(bo + "HH", predictor, 0))
             )
         magic = b"II*\x00" if bo == "<" else b"MM\x00*"
         out = magic + struct.pack(bo + "I", 8)
@@ -873,6 +896,53 @@ class TestTiffDecode:
         comp_entry = 8 + 2 + 12 * 3
         payload[comp_entry + 8] = 5
         assert MM.decode_image(bytes(payload)) is None
+
+    def test_deflate_rgb_round_trip(self):
+        import numpy as np
+
+        px = (np.arange(5 * 7 * 3).reshape(5, 7, 3) * 13 % 256).astype(
+            np.uint8
+        )
+        for comp in (8, 32946):
+            got = MM.decode_image(self._tiff(px, compression=comp))
+            assert got is not None
+            assert got[3] == "tiff" and np.array_equal(got[2], px)
+
+    def test_deflate_two_strips_with_predictor(self):
+        import numpy as np
+
+        px = (np.arange(6 * 4 * 3).reshape(6, 4, 3) * 37 % 256).astype(
+            np.uint8
+        )
+        got = MM.decode_image(
+            self._tiff(px, two_strips=True, compression=8, predictor=2)
+        )
+        assert got is not None and np.array_equal(got[2], px)
+
+    def test_deflate_bomb_is_bounded(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        # declared 3x3 gray but the strip inflates to 1 MB: the capped
+        # inflate must refuse (oversize) rather than materialize it
+        px = np.zeros((3, 3), np.uint8)
+        payload = bytearray(self._tiff(px, compression=8))
+        bomb = zlib.compress(b"\x00" * (1 << 20))
+        data_off = len(payload) - len(zlib.compress(px.tobytes()))
+        payload = payload[:data_off] + bomb
+        # fix StripByteCounts (entry 8, inline LONG) to the bomb's size
+        cnt_entry = 8 + 2 + 12 * 7
+        payload[cnt_entry + 8 : cnt_entry + 12] = struct.pack("<I", len(bomb))
+        assert MM.decode_image(bytes(payload)) is None
+
+    def test_truncated_deflate_is_none(self):
+        import numpy as np
+
+        px = (np.arange(5 * 7).reshape(5, 7) % 256).astype(np.uint8)
+        payload = self._tiff(px, compression=8)
+        assert MM.decode_image(payload[:-4]) is None
 
 
 def test_png_palette_decode():
