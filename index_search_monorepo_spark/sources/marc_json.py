@@ -110,7 +110,16 @@ def marc_json_record_udf():
     source uses. Blank/malformed/non-dict lines yield a null-leader record
     so callers can filter them — the column-level mirror of the reader's
     line-skip (ht_marc_json_reader.py:11-29). Arrow-batched pandas UDF,
-    one stage, no shuffle."""
+    one stage, no shuffle.
+
+    Marked nondeterministic ON PURPOSE (it is in fact deterministic):
+    callers filter on the parsed struct (`rec.leader IS NOT NULL`), and
+    PushDownPredicates substitutes the alias and pushes that predicate
+    below the Project computing the struct — leaving TWO evaluation
+    sites, i.e. two ArrowEvalPython stages parsing every line twice
+    (same trap family as CLAUDE.md lesson #8; measured on the contract
+    entry before this fix). The nondeterministic flag pins one
+    evaluation; test_plans.py::test_marc_json_parse_runs_once."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(MARC_SCHEMA)
@@ -129,7 +138,7 @@ def marc_json_record_udf():
             rows.append(rec)
         return pd.DataFrame(rows, columns=["leader", "fields"])
 
-    return parse
+    return parse.asNondeterministic()
 
 
 def read_marc_json(spark: SparkSession, path: str) -> DataFrame:

@@ -139,3 +139,26 @@ def test_column_pruning_span_count(spark, tables):
     )
     assert "ReadSchema" in scan_line or "doc_id" in scan_line
     assert "spans" not in scan_line.split("ReadSchema")[-1]
+
+
+def test_marc_json_parse_runs_once(spark):
+    """Filtering on the parsed record struct must NOT duplicate the parse
+    UDF below the Project (PushDownPredicates would substitute the alias
+    into the pushed filter -> two ArrowEvalPython stages parsing every
+    line twice; the udf is asNondeterministic to pin one evaluation)."""
+    from index_search_monorepo_spark.sources.marc_json import (
+        marc_json_record_udf,
+    )
+
+    df = spark.createDataFrame(
+        [('{"leader":"L1","fields":[{"008":"x"}]}',), ("{broken",)],
+        ["value"],
+    )
+    out = (
+        df.withColumn("_rec", marc_json_record_udf()(F.col("value")))
+        .filter(F.col("_rec.leader").isNotNull())
+        .select(F.col("_rec.leader").alias("leader"))
+    )
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert [r["leader"] for r in out.collect()] == ["L1"]
