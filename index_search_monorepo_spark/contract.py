@@ -352,7 +352,17 @@ _ALLFIELDS_FOLD_SQL = quoteattr_sql(
     "allfields_xml",
     f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-           {_ALLFIELDS_FOLD_SQL} AS allfields
+           {_ALLFIELDS_FOLD_SQL} AS allfields,
+           CASE WHEN doc_id % 2 = 0 THEN 'right-to-left'
+                ELSE 'left-to-right' END AS mets_scanning_order,
+           CASE WHEN doc_id % 3 = 0 THEN 'right-to-left'
+                ELSE 'left-to-right' END AS mets_reading_order,
+           CASE WHEN doc_id % 5 = 0 THEN 'considered-non-cover'
+                ELSE 'follows-reading-order' END AS mets_cover_tag,
+           '1/-/FRONT_COVER, IMAGE_ON_PAGE|2/p' || CAST(doc_id % 9 AS VARCHAR)
+             || '/TYPICAL|3/-/'
+             || CASE WHEN doc_id % 4 = 0 THEN 'UNTYPICAL_PAGE, BLANK'
+                     ELSE 'TYPICAL' END AS mets_pages
     FROM documents
     """,
 )
@@ -366,8 +376,18 @@ def q_allfields_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     subfield children appended, 500 childless element.text appended,
     predefined XML entities round-tripped, and the final quoteattr hits the
     both-quotes wrapping case. The oracle computes the same fold directly
-    from the source columns — a fully independent path."""
+    from the source columns — a fully independent path.
+
+    NEW r4: also gates S2's METS structMap parse the same way — a planted
+    METS XML (volume div with scanning/reading/cover labels, three page
+    divs with ORDER / LABEL CSV / an ORDERLABEL pgnum on page 2 only)
+    goes through the REAL stdlib-ET parse_mets via mets_record_udf, and
+    the parsed volume labels plus the ordered offset/pgnum/features page
+    rows are compared against the oracle's direct computation."""
     from index_search_monorepo_spark.functions.marc import extract_allfields
+    from index_search_monorepo_spark.sources.mets_ingest import (
+        mets_record_udf,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     xml = F.concat(
@@ -393,9 +413,50 @@ def q_allfields_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit("</datafield></record></collection>"),
     )
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        extract_allfields(xml).alias("allfields"),
+    d = F.col("doc_id")
+    mets_xml = F.format_string(
+        '<M:mets xmlns:M="http://www.loc.gov/METS/"><M:structMap>'
+        '<M:div TYPE="volume" LABEL="scanning-order:%s, reading-order:%s,'
+        ' cover-tag:%s">'
+        '<M:div TYPE="page" ORDER="1" LABEL="FRONT_COVER, IMAGE_ON_PAGE"/>'
+        '<M:div TYPE="page" ORDER="2" LABEL="TYPICAL" ORDERLABEL="p%s"/>'
+        '<M:div TYPE="page" ORDER="3" LABEL="%s"/>'
+        "</M:div></M:structMap></M:mets>",
+        F.when(F.pmod(d, F.lit(2)) == 0, F.lit("right-to-left")).otherwise(
+            F.lit("left-to-right")
+        ),
+        F.when(F.pmod(d, F.lit(3)) == 0, F.lit("right-to-left")).otherwise(
+            F.lit("left-to-right")
+        ),
+        F.when(F.pmod(d, F.lit(5)) == 0, F.lit("considered-non-cover"))
+        .otherwise(F.lit("follows-reading-order")),
+        F.pmod(d, F.lit(9)).cast("string"),
+        F.when(F.pmod(d, F.lit(4)) == 0, F.lit("UNTYPICAL_PAGE, BLANK"))
+        .otherwise(F.lit("TYPICAL")),
+    )
+    m = F.col("_mets")
+    return (
+        docs.withColumn("_mets", mets_record_udf()(mets_xml))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            extract_allfields(xml).alias("allfields"),
+            m["scanning_order"].alias("mets_scanning_order"),
+            m["reading_order"].alias("mets_reading_order"),
+            m["cover_tag"].alias("mets_cover_tag"),
+            F.array_join(
+                F.transform(
+                    m["page_features"],
+                    lambda p: F.concat(
+                        p["offset"].cast("string"),
+                        F.lit("/"),
+                        F.coalesce(p["pgnum"], F.lit("-")),
+                        F.lit("/"),
+                        p["features"],
+                    ),
+                ),
+                "|",
+            ).alias("mets_pages"),
+        )
     )
 
 

@@ -104,6 +104,40 @@ def distinct_features(pages: list[dict]) -> list[str]:
     return sorted(seen)
 
 
+METS_RECORD_SCHEMA = StructType(METS_META_SCHEMA.fields[1:])  # minus doc_id
+
+
+def mets_record_udf():
+    """S2 in column form: one METS XML string -> parsed mets_meta struct
+    (page_features, scanning_order, reading_order, cover_tag) through the
+    SAME parse_mets the file source uses — lets the driver oracle gate the
+    stdlib-ET structMap parse on planted documents the way allfields_xml
+    gates the MARC fold. Unparseable XML yields a null-scanning_order
+    record (callers may filter). Arrow-batched, one stage, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(xml: str) -> dict:
+        try:
+            parsed = parse_mets(xml or "")
+        except ET.ParseError:
+            return {
+                "page_features": None,
+                "scanning_order": None,
+                "reading_order": None,
+                "cover_tag": None,
+            }
+        return parsed
+
+    @pandas_udf(METS_RECORD_SCHEMA)
+    def parse(xmls: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_one(x) for x in xmls],
+            columns=METS_RECORD_SCHEMA.fieldNames(),
+        )
+
+    return parse
+
+
 def _mets_batches(
     namespace: str | None,
 ) -> "callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]":

@@ -155,3 +155,22 @@ def test_ingest_mets_files(spark, tmp_path):
 
     out = with_mets_fields(df).collect()[0]
     assert "FRONT_COVER" in out["ht_page_feature"]
+
+
+def test_mets_record_udf_column_form(spark):
+    """S2 column form: same parse_mets as the file source; malformed XML
+    yields a null record instead of a task failure (errors-are-rows)."""
+    from pyspark.sql import functions as F
+
+    from index_search_monorepo_spark.sources.mets_ingest import (
+        mets_record_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(METS_XML,), ("<not xml",), ("",)], ["xml"]
+    )
+    rows = df.select(mets_record_udf()(F.col("xml")).alias("rec")).collect()
+    good = rows[0]["rec"]
+    assert good["scanning_order"] == "right-to-left"
+    assert good["page_features"][0]["features"].startswith("FRONT_COVER")
+    assert all(r["rec"]["scanning_order"] is None for r in rows[1:])
