@@ -148,12 +148,41 @@ def _corpus_bytes(corpus_dir: Path) -> int:
     return sum(f.stat().st_size for f in corpus_dir.rglob("*") if f.is_file())
 
 
-def run_extraction(spark, corpus_dir: Path, runs: int = 3) -> dict:
+def run_extraction(
+    spark, corpus_dir: Path, runs: int = 3, size_shuffle_by_bytes: bool = False
+) -> dict:
     from index_search_monorepo_spark.plans.pipeline import (
         extract_documents,
         load_corpus,
     )
 
+    if size_shuffle_by_bytes:
+        # Spill-aware shuffle sizing (found by the 120k-doc dress
+        # rehearsal): the doc-meta shuffle join moves the FAT side, so
+        # initial shuffle partitions must scale with input bytes, not core
+        # count — 32 partitions over ~15 GB of multi-MB rows is ~470 MB
+        # per partition across 32 concurrent tasks, an OOM in a 16 GB
+        # local JVM (the same mistake at 100 TB would need ~10^6
+        # partitions, not 32). Target ~128 MB per partition; AQE coalesces
+        # back down when the corpus is small. main() only — the scaling
+        # workers keep shuffle=cores (fixed 12k corpus, known-safe, and
+        # their numbers stay comparable round over round).
+        raw = _corpus_bytes(corpus_dir) * 3  # zstd parquet ~3x on decode
+        cores = int(spark.sparkContext.defaultParallelism)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(cores, raw // (128 << 20))),
+        )
+        # and keep scan tasks' decoded working set bounded too: the worker
+        # wave formula (~TASK_WAVES waves per core), capped at 64 MB
+        # compressed ≈ ~190 MB raw per task — 32 concurrent fat-row scan
+        # tasks at the default 128 MB splits is ~12 GB of row churn
+        split = min(
+            64 << 20,
+            max(4 << 20, _corpus_bytes(corpus_dir) // (TASK_WAVES * cores)),
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
     tables = load_corpus(spark, str(corpus_dir))
     n_docs = tables["documents_spans"].count()
     docs, _errors = extract_documents(
@@ -350,14 +379,14 @@ def main() -> None:
     # Gate-and-retry on extraction throughput (VERDICT r03 next #3), same
     # shape as the scaling-efficiency gate: keep the BEST reading (ambient
     # load only subtracts), bounded retries, depth recorded in the artifact.
-    extraction = run_extraction(spark, corpus_dir)
+    extraction = run_extraction(spark, corpus_dir, size_shuffle_by_bytes=True)
     retries = 0
     while (
         extraction["docs_per_sec"] < EXTRACTION_FLOOR
         and retries < EXTRACTION_MAX_RETRIES
     ):
         retries += 1
-        again = run_extraction(spark, corpus_dir)
+        again = run_extraction(spark, corpus_dir, size_shuffle_by_bytes=True)
         if again["docs_per_sec"] > extraction["docs_per_sec"]:
             extraction = again
     extraction["floor_docs_per_sec"] = EXTRACTION_FLOOR
