@@ -2251,17 +2251,22 @@ _MM_H = "(doc_id % 7 + 1)"
 _MM_HDR = f"'P6' || chr(10) || CAST({_MM_W} AS VARCHAR) || ' ' || CAST({_MM_H} AS VARCHAR) || chr(10) || '255' || chr(10)"
 
 
-def _planted_tiff() -> bytes:
-    """Constant 9x5 RGB deflate TIFF with predictor 2 (multimodal.encode_tiff
-    round-trip partner): planted on doc_id % 10 == 1 rows so the gate runs
-    the zlib strip inflate + differencing undo, not just header dispatch."""
+def _planted_tiff(compression: str) -> bytes:
+    """Constant 9x5 RGB compressed TIFF (multimodal.encode_tiff round-trip
+    partner): planted on doc_id % 10 == 1 (deflate, predictor 2) and
+    % 10 == 3 (LZW) rows so the gate runs the real strip decompressors +
+    differencing undo, not just header dispatch."""
     import numpy as np
 
     px = (np.arange(5 * 9 * 3).reshape(5, 9, 3) * 31 % 256).astype(np.uint8)
-    return MM.encode_tiff(px, predictor=2)
+    return MM.encode_tiff(
+        px, predictor=2 if compression == "deflate" else 1,
+        compression=compression,
+    )
 
 
-_TIFF_PAYLOAD = _planted_tiff()
+_TIFF_PAYLOAD = _planted_tiff("deflate")
+_TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 
 
 @register(
@@ -2269,19 +2274,20 @@ _TIFF_PAYLOAD = _planted_tiff()
     f"""
     SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
-           CASE WHEN doc_id % 10 = 1 THEN CAST(9 AS BIGINT)
+           CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
-           CASE WHEN doc_id % 10 = 1 THEN CAST(5 AS BIGINT)
+           CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
-           CASE WHEN doc_id % 10 = 1 THEN 'tiff'
+           CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
                 WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
@@ -2313,6 +2319,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),

@@ -99,14 +99,95 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, rows[:, :, 2::-1][:, :, :3]
 
 
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytearray | None:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 8-bit
+    symbols with fixed codes 256=ClearCode / 257=EOI, initial width 9,
+    width grows at table sizes 510/1022/2046 (TIFF writes the length-
+    minus-one 'early change' convention), max 12 bits. Output capped at
+    max_out (+ detection of oversize) so hostile streams stay bounded.
+    Differs from the GIF variant (_gif_lzw_decode) in bit order, fixed
+    symbol width, and the early-change growth points."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> int:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # clear
+        table.append(b"")  # eoi
+        return 9
+
+    width = reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                width = reset()
+                prev = None
+                continue
+            if code == EOI:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None
+            out.extend(entry)
+            if len(out) > max_out:
+                return None
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            # early change: width bumps one code EARLY (at len==2^w - 1)
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+            prev = entry
+    return out
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytearray | None:
+    """TIFF PackBits RLE (TIFF 6.0 §9 / Apple PackBits): n in 0..127 ->
+    copy n+1 literal bytes; n in 129..255 (signed -1..-127) -> repeat the
+    next byte 257-n times; n == 128 is a no-op. Output capped at
+    max_out."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            chunk = data[i : i + n + 1]
+            if len(chunk) < n + 1:
+                return None
+            out += chunk
+            i += n + 1
+        else:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        if len(out) > max_out:
+            return None
+    return out
+
+
 def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     """REAL baseline TIFF decode (the format page-scanning pipelines emit):
     II/MM byte orders, IFD walk, strip assembly — 8-bit grayscale (both
-    photometric polarities) and RGB(A), uncompressed OR deflate-compressed
-    (compression 8 'Adobe deflate' / legacy 32946; per-strip zlib inflate
-    capped at the declared pixel size, horizontal-differencing predictor 2
-    supported). Other codecs (LZW/JPEG-in-TIFF/CCITT) return None (stub
-    fallback)."""
+    photometric polarities) and RGB(A); uncompressed, deflate (8 'Adobe
+    deflate' / legacy 32946, per-strip zlib inflate), LZW (5, MSB-first
+    early-change variant), or PackBits (32773) — every decompressor
+    capped at the declared pixel size; horizontal-differencing
+    predictor 2 supported. Remaining codecs (JPEG-in-TIFF/CCITT) return
+    None (stub fallback)."""
     if len(payload) < 8:
         return None
     if payload[:4] == b"II*\x00":
@@ -161,7 +242,7 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         w is None
         or h is None
         or offsets is None
-        or compression not in (1, 8, 32946)
+        or compression not in (1, 5, 8, 32773, 32946)
         or any(b != 8 for b in bits)
         or photometric not in (0, 1, 2)
         or spp not in (1, 3, 4)
@@ -179,17 +260,26 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         if off + cnt > len(payload):
             return None
         strip = payload[off : off + cnt]
-        if compression != 1:
+        remaining = needed - len(data)
+        if compression in (8, 32946):
             # inflate capped at the bytes still needed (+1 to detect
             # oversize) so a declared-small/zip-bomb payload cannot
             # balloon executor memory
             try:
                 z = zlib.decompressobj()
-                strip = z.decompress(strip, needed - len(data) + 1)
+                strip = z.decompress(strip, remaining + 1)
             except zlib.error:
                 return None
-            if len(data) + len(strip) > needed:
+        elif compression == 5:
+            strip = _tiff_lzw_decode(strip, remaining)
+            if strip is None:
                 return None
+        elif compression == 32773:
+            strip = _packbits_decode(strip, remaining)
+            if strip is None:
+                return None
+        if len(data) + len(strip) > needed:
+            return None
         data += strip
     if len(data) < needed:
         return None
@@ -203,12 +293,83 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     return w, h, np.ascontiguousarray(px[:, :, :3])
 
 
-def encode_tiff(px: np.ndarray, predictor: int = 1) -> bytes:
-    """Minimal little-endian single-strip deflate TIFF encoder (8-bit gray
-    or RGB) — the round-trip partner of _parse_tiff's compression-8 path,
-    same role encode_baseline plays for jpeg.py. Fixture-grade: writes
-    BitsPerSample as a single SHORT (accepted by common readers and by
-    _parse_tiff) rather than one per sample."""
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW compressor (round-trip partner of
+    _tiff_lzw_decode): MSB-first packing, CLEAR/EOI, early-change width
+    bumps. Because the decoder's table lags the encoder's by one entry,
+    the encoder bumps at exact powers of two while the decoder bumps at
+    2^w - 1 — the classic TIFF early-change off-by-one."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4093:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR, width)
+            table, next_code, width = fresh(), 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive literal-only PackBits writer (valid, uncompressive) —
+    round-trip fixture for _packbits_decode; the repeat branch is covered
+    by hand-built streams in tests."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    return bytes(out)
+
+
+_TIFF_ENCODERS = {
+    "deflate": (8, zlib.compress),
+    "lzw": (5, _tiff_lzw_encode),
+    "packbits": (32773, _packbits_encode),
+    "none": (1, bytes),
+}
+
+
+def encode_tiff(
+    px: np.ndarray, predictor: int = 1, compression: str = "deflate"
+) -> bytes:
+    """Minimal little-endian single-strip TIFF encoder (8-bit gray or
+    RGB; deflate / lzw / packbits / none) — the round-trip partner of
+    _parse_tiff's compressed paths, same role encode_baseline plays for
+    jpeg.py. Fixture-grade: writes BitsPerSample as a single SHORT
+    (accepted by common readers and by _parse_tiff) rather than one per
+    sample."""
     import struct
 
     h, w = px.shape[:2]
@@ -218,9 +379,10 @@ def encode_tiff(px: np.ndarray, predictor: int = 1) -> bytes:
         diff = stored.astype(np.int16)
         diff[:, 1:] = (diff[:, 1:] - stored[:, :-1].astype(np.int16)) % 256
         stored = diff.astype(np.uint8)
-    body = zlib.compress(stored.tobytes())
+    comp_tag, comp_fn = _TIFF_ENCODERS[compression]
+    body = comp_fn(stored.tobytes())
     tags = [
-        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 8),
+        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, comp_tag),
         (262, 3, 2 if spp >= 3 else 1), (273, 4, None), (277, 3, spp),
         (279, 4, len(body)),
     ]

@@ -944,6 +944,41 @@ class TestTiffDecode:
         payload = self._tiff(px, compression=8)
         assert MM.decode_image(payload[:-4]) is None
 
+    def test_lzw_and_packbits_round_trip(self):
+        import numpy as np
+
+        px = (np.arange(6 * 11 * 3).reshape(6, 11, 3) * 23 % 256).astype(
+            np.uint8
+        )
+        for comp in ("lzw", "packbits"):
+            for pred in (1, 2):
+                payload = MM.encode_tiff(px, predictor=pred, compression=comp)
+                got = MM.decode_image(payload)
+                assert got is not None and got[3] == "tiff", (comp, pred)
+                assert np.array_equal(got[2], px), (comp, pred)
+
+    def test_lzw_width_growth_and_clear(self):
+        import numpy as np
+
+        # > 512 distinct sequences forces the 9->10 bit early-change bump;
+        # repetitive tail chains long table entries
+        rng = np.random.default_rng(3)
+        data = bytes(rng.integers(0, 256, 20_000, dtype=np.uint8))
+        dec = MM._tiff_lzw_decode(MM._tiff_lzw_encode(data), len(data))
+        assert dec is not None and bytes(dec) == data
+        rep = (b"scan page " * 3000)[:25_000]
+        dec2 = MM._tiff_lzw_decode(MM._tiff_lzw_encode(rep), len(rep))
+        assert bytes(dec2) == rep
+
+    def test_packbits_repeat_branch_and_bounds(self):
+        # handcrafted: repeat-5 of 0x2A then 3 literals; then a hostile
+        # stream declaring more output than allowed -> None
+        assert bytes(
+            MM._packbits_decode(bytes([257 - 5, 42, 2, 1, 2, 3]), 8)
+        ) == bytes([42] * 5 + [1, 2, 3])
+        bomb = bytes([257 - 128, 0] * 100)  # 12.8k declared
+        assert MM._packbits_decode(bomb, 100) is None
+
 
 def test_png_palette_decode():
     """color_type 3: 8-bit palette indices resolve through PLTE."""
