@@ -2265,8 +2265,27 @@ def _planted_tiff(compression: str) -> bytes:
     )
 
 
+def _planted_progressive_jpeg() -> bytes:
+    """Constant 16x8 progressive JPEG (SOF2, 10-scan successive
+    approximation; jpeg_progressive.encode_progressive) planted on
+    doc_id % 10 == 7 rows — the full Annex-G decode path (DC+AC
+    refinement scans, EOB runs) runs inside the driver gate."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:8, 0:16]
+    px = np.dstack(
+        [(30 + 9 * xx) % 200, (50 + 7 * yy) % 200, (20 + 5 * (xx + yy)) % 200]
+    ).astype(np.uint8)
+    from index_search_monorepo_spark.operators.jpeg_progressive import (
+        encode_progressive,
+    )
+
+    return encode_progressive(px, quant=2)
+
+
 _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
+_PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
 
 
 @register(
@@ -2275,19 +2294,23 @@ _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
     SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
+                WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
+                WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
            CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
+                WHEN doc_id % 10 = 7 THEN 'jpg'
                 WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
@@ -2320,6 +2343,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
+        .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),

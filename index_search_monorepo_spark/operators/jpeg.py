@@ -2,9 +2,10 @@
 
 Supports the format the reference corpus would actually contain (scanned
 page images): baseline sequential DCT, 8-bit, grayscale or YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 sampling, optional restart intervals. Progressive,
-arithmetic-coded, and 12-bit streams return None (the multimodal stub
-fallback) rather than mis-decoding.
+4:4:4 / 4:2:2 / 4:2:0 sampling, optional restart intervals. Huffman
+progressive (SOF2) streams are handled by the sibling module
+operators/jpeg_progressive.py; arithmetic-coded and 12-bit streams
+return None (the multimodal stub fallback) rather than mis-decoding.
 
 Why hand-rolled: the container has no codec libraries, and the engine's
 multimodal contract (operators/multimodal.py) wants REAL width/height/

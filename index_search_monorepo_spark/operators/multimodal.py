@@ -794,8 +794,15 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
         return (*parsed, "gif")
     if payload[:2] == b"\xff\xd8":
         from index_search_monorepo_spark.operators.jpeg import decode_baseline
+        from index_search_monorepo_spark.operators.jpeg_progressive import (
+            decode_progressive,
+        )
 
         parsed = decode_baseline(payload)
+        if parsed is None:
+            # SOF2 Huffman progressive (spectral selection + successive
+            # approximation); arithmetic/hierarchical still stub out
+            parsed = decode_progressive(payload)
         if parsed is not None:
             return (*parsed, "jpg")
     return None
