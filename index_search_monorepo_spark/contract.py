@@ -2283,9 +2283,22 @@ def _planted_progressive_jpeg() -> bytes:
     return encode_progressive(px, quant=2)
 
 
+def _planted_g4_tiff() -> bytes:
+    """Constant 50x30 bitonal G4 TIFF (CCITT T.6, the archival page-scan
+    codec; multimodal.encode_tiff compression='g4') planted on
+    doc_id % 10 == 9 rows — the MMR decode runs inside the driver gate."""
+    import numpy as np
+
+    px = np.full((30, 50), 255, np.uint8)
+    px[4:7, 5:45] = 0
+    px[10:25, 8:11] = 0
+    return MM.encode_tiff(px, compression="g4")
+
+
 _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
+_G4_TIFF_PAYLOAD = _planted_g4_tiff()
 
 
 @register(
@@ -2295,22 +2308,26 @@ _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 10 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
+                WHEN doc_id % 10 = 9 THEN CAST(50 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
+                WHEN doc_id % 10 = 9 THEN CAST(30 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
            CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
                 WHEN doc_id % 10 = 7 THEN 'jpg'
+                WHEN doc_id % 10 = 9 THEN 'tiff'
                 WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
@@ -2344,6 +2361,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
+        .when(F.pmod(d, F.lit(10)) == 9, F.lit(_G4_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),

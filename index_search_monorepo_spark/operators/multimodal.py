@@ -212,7 +212,7 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
         tag = u(payload[e : e + 2])
         ftype = u(payload[e + 2 : e + 4])
         count = u(payload[e + 4 : e + 8])
-        size = {1: 1, 3: 2, 4: 4}.get(ftype)
+        size = {1: 1, 3: 2, 4: 4, 7: 1}.get(ftype)  # 7 = UNDEFINED (bytes)
         if size is None:
             continue  # rational/ascii tags are irrelevant here
         total = size * count
@@ -238,6 +238,57 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     counts = tags.get(279)
     bits = tags.get(258, [8])
     predictor = one(317, 1)
+    if (
+        compression == 4
+        and offsets
+        and counts
+        and list(bits) == [1]
+        and spp == 1
+        and photometric in (0, 1)
+    ):
+        # CCITT Group 4 bitonal (the archival page-scan codec): single
+        # strip, T.6 MMR decode to a black mask, then photometric map
+        if len(offsets) != 1 or w is None or h is None:
+            return None
+        from index_search_monorepo_spark.operators.ccitt import decode_g4
+
+        mask = decode_g4(payload[offsets[0] : offsets[0] + counts[0]], w, h)
+        if mask is None:
+            return None
+        if photometric == 0:  # MinIsWhite: black pixels -> 0
+            gray = np.where(mask == 1, 0, 255).astype(np.uint8)
+        else:
+            gray = np.where(mask == 1, 255, 0).astype(np.uint8)
+        return w, h, np.ascontiguousarray(np.repeat(gray[:, :, None], 3, 2))
+    if compression == 7 and offsets and counts:
+        # New-style JPEG-in-TIFF (TTN2): the single strip/tile is a
+        # complete JFIF bitstream; shared tables may ride in JPEGTables
+        # (tag 347) as SOI..EOI whose segments belong before the strip's
+        # SOS. Single-strip only — the common whole-page-scan layout.
+        if len(offsets) != 1:
+            return None
+        strip = payload[offsets[0] : offsets[0] + counts[0]]
+        if strip[:2] != b"\xff\xd8":
+            return None
+        jt = tags.get(347)
+        if jt is not None:
+            jtb = bytes(jt)  # stored as BYTE array values
+            if jtb[:2] == b"\xff\xd8" and jtb[-2:] == b"\xff\xd9":
+                strip = jtb[:-2] + strip[2:]  # tables ++ frame
+        from index_search_monorepo_spark.operators.jpeg import decode_baseline
+        from index_search_monorepo_spark.operators.jpeg_progressive import (
+            decode_progressive,
+        )
+
+        parsed = decode_baseline(strip)
+        if parsed is None:
+            parsed = decode_progressive(strip)
+        if parsed is None:
+            return None
+        jw, jh, px = parsed
+        if (w is not None and jw != w) or (h is not None and jh != h):
+            return None  # IFD dims disagree with the embedded stream
+        return jw, jh, px
     if (
         w is None
         or h is None
@@ -365,22 +416,56 @@ def encode_tiff(
     px: np.ndarray, predictor: int = 1, compression: str = "deflate"
 ) -> bytes:
     """Minimal little-endian single-strip TIFF encoder (8-bit gray or
-    RGB; deflate / lzw / packbits / none) — the round-trip partner of
-    _parse_tiff's compressed paths, same role encode_baseline plays for
-    jpeg.py. Fixture-grade: writes BitsPerSample as a single SHORT
-    (accepted by common readers and by _parse_tiff) rather than one per
-    sample."""
+    RGB; deflate / lzw / packbits / jpeg / none) — the round-trip partner
+    of _parse_tiff's compressed paths, same role encode_baseline plays
+    for jpeg.py. 'jpeg' wraps a complete baseline JFIF stream as the
+    strip (new-style JPEG-in-TIFF, compression 7). Fixture-grade: writes
+    BitsPerSample as a single SHORT (accepted by common readers and by
+    _parse_tiff) rather than one per sample."""
     import struct
 
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     stored = px.astype(np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing before compression
-        diff = stored.astype(np.int16)
-        diff[:, 1:] = (diff[:, 1:] - stored[:, :-1].astype(np.int16)) % 256
-        stored = diff.astype(np.uint8)
-    comp_tag, comp_fn = _TIFF_ENCODERS[compression]
-    body = comp_fn(stored.tobytes())
+    if compression == "g4":
+        # bitonal archival layout: 1-bit samples, MinIsWhite, T.6 strip
+        from index_search_monorepo_spark.operators.ccitt import encode_g4
+
+        gray = stored.mean(axis=2) if spp > 1 else stored[:, :, 0]
+        body = encode_g4((gray < 128).astype(np.uint8))
+        tags = [
+            (256, 4, w), (257, 4, h), (258, 3, 1), (259, 3, 4),
+            (262, 3, 0), (273, 4, None), (277, 3, 1), (279, 4, len(body)),
+        ]
+        data_off = 8 + 2 + 12 * len(tags) + 4
+        out = b"II*\x00" + struct.pack("<I", 8) + struct.pack(
+            "<H", len(tags)
+        )
+        for tag, ftype, value in tags:
+            if value is None:
+                value = data_off
+            out += struct.pack("<HHI", tag, ftype, 1)
+            out += struct.pack("<I", value) if ftype == 4 else struct.pack(
+                "<HH", value, 0
+            )
+        out += struct.pack("<I", 0) + body
+        return out
+    if compression == "jpeg":
+        from index_search_monorepo_spark.operators.jpeg import encode_baseline
+
+        comp_tag = 7
+        body = encode_baseline(
+            px.astype(np.uint8) if px.ndim == 2
+            else stored.reshape(h, w, spp),
+            quant=1,
+        )
+    else:
+        if predictor == 2:  # horizontal differencing before compression
+            diff = stored.astype(np.int16)
+            diff[:, 1:] = (diff[:, 1:] - stored[:, :-1].astype(np.int16)) % 256
+            stored = diff.astype(np.uint8)
+        comp_tag, comp_fn = _TIFF_ENCODERS[compression]
+        body = comp_fn(stored.tobytes())
     tags = [
         (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, comp_tag),
         (262, 3, 2 if spp >= 3 else 1), (273, 4, None), (277, 3, spp),

@@ -970,6 +970,70 @@ class TestTiffDecode:
         dec2 = MM._tiff_lzw_decode(MM._tiff_lzw_encode(rep), len(rep))
         assert bytes(dec2) == rep
 
+    def test_jpeg_in_tiff_round_trip(self):
+        """New-style JPEG-in-TIFF (compression 7): the strip is a whole
+        JFIF stream."""
+        import numpy as np
+
+        px = (np.arange(8 * 16 * 3).reshape(8, 16, 3) * 19 % 256).astype(
+            np.uint8
+        )
+        got = MM.decode_image(MM.encode_tiff(px, compression="jpeg"))
+        assert got is not None and got[3] == "tiff"
+        assert (got[0], got[1]) == (16, 8)
+        assert int(np.abs(got[2].astype(int) - px.astype(int)).max()) <= 2
+
+    def test_jpeg_in_tiff_with_jpegtables(self):
+        """Shared-tables layout: DQT/DHT ride in tag 347 (JPEGTables,
+        type UNDEFINED) as SOI..EOI; the strip keeps only frame+scan."""
+        import struct
+
+        import numpy as np
+
+        from index_search_monorepo_spark.operators.jpeg import encode_baseline
+
+        px = (np.arange(8 * 8 * 3).reshape(8, 8, 3) * 41 % 256).astype(
+            np.uint8
+        )
+        jfif = encode_baseline(px, quant=1)
+        # split: table segments (DQT/DHT) -> JPEGTables; rest -> strip
+        tables, strip, pos = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8"), 2
+        while pos + 4 <= len(jfif):
+            marker = jfif[pos + 1]
+            if marker == 0xDA:  # SOS: header + entropy data to the end
+                strip += jfif[pos:]
+                break
+            seglen = int.from_bytes(jfif[pos + 2 : pos + 4], "big")
+            seg = jfif[pos : pos + 2 + seglen]
+            (tables if marker in (0xDB, 0xC4) else strip).extend(seg)
+            pos += 2 + seglen
+        tables += b"\xff\xd9"
+        # hand-build the IFD: w/h, compression 7, strip, JPEGTables
+        entries = []
+
+        def entry(tag, ftype, count, value):
+            return struct.pack("<HHI", tag, ftype, count) + value
+
+        n = 6
+        data_off = 8 + 2 + 12 * n + 4
+        jt_off = data_off + len(strip)
+        entries.append(entry(256, 4, 1, struct.pack("<I", 8)))
+        entries.append(entry(257, 4, 1, struct.pack("<I", 8)))
+        entries.append(entry(259, 3, 1, struct.pack("<HH", 7, 0)))
+        entries.append(entry(273, 4, 1, struct.pack("<I", data_off)))
+        entries.append(entry(279, 4, 1, struct.pack("<I", len(strip))))
+        entries.append(
+            entry(347, 7, len(tables), struct.pack("<I", jt_off))
+        )
+        payload = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + b"".join(entries) + struct.pack("<I", 0)
+            + bytes(strip) + bytes(tables)
+        )
+        got = MM.decode_image(payload)
+        assert got is not None and got[3] == "tiff"
+        assert int(np.abs(got[2].astype(int) - px.astype(int)).max()) <= 2
+
     def test_packbits_repeat_branch_and_bounds(self):
         # handcrafted: repeat-5 of 0x2A then 3 literals; then a hostile
         # stream declaring more output than allowed -> None
