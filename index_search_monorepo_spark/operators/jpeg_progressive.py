@@ -202,10 +202,15 @@ def _decode_scan_progressive(
     hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
     st = _ScanState(payload, pos, restart_interval, [c["id"] for c in scan])
 
-    if ss == 0:  # DC scan (interleaved or single-component)
+    if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("DC scan with Se != 0")
-        if len(scan) > 1 or len(frame["comps"]) == 1:
+        # Per T.81 A.2, a scan is interleaved only when ns > 1. A
+        # single-component scan — including the sole scan of a grayscale
+        # frame — codes ceil(w/8) x ceil(h/8) data units in raster order,
+        # NOT the padded MCU grid (they differ when sampling factors
+        # exceed 1x1 on a one-component frame).
+        if len(scan) > 1:
             for _my in range(mcus_y):
                 for _mx in range(mcus_x):
                     st.maybe_restart()

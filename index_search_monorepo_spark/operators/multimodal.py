@@ -1,16 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 The engine treats image/audio/video as `binary` columns with a typed
-metadata struct. Raster formats PPM P6, 24/32-bit BMP, uncompressed
-8-bit TIFF (II/MM, strip assembly), PNG (8-bit
-gray/RGB/RGBA, non-interlaced — stdlib zlib inflate + numpy filter
+metadata struct. Raster formats PPM P6, 24/32-bit BMP, TIFF (II/MM,
+strip assembly; uncompressed, deflate, LZW, PackBits, CCITT G4 bitonal
+via operators/ccitt.py, and single-strip JPEG-in-TIFF), PNG (8-bit
+gray/RGB/RGBA incl. Adam7 — stdlib zlib inflate + numpy filter
 reconstruction), GIF (87a/89a incl. animation — spec LZW decoder, palette
-expansion, deinterlace, frame composition with transparency/disposal) AND baseline JPEG (operators/jpeg.py: Huffman +
-dequant + vectorized IDCT + YCbCr, 4:4:4/4:2:0, restart intervals) are
-decoded FOR REAL, no PIL needed: header parse, pixel grid,
-nearest-neighbor resize. Payloads that genuinely need external libs
-(progressive/arithmetic JPEG, ffmpeg video containers) fall back to a
-deterministic fake clearly marked as a stub. Everything Spark-side is real and tested either way:
+expansion, deinterlace, frame composition with transparency/disposal),
+baseline JPEG (operators/jpeg.py: Huffman + dequant + vectorized IDCT +
+YCbCr, 4:4:4/4:2:0, restart intervals) AND progressive JPEG
+(operators/jpeg_progressive.py: full T.81 Annex-G spectral selection +
+successive approximation) are decoded FOR REAL, no PIL needed: header
+parse, pixel grid, nearest-neighbor resize. Payloads that genuinely need
+external libs (arithmetic-coded JPEG, ffmpeg video containers) fall back
+to a deterministic fake clearly marked as a stub. Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -33,7 +36,7 @@ from pyspark.sql import functions as F
 # real numpy decode for these; everything else hits the stub fallback
 REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
 DECODE_IS_STUB = True  # still true for video containers (no ffmpeg) and
-# non-baseline JPEG (progressive/arithmetic)
+# arithmetic-coded JPEG
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -102,8 +105,8 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, np.ndarray] | None:
 def _tiff_lzw_decode(data: bytes, max_out: int) -> bytearray | None:
     """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 8-bit
     symbols with fixed codes 256=ClearCode / 257=EOI, initial width 9,
-    width grows at table sizes 510/1022/2046 (TIFF writes the length-
-    minus-one 'early change' convention), max 12 bits. Output capped at
+    width grows at table sizes 511/1023/2047 (the decoder's 2^w - 1
+    'early change' boundary; the one-ahead encoder bumps at 2^w), max 12 bits. Output capped at
     max_out (+ detection of oversize) so hostile streams stay bounded.
     Differs from the GIF variant (_gif_lzw_decode) in bit order, fixed
     symbol width, and the early-change growth points."""
@@ -186,8 +189,11 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     deflate' / legacy 32946, per-strip zlib inflate), LZW (5, MSB-first
     early-change variant), or PackBits (32773) — every decompressor
     capped at the declared pixel size; horizontal-differencing
-    predictor 2 supported. Remaining codecs (JPEG-in-TIFF/CCITT) return
-    None (stub fallback)."""
+    predictor 2 supported. CCITT Group 4 bitonal (compression 4,
+    operators/ccitt.py) and single-strip new-style JPEG-in-TIFF
+    (compression 7, incl. JPEGTables) decode via their own branches;
+    remaining codecs (G3, old-style JPEG) return None (stub
+    fallback)."""
     if len(payload) < 8:
         return None
     if payload[:4] == b"II*\x00":
@@ -236,13 +242,15 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     offsets = tags.get(273)
     spp = one(277, 1)
     counts = tags.get(279)
-    bits = tags.get(258, [8])
+    bits_tag = tags.get(258)  # TIFF default is 1 (bilevel); 8-bit paths
+    bits = bits_tag if bits_tag is not None else [8]  # below assume 8
     predictor = one(317, 1)
     if (
         compression == 4
         and offsets
         and counts
-        and list(bits) == [1]
+        # spec default BitsPerSample IS 1, so an absent tag is valid G4
+        and (bits_tag is None or list(bits_tag) == [1])
         and spp == 1
         and photometric in (0, 1)
     ):
@@ -427,30 +435,15 @@ def encode_tiff(
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     stored = px.astype(np.uint8).reshape(h, w, spp)
+    bits_val, phot, strip_spp = 8, (2 if spp >= 3 else 1), spp
     if compression == "g4":
         # bitonal archival layout: 1-bit samples, MinIsWhite, T.6 strip
         from index_search_monorepo_spark.operators.ccitt import encode_g4
 
         gray = stored.mean(axis=2) if spp > 1 else stored[:, :, 0]
         body = encode_g4((gray < 128).astype(np.uint8))
-        tags = [
-            (256, 4, w), (257, 4, h), (258, 3, 1), (259, 3, 4),
-            (262, 3, 0), (273, 4, None), (277, 3, 1), (279, 4, len(body)),
-        ]
-        data_off = 8 + 2 + 12 * len(tags) + 4
-        out = b"II*\x00" + struct.pack("<I", 8) + struct.pack(
-            "<H", len(tags)
-        )
-        for tag, ftype, value in tags:
-            if value is None:
-                value = data_off
-            out += struct.pack("<HHI", tag, ftype, 1)
-            out += struct.pack("<I", value) if ftype == 4 else struct.pack(
-                "<HH", value, 0
-            )
-        out += struct.pack("<I", 0) + body
-        return out
-    if compression == "jpeg":
+        comp_tag, bits_val, phot, strip_spp, predictor = 4, 1, 0, 1, 1
+    elif compression == "jpeg":
         from index_search_monorepo_spark.operators.jpeg import encode_baseline
 
         comp_tag = 7
@@ -467,8 +460,8 @@ def encode_tiff(
         comp_tag, comp_fn = _TIFF_ENCODERS[compression]
         body = comp_fn(stored.tobytes())
     tags = [
-        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, comp_tag),
-        (262, 3, 2 if spp >= 3 else 1), (273, 4, None), (277, 3, spp),
+        (256, 4, w), (257, 4, h), (258, 3, bits_val), (259, 3, comp_tag),
+        (262, 3, phot), (273, 4, None), (277, 3, strip_spp),
         (279, 4, len(body)),
     ]
     if predictor != 1:
@@ -1235,17 +1228,25 @@ def resize_media(df_with_payload: DataFrame, width: int, height: int) -> DataFra
 
 
 def gif_sample_frames(
-    payload: bytes, every_ms: int, max_frames: int
+    payload: bytes,
+    every_ms: int,
+    max_frames: int,
+    max_total_pixels: int = 64_000_000,
 ) -> list[tuple[int, int, bytes]] | None:
     """REAL frame sampling for animated GIF: stream frames off the single
     live logical-screen canvas (_gif_open) and copy/encode ONLY at sample
     points — decode memory is one canvas regardless of declared frame
-    count, and retained output is capped at 64M pixels total
-    (screen_px × kept_frames), so a hostile payload declaring a large
-    screen plus hundreds of tiny frames cannot OOM an executor. Walked
-    frames are capped at 64 × max_frames (same decode bound as before).
-    Untimed frames (delay 0) count as every_ms apart, so an untimed
-    N-frame GIF yields min(N, max_frames) frames. Returns
+    count, and retained output is capped at max_total_pixels
+    (screen_px × kept_frames, default 64M), so a hostile payload
+    declaring a large screen plus hundreds of tiny frames cannot OOM an
+    executor. NOTE the cap is a deliberate truncation: a LEGITIMATE
+    large-screen animation may get fewer than max_frames samples
+    (e.g. a 4096x4096 screen keeps at most 3 by default) — callers that
+    want deeper sampling of big canvases must raise max_total_pixels
+    explicitly, trading executor memory for frames. Walked frames are
+    capped at 64 × max_frames (same decode bound as before). Untimed
+    frames (delay 0) count as every_ms apart, so an untimed N-frame GIF
+    yields min(N, max_frames) frames. Returns
     [(frame_no, ts_ms, ppm_bytes)] or None for non-GIF/malformed
     payloads (the caller's stub path)."""
     opened = _gif_open(payload)
@@ -1253,8 +1254,8 @@ def gif_sample_frames(
         return None
     sw, sh, frame_gen = opened
     # sw*sh ≤ 64M is guaranteed by _gif_open; keep total retained pixels
-    # ≤ 64M so the sampled-frame list is bounded even at max screen size.
-    max_keep = min(max_frames, max(1, 64_000_000 // (sw * sh)))
+    # bounded so the sampled-frame list stays small at max screen size.
+    max_keep = min(max_frames, max(1, max_total_pixels // (sw * sh)))
     out: list[tuple[int, int, bytes]] = []
     ts = 0
     next_sample = 0
@@ -1274,7 +1275,10 @@ def gif_sample_frames(
 
 
 def sample_frames(
-    df_with_payload: DataFrame, every_ms: int = 1000, max_frames: int = 8
+    df_with_payload: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    max_total_pixels: int = 64_000_000,
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame (a flatMap-shaped
     mapInPandas — output rows > input rows, still no shuffle). REAL for
@@ -1288,7 +1292,9 @@ def sample_frames(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
-                real = gif_sample_frames(payload, every_ms, max_frames)
+                real = gif_sample_frames(
+                    payload, every_ms, max_frames, max_total_pixels
+                )
                 if real is not None:
                     for k, ts, frame in real:
                         rows.append(

@@ -97,10 +97,11 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             try:
                 data = json.loads(line)
-            except json.JSONDecodeError:
-                continue  # skip malformed, like MarcJsonReader
-            if isinstance(data, dict):
-                rows.append(normalize_marc_dict(data))
+                if isinstance(data, dict):
+                    rows.append(normalize_marc_dict(data))
+            except (json.JSONDecodeError, AttributeError, TypeError,
+                    ValueError):
+                continue  # skip malformed/unexpressible, like MarcJsonReader
         yield pd.DataFrame(rows, columns=["leader", "fields"])
 
 
@@ -133,7 +134,11 @@ def marc_json_record_udf():
                     data = json.loads(line)
                     if isinstance(data, dict):
                         rec = normalize_marc_dict(data)
-                except json.JSONDecodeError:
+                except (json.JSONDecodeError, AttributeError, TypeError,
+                        ValueError):
+                    # malformed JSON OR valid JSON with a shape the MARC
+                    # normalizer cannot express (e.g. a numeric field
+                    # value): drop the line, never fail the task
                     pass
             rows.append(rec)
         return pd.DataFrame(rows, columns=["leader", "fields"])

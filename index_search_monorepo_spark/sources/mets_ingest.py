@@ -112,14 +112,21 @@ def mets_record_udf():
     (page_features, scanning_order, reading_order, cover_tag) through the
     SAME parse_mets the file source uses — lets the driver oracle gate the
     stdlib-ET structMap parse on planted documents the way allfields_xml
-    gates the MARC fold. Unparseable XML yields a null-scanning_order
-    record (callers may filter). Arrow-batched, one stage, no shuffle."""
+    gates the MARC fold. Unparseable XML — malformed markup OR well-formed
+    XML with a non-numeric page ORDER (parse_mets raises ValueError) —
+    yields a null-scanning_order record: errors are rows, never task
+    failures. Arrow-batched, one stage, no shuffle.
+
+    Marked nondeterministic for the same reason as
+    marc_json.marc_json_record_udf (CLAUDE.md lesson #9): callers filter
+    on the parsed struct, and predicate pushdown through the Project
+    would otherwise run the parse twice per row."""
     from pyspark.sql.functions import pandas_udf
 
     def _one(xml: str) -> dict:
         try:
             parsed = parse_mets(xml or "")
-        except ET.ParseError:
+        except (ET.ParseError, ValueError):
             return {
                 "page_features": None,
                 "scanning_order": None,
@@ -135,7 +142,7 @@ def mets_record_udf():
             columns=METS_RECORD_SCHEMA.fieldNames(),
         )
 
-    return parse
+    return parse.asNondeterministic()
 
 
 def _mets_batches(

@@ -110,3 +110,34 @@ class TestTiffIntegration:
         got = MM.decode_image(bytes(payload))
         assert got is not None
         assert np.array_equal(got[2][:, :, 0], 255 - px)
+
+    def test_absent_bits_per_sample_is_valid_g4(self):
+        """TIFF 6.0 default BitsPerSample IS 1: a bilevel G4 file that
+        omits tag 258 must decode, not stub out (r4 review finding)."""
+        import struct
+
+        px = np.full((8, 16), 255, np.uint8)
+        px[2:5, 3:12] = 0
+        body = CC.encode_g4((px < 128).astype(np.uint8))
+        entries = []
+
+        def entry(tag, ftype, value):
+            out = struct.pack("<HHI", tag, ftype, 1)
+            return out + (
+                struct.pack("<I", value)
+                if ftype == 4
+                else struct.pack("<HH", value, 0)
+            )
+
+        n = 6  # no BitsPerSample entry
+        data_off = 8 + 2 + 12 * n + 4
+        payload = (
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+            + entry(256, 4, 16) + entry(257, 4, 8)
+            + entry(259, 3, 4) + entry(262, 3, 0)
+            + entry(273, 4, data_off) + entry(279, 4, len(body))
+            + struct.pack("<I", 0) + body
+        )
+        got = MM.decode_image(payload)
+        assert got is not None and got[3] == "tiff"
+        assert np.array_equal(got[2][:, :, 0], px)

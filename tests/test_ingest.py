@@ -174,3 +174,26 @@ def test_mets_record_udf_column_form(spark):
     assert good["scanning_order"] == "right-to-left"
     assert good["page_features"][0]["features"].startswith("FRONT_COVER")
     assert all(r["rec"]["scanning_order"] is None for r in rows[1:])
+
+
+def test_mets_record_udf_non_numeric_order_is_null_record(spark):
+    """r4 review finding: well-formed XML with ORDER="A1" raises
+    ValueError inside parse_mets — must become a null record (errors are
+    rows), never a task failure."""
+    from pyspark.sql import functions as F
+
+    from index_search_monorepo_spark.sources.mets_ingest import (
+        mets_record_udf,
+    )
+
+    bad = (
+        '<M:mets xmlns:M="http://www.loc.gov/METS/"><M:structMap>'
+        '<M:div TYPE="page" ORDER="A1" LABEL="TYPICAL"/>'
+        "</M:structMap></M:mets>"
+    )
+    rows = (
+        spark.createDataFrame([(bad,)], ["xml"])
+        .select(mets_record_udf()(F.col("xml")).alias("rec"))
+        .collect()
+    )
+    assert rows[0]["rec"]["scanning_order"] is None

@@ -87,3 +87,24 @@ class TestProgressiveDecode:
         got = MM.decode_image(JP.encode_progressive(im, quant=1))
         assert got is not None and got[3] == "jpg"
         assert int(np.abs(got[2].astype(int) - im.astype(int)).max()) <= 2
+
+
+class TestSingleComponentGeometry:
+    def test_grayscale_with_sampling_factors_above_1x1(self):
+        """T.81 A.2: a one-component scan is ALWAYS non-interleaved with
+        ceil(w/8) x ceil(h/8) raster blocks — sampling factors on a
+        grayscale frame must not reroute it through the MCU grid (r4
+        review finding: 2x2 sampling on 16-multiple dims silently
+        scrambled block placement)."""
+        px = (np.arange(32 * 32).reshape(32, 32) * 13 % 256).astype(np.uint8)
+        payload = bytearray(JP.encode_progressive(px, quant=1))
+        idx = bytes(payload).find(b"\xff\xc2")
+        # SOF2 layout: len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+        samp_byte = idx + 2 + 2 + 1 + 2 + 2 + 1 + 1
+        assert payload[samp_byte] == 0x11
+        payload[samp_byte] = 0x22  # declare 2x2 sampling, still 1 comp
+        got = JP.decode_progressive(bytes(payload))
+        assert got is not None
+        # +-1 is DCT rounding (same as the unpatched gray round-trip);
+        # the pre-fix MCU routing scrambled whole blocks (err ~ 200)
+        assert int(np.abs(got[2][:, :, 0].astype(int) - px.astype(int)).max()) <= 1

@@ -137,3 +137,20 @@ def test_dissertation_rows(spark, tmp_path):
         "discipline": "Physics; Chemistry",
         "other_sources": "id-r1; (OCoLC)123",
     }
+
+
+def test_udf_valid_json_bad_marc_shape_is_dropped(spark):
+    """r4 review finding: valid JSON whose field value is neither str nor
+    dict (e.g. a number) must yield a null record, not a task failure."""
+    from pyspark.sql import functions as F
+
+    from index_search_monorepo_spark.sources.marc_json import (
+        marc_json_record_udf,
+        read_marc_json,
+    )
+
+    df = spark.createDataFrame(
+        [('{"leader":"x","fields":[{"008": 12}]}',)], ["value"]
+    )
+    rows = df.select(marc_json_record_udf()(F.col("value")).alias("rec")).collect()
+    assert rows[0]["rec"]["leader"] is None
