@@ -12,8 +12,10 @@ YCbCr, 4:4:4/4:2:0, restart intervals) AND progressive JPEG
 (operators/jpeg_progressive.py: full T.81 Annex-G spectral selection +
 successive approximation) are decoded FOR REAL, no PIL needed: header
 parse, pixel grid, nearest-neighbor resize. Payloads that genuinely need
-external libs (arithmetic-coded JPEG, ffmpeg video containers) fall back
-to a deterministic fake clearly marked as a stub. Everything Spark-side is real and tested either way:
+external libs (arithmetic-coded JPEG, H.26x-style codec'd video) fall
+back to a deterministic fake clearly marked as a stub; MJPEG-AVI video
+frames decode for real through the repo's own JPEG decoders
+(parse_avi/avi_sample_frames). Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -35,8 +37,8 @@ from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
 REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
-DECODE_IS_STUB = True  # still true for video containers (no ffmpeg) and
-# arithmetic-coded JPEG
+DECODE_IS_STUB = True  # still true for codec'd video (H.26x etc., no
+# ffmpeg) and arithmetic-coded JPEG; MJPEG-AVI frames decode for real
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -1073,16 +1075,143 @@ def parse_mp4(payload: bytes) -> dict | None:
     }
 
 
+def parse_avi(payload: bytes) -> tuple[dict, list[bytes]] | None:
+    """REAL RIFF/AVI container parse: avih main header (frame period,
+    frame count, dims) + the 'movi' LIST's video frame chunks
+    (00dc/00db). Returns (metadata dict shaped like parse_mp4's, frames)
+    or None for non-AVI payloads. For MJPEG streams each frame chunk is
+    a complete JPEG this repo's own decoders can open — making video
+    frame sampling REAL for the one video codec stdlib can express."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    usec_per_frame = total_frames = width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec_per_frame, total_frames, width, height
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body0, body1 = pos + 8, min(pos + 8 + csize, end)
+            if cid == b"LIST":
+                walk(body0 + 4, body1)  # skip the list type fourcc
+            elif cid == b"avih" and csize >= 40:
+                usec_per_frame = int.from_bytes(
+                    payload[body0 : body0 + 4], "little"
+                )
+                total_frames = int.from_bytes(
+                    payload[body0 + 16 : body0 + 20], "little"
+                )
+                width = int.from_bytes(
+                    payload[body0 + 32 : body0 + 36], "little"
+                )
+                height = int.from_bytes(
+                    payload[body0 + 36 : body0 + 40], "little"
+                )
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(payload[body0:body1])
+            pos = body0 + csize + (csize & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if usec_per_frame is None:
+        return None
+    n = total_frames if total_frames else len(frames)
+    duration_ms = (n * usec_per_frame) // 1000 if usec_per_frame else None
+    meta = {
+        "n_bytes": len(payload),
+        "major_brand": "AVI ",
+        "timescale": 1_000_000 // usec_per_frame if usec_per_frame else None,
+        "duration_ms": duration_ms,
+        "n_tracks": 1,
+        "width": width,
+        "height": height,
+        "media_format": "avi",
+    }
+    return meta, frames
+
+
+def avi_sample_frames(
+    payload: bytes,
+    every_ms: int,
+    max_frames: int,
+    max_total_pixels: int = 64_000_000,
+) -> list[tuple[int, int, bytes]] | None:
+    """REAL frame sampling for MJPEG-AVI: walk the container's frame
+    chunks on the declared timeline and decode the JPEG at each every_ms
+    sample point with this repo's own baseline/progressive decoders,
+    re-encoded as canonical PPM. Same retained-pixel cap semantics as
+    gif_sample_frames. Returns None for non-AVI payloads or when no
+    frame decodes (caller's stub path)."""
+    parsed = parse_avi(payload)
+    if parsed is None:
+        return None
+    meta, frames = parsed
+    if not frames:
+        return None
+    ts_scale = 1_000_000 // meta["timescale"] if meta["timescale"] else 0
+    period_ms = max(ts_scale // 1000, 1)
+    out: list[tuple[int, int, bytes]] = []
+    retained_px = 0
+    next_sample = 0
+    for k, fr in enumerate(frames):
+        if len(out) >= max_frames:
+            break
+        ts = k * period_ms
+        if ts < next_sample:
+            continue
+        decoded = decode_image(bytes(fr))
+        if decoded is None:
+            continue  # undecodable frame: skip, don't abort the timeline
+        w, h, px, _fmt = decoded
+        if retained_px + w * h > max_total_pixels:
+            break
+        retained_px += w * h
+        out.append((len(out), ts, encode_ppm(px)))
+        next_sample = ts + every_ms
+    return out if out else None
+
+
+def encode_mjpeg_avi(frames_px: list, fps: int = 10) -> bytes:
+    """Minimal MJPEG-AVI writer (tests' conformance partner of
+    parse_avi/avi_sample_frames): RIFF('AVI ') with an avih main header
+    and a movi LIST of 00dc JPEG chunks, each frame encoded with this
+    repo's own baseline encoder."""
+    import struct
+
+    from index_search_monorepo_spark.operators.jpeg import encode_baseline
+
+    jpegs = [encode_baseline(px, quant=1) for px in frames_px]
+    h0, w0 = frames_px[0].shape[:2]
+    usec = 1_000_000 // fps
+    avih = struct.pack(
+        "<10I", usec, 0, 0, 0, len(jpegs), 0, 1, 0, w0, h0
+    )
+    hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+    movi = bytearray()
+    for j in jpegs:
+        movi += b"00dc" + struct.pack("<I", len(j)) + j
+        if len(j) & 1:
+            movi += b"\x00"  # word alignment
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi)) + b"movi" + bytes(movi)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def extract_video_metadata(df_with_payload: DataFrame) -> DataFrame:
-    """binary payload -> typed container metadata (REAL for ISO-BMFF;
-    other payloads yield a NULL-fielded 'unknown' row). No-shuffle
-    mapInPandas, same shape as the image/audio kernels."""
+    """binary payload -> typed container metadata (REAL for ISO-BMFF and
+    RIFF/AVI; other payloads yield a NULL-fielded 'unknown' row).
+    No-shuffle mapInPandas, same shape as the image/audio kernels."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 meta = parse_mp4(bytes(payload))
+                if meta is None:
+                    avi = parse_avi(bytes(payload))
+                    if avi is not None:
+                        meta = avi[0]
                 if meta is None:
                     meta = {
                         "n_bytes": len(payload),
@@ -1283,9 +1412,10 @@ def sample_frames(
     """Frame sampling: one output row per sampled frame (a flatMap-shaped
     mapInPandas — output rows > input rows, still no shuffle). REAL for
     animated GIF (frame composition + timeline sampling via
-    gif_sample_frames); the STUB fallback derives a deterministic frame
-    count from payload length for container formats whose frame decode
-    needs a codec."""
+    gif_sample_frames) AND MJPEG-AVI (container walk + per-frame JPEG
+    decode via avi_sample_frames); the STUB fallback derives a
+    deterministic frame count from payload length for container formats
+    whose frame decode needs a codec."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1295,6 +1425,10 @@ def sample_frames(
                 real = gif_sample_frames(
                     payload, every_ms, max_frames, max_total_pixels
                 )
+                if real is None:
+                    real = avi_sample_frames(
+                        payload, every_ms, max_frames, max_total_pixels
+                    )
                 if real is not None:
                     for k, ts, frame in real:
                         rows.append(
