@@ -257,7 +257,17 @@ _PT_RAW_SQL = (
            pt_clean AS pairtree_id,
            '/' || array_to_string(
                     regexp_extract_all(pt_clean, '(.{{1,2}})', 1), '/')
-               || '/' || pt_clean AS pairtree_path
+               || '/' || pt_clean AS pairtree_path,
+           CASE WHEN doc_id % 40 = 7 THEN 'error' ELSE 'clean' END AS route,
+           CASE WHEN doc_id % 40 = 7 THEN 'document_generator'
+           END AS err_service,
+           CASE WHEN doc_id % 40 = 7
+                THEN 'File encoding incompatible with UTF-8'
+           END AS err_message,
+           CASE WHEN doc_id % 40 = 7
+                THEN strftime(TIMESTAMP '2026-01-15 12:34:56',
+                              '%Y-%m-%d %H:%M:%S')
+           END AS err_ts
     FROM pt
     """,
 )
@@ -271,7 +281,16 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     three special characters ('.' and the ark-style ':' '/') — the
     scalar-function family gate (r3 matrix note in COVERAGE.md). The
     spiked intermediate is bound once behind a Project boundary
-    (CLAUDE.md lesson #1)."""
+    (CLAUDE.md lesson #1).
+
+    NEW r4b: also gates F15 (error envelope, ht_utils.py:59-90) + F8
+    (timestamp formatting) + the R2 routing predicate: docs with
+    doc_id % 40 == 7 get the strict-UTF-8 poison marker planted into a
+    spans column, the REAL `split_errors` partitions them, and BOTH
+    result frames ride back as per-doc columns (route from the union of
+    the two frames — a doc dropped or double-routed changes join
+    multiplicity and fails the row-count gate; envelope columns from the
+    errors frame, timestamp frozen via the `now` injection point)."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -280,9 +299,46 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_leading_zeros_expr,
         zero_pad_id_expr,
     )
+    from index_search_monorepo_spark.operators.errors import split_errors
+    from index_search_monorepo_spark.sources.synthetic import (
+        INVALID_UTF8_MARKER,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
+    # F15/R2 planting: a minimal spans column, poisoned on the 40k+7 docs
+    planted = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("txt").alias("kind"),
+                F.when(
+                    F.pmod(d, F.lit(40)) == 7,
+                    F.concat(F.lit(INVALID_UTF8_MARKER), F.lit("page")),
+                )
+                .otherwise(F.lit("page"))
+                .alias("text"),
+            )
+        ).alias("spans"),
+    )
+    clean, errs = split_errors(
+        planted, now=F.to_timestamp(F.lit("2026-01-15 12:34:56"))
+    )
+    routed = clean.select(
+        F.col("doc_id").alias("r_id"),
+        F.lit("clean").alias("route"),
+        F.lit(None).cast("string").alias("err_service"),
+        F.lit(None).cast("string").alias("err_message"),
+        F.lit(None).cast("string").alias("err_ts"),
+    ).unionByName(
+        errs.select(
+            F.col("ht_id").alias("r_id"),
+            F.lit("error").alias("route"),
+            F.col("service_name").alias("err_service"),
+            F.col("error_message").alias("err_message"),
+            F.col("timestamp").alias("err_ts"),
+        )
+    )
     ht_id = F.concat(
         F.lit("ns"),
         F.pmod(d, F.lit(5)).cast("string"),
@@ -295,7 +351,7 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(d, F.lit(3)) == 0,
         F.concat(F.lit("ark:/13960/t"), d.cast("string")),
     ).otherwise(F.concat(F.lit("39015"), d.cast("string"), F.lit(".x")))
-    return docs.withColumn("_spiked", spike_text_expr(F.col("text"))).select(
+    out = docs.withColumn("_spiked", spike_text_expr(F.col("text"))).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
         xmlesc_expr(F.col("_spiked")).alias("escaped"),
@@ -311,6 +367,9 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F6: pairtree sanitize + shard path (ht_document.py:63-74)
         pairtree_sanitize_expr(pt_raw).alias("pairtree_id"),
         pairtree_path_expr(pt_raw).alias("pairtree_path"),
+    )
+    return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
+        out["*"], "route", "err_service", "err_message", "err_ts"
     )
 
 
@@ -1009,7 +1068,18 @@ def _dismax_term_sql(t: str) -> str:
       FROM documents
     )
     SELECT s.doc_id, s.score_x2, CAST(s.rnk AS BIGINT) AS rank,
-           e.export_ord, e.export_lang
+           e.export_ord, e.export_lang,
+           (SELECT 'id:("' || string_agg(CAST(doc_id AS VARCHAR),
+                                         '" OR "' ORDER BY rnk2) || '")'
+            FROM (SELECT doc_id, row_number() OVER
+                           (ORDER BY score_x2 DESC, doc_id) AS rnk2
+                  FROM scored) WHERE rnk2 <= 5) AS fq_ids,
+           'rights:(25 OR 15 OR 18 OR 1 OR 21 OR 23 OR 19 OR 13 OR 11 OR 20'
+             || ' OR 7 OR 10 OR 24 OR 14 OR 17 OR 22 OR 12)' AS fq_rights,
+           'spark OR es|q.op=OR' AS q_shaped,
+           '"full text search"' AS q_phrase,
+           'allfields^1 title^10 title_top^5 title_rest^2 author^80'
+             || ' author2^50 author_top^30 oclc^1 sdrnum^1' AS qf_profile
     FROM (SELECT *, row_number() OVER (ORDER BY score_x2 DESC, doc_id) AS rnk
           FROM scored) s
     JOIN exp e ON CAST(s.doc_id AS VARCHAR) = e.id
@@ -1028,9 +1098,27 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     order rides in data, never row order), and each top-k doc's position
     in that export (export_ord) plus its fl-projected field (export_lang)
     is compared against the oracle's row_number over the same sort key.
-    A mis-sort anywhere before a sampled doc shifts its ordinal."""
+    A mis-sort anywhere before a sampled doc shifts its ordinal.
+
+    NEW r4b: also gates the F12/F13 query-shaping builders
+    (ht_query.py:67-81,87-111,119-136; goldens ht_query_test.py:22-105).
+    Query shaping is driver-side BY DESIGN in the reference (strings are
+    built before any data-plane work), so the top-5 ids are collected
+    (bounded: 5 rows) and fed through the REAL Python builders; the
+    oracle recomputes the data-dependent id-filter string from the same
+    ranking via string_agg and pins the static profile strings as
+    literals — if any builder's formatting drifts from the reference
+    golden, the value hash fails."""
     from index_search_monorepo_spark.search import SearchQuery, with_dismax_score
     from index_search_monorepo_spark.search.engine import export_all
+    from index_search_monorepo_spark.search.query import (
+        QF_ALL,
+        RIGHTS_PUBLIC_DOMAIN,
+        boost_phrase_fields,
+        manage_string_query,
+        query_filter_creator_rights,
+        query_filter_creator_string,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     q = SearchQuery(
@@ -1065,9 +1153,28 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id string, export_lang string, export_ord long",
     )
-    return topk.join(
-        exp_df, topk["doc_id"].cast("string") == exp_df["id"]
-    ).select("doc_id", "score_x2", "rank", "export_ord", "export_lang")
+    # F12/F13: REAL driver-side builders over the top-5 ids (rank order)
+    top5_ids = [
+        str(r["doc_id"])
+        for r in topk.filter(F.col("rank") <= 5).orderBy("rank").collect()
+    ]
+    mq = manage_string_query(" ".join(_DISMAX_TERMS), "OR")
+    return (
+        topk.join(exp_df, topk["doc_id"].cast("string") == exp_df["id"])
+        .select("doc_id", "score_x2", "rank", "export_ord", "export_lang")
+        .withColumn(
+            "fq_ids", F.lit(query_filter_creator_string("id", top5_ids))
+        )
+        .withColumn(
+            "fq_rights",
+            F.lit(query_filter_creator_rights("rights", RIGHTS_PUBLIC_DOMAIN)),
+        )
+        .withColumn("q_shaped", F.lit(f"{mq['q']}|q.op={mq['q.op']}"))
+        .withColumn(
+            "q_phrase", F.lit(manage_string_query("full text search")["q"])
+        )
+        .withColumn("qf_profile", F.lit(boost_phrase_fields(QF_ALL)))
+    )
 
 
 @register(
@@ -2283,6 +2390,22 @@ def _planted_progressive_jpeg() -> bytes:
     return encode_progressive(px, quant=2)
 
 
+def _planted_arith_jpeg() -> bytes:
+    """Constant 21x13 4:2:0 SOF9 arithmetic-coded JPEG (T.81 Annex-D QM
+    coder + Annex-F model; jpeg_arith.encode_arith round-trip partner,
+    restart interval 2) planted on doc_id % 10 == 5 rows — the QM decode
+    runs inside the driver gate."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:13, 0:21]
+    px = np.dstack(
+        [(11 + 13 * xx) % 251, (97 + 5 * yy) % 251, (3 * (xx * yy + 7)) % 251]
+    ).astype(np.uint8)
+    from index_search_monorepo_spark.operators.jpeg_arith import encode_arith
+
+    return encode_arith(px, quant=2, subsampling="420", restart_interval=2)
+
+
 def _planted_g4_tiff() -> bytes:
     """Constant 50x30 bitonal G4 TIFF (CCITT T.6, the archival page-scan
     codec; multimodal.encode_tiff compression='g4') planted on
@@ -2299,6 +2422,7 @@ _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
 _G4_TIFF_PAYLOAD = _planted_g4_tiff()
+_ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
 
 
 @register(
@@ -2309,6 +2433,7 @@ _G4_TIFF_PAYLOAD = _planted_g4_tiff()
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 10 = 5 THEN CAST({len(_ARITH_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
@@ -2316,18 +2441,21 @@ _G4_TIFF_PAYLOAD = _planted_g4_tiff()
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST(50 AS BIGINT)
+                WHEN doc_id % 10 = 5 THEN CAST(21 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST(30 AS BIGINT)
+                WHEN doc_id % 10 = 5 THEN CAST(13 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
            CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
                 WHEN doc_id % 10 = 7 THEN 'jpg'
                 WHEN doc_id % 10 = 9 THEN 'tiff'
+                WHEN doc_id % 10 = 5 THEN 'jpg'
                 WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
@@ -2344,7 +2472,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder that misparses headers or pixel extents fails the hash.
     NEW r4: doc_id % 10 == 1 rows carry a constant 9x5 deflate-compressed
     predictor-2 TIFF (encode_tiff round-trip partner) so the zlib strip
-    inflate + horizontal-differencing undo run inside the driver gate."""
+    inflate + horizontal-differencing undo run inside the driver gate;
+    doc_id % 10 == 5 rows carry a 21x13 4:2:0 SOF9 arithmetic-coded JPEG
+    with restart intervals, so the T.81 QM coder runs there too."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -2362,6 +2492,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 9, F.lit(_G4_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(10)) == 5, F.lit(_ARITH_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),

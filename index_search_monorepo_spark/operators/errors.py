@@ -28,18 +28,22 @@ def _is_poisoned(spans_col: str) -> "F.Column":
 
 
 def split_errors(
-    df: DataFrame, spans_col: str = "spans"
+    df: DataFrame, spans_col: str = "spans", now: "F.Column | None" = None
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean, errors). errors carries the reference's error-envelope
-    shape (F15): service_name, error_message, ht_id, timestamp."""
+    shape (F15): service_name, error_message, ht_id, timestamp — the
+    timestamp formatted per ht_utils.py:59-90 (F8). `now` injects a fixed
+    timestamp column for deterministic envelopes (driver oracle gate,
+    replayable DLQ fixtures); default is wall-clock `current_timestamp()`."""
     poisoned = _is_poisoned(spans_col)
     clean = df.filter(~poisoned)
     errors = df.filter(poisoned).select(
         F.lit(SERVICE_NAME).alias("service_name"),
         F.lit("File encoding incompatible with UTF-8").alias("error_message"),
         F.col("doc_id").alias("ht_id"),
-        F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias(
-            "timestamp"
-        ),
+        F.date_format(
+            F.current_timestamp() if now is None else now,
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("timestamp"),
     )
     return clean, errors

@@ -8,14 +8,15 @@ gray/RGB/RGBA incl. Adam7 — stdlib zlib inflate + numpy filter
 reconstruction), GIF (87a/89a incl. animation — spec LZW decoder, palette
 expansion, deinterlace, frame composition with transparency/disposal),
 baseline JPEG (operators/jpeg.py: Huffman + dequant + vectorized IDCT +
-YCbCr, 4:4:4/4:2:0, restart intervals) AND progressive JPEG
+YCbCr, 4:4:4/4:2:0, restart intervals), progressive JPEG
 (operators/jpeg_progressive.py: full T.81 Annex-G spectral selection +
-successive approximation) are decoded FOR REAL, no PIL needed: header
-parse, pixel grid, nearest-neighbor resize. Payloads that genuinely need
-external libs (arithmetic-coded JPEG, H.26x-style codec'd video) fall
-back to a deterministic fake clearly marked as a stub; MJPEG-AVI video
-frames decode for real through the repo's own JPEG decoders
-(parse_avi/avi_sample_frames). Everything Spark-side is real and tested either way:
+successive approximation) AND sequential arithmetic-coded JPEG
+(operators/jpeg_arith.py: T.81 Annex-D QM coder + Annex-F statistical
+model, SOF9) are decoded FOR REAL, no PIL needed: header parse, pixel
+grid, nearest-neighbor resize. Payloads that genuinely need external
+libs (H.26x-style codec'd video) fall back to a deterministic fake
+clearly marked as a stub; MJPEG-AVI video frames decode for real through
+the repo's own JPEG decoders (parse_avi/avi_sample_frames). Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -38,7 +39,9 @@ from pyspark.sql import functions as F
 # real numpy decode for these; everything else hits the stub fallback
 REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
 DECODE_IS_STUB = True  # still true for codec'd video (H.26x etc., no
-# ffmpeg) and arithmetic-coded JPEG; MJPEG-AVI frames decode for real
+# ffmpeg) and progressive-arithmetic/hierarchical JPEG; every JPEG
+# entropy coder (Huffman baseline/progressive, QM sequential-arithmetic)
+# and MJPEG-AVI frames decode for real
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -290,9 +293,15 @@ def _parse_tiff(payload: bytes) -> tuple[int, int, np.ndarray] | None:
             decode_progressive,
         )
 
+        from index_search_monorepo_spark.operators.jpeg_arith import (
+            decode_arith,
+        )
+
         parsed = decode_baseline(strip)
         if parsed is None:
             parsed = decode_progressive(strip)
+        if parsed is None:
+            parsed = decode_arith(strip)
         if parsed is None:
             return None
         jw, jh, px = parsed
@@ -878,11 +887,19 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
             decode_progressive,
         )
 
+        from index_search_monorepo_spark.operators.jpeg_arith import (
+            decode_arith,
+        )
+
         parsed = decode_baseline(payload)
         if parsed is None:
             # SOF2 Huffman progressive (spectral selection + successive
-            # approximation); arithmetic/hierarchical still stub out
+            # approximation)
             parsed = decode_progressive(payload)
+        if parsed is None:
+            # SOF9 sequential arithmetic (QM coder, T.81 Annex D + F);
+            # progressive-arithmetic/hierarchical still stub out
+            parsed = decode_arith(payload)
         if parsed is not None:
             return (*parsed, "jpg")
     return None
@@ -1138,8 +1155,8 @@ def avi_sample_frames(
 ) -> list[tuple[int, int, bytes]] | None:
     """REAL frame sampling for MJPEG-AVI: walk the container's frame
     chunks on the declared timeline and decode the JPEG at each every_ms
-    sample point with this repo's own baseline/progressive decoders,
-    re-encoded as canonical PPM. Same retained-pixel cap semantics as
+    sample point with this repo's own decoders (baseline / progressive /
+    QM-arithmetic), re-encoded as canonical PPM. Same retained-pixel cap semantics as
     gif_sample_frames. Returns None for non-AVI payloads or when no
     frame decodes (caller's stub path)."""
     parsed = parse_avi(payload)
