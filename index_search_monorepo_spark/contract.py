@@ -2406,6 +2406,25 @@ def _planted_arith_jpeg() -> bytes:
     return encode_arith(px, quant=2, subsampling="420", restart_interval=2)
 
 
+def _planted_arith_prog_jpeg() -> bytes:
+    """Constant 19x11 SOF10 progressive-arithmetic JPEG (T.81 Annex G.2:
+    QM coder driven by the 10-scan successive-approximation script;
+    jpeg_arith.encode_arith_progressive round-trip partner, restart
+    interval 3) planted on doc_id % 20 == 15 rows — the arithmetic
+    AC-refinement procedure runs inside the driver gate."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:11, 0:19]
+    px = np.dstack(
+        [(29 + 17 * xx) % 247, (83 + 3 * yy) % 247, (7 * (xx + 2 * yy)) % 247]
+    ).astype(np.uint8)
+    from index_search_monorepo_spark.operators.jpeg_arith import (
+        encode_arith_progressive,
+    )
+
+    return encode_arith_progressive(px, quant=2, restart_interval=3)
+
+
 def _planted_g4_tiff() -> bytes:
     """Constant 50x30 bitonal G4 TIFF (CCITT T.6, the archival page-scan
     codec; multimodal.encode_tiff compression='g4') planted on
@@ -2423,6 +2442,7 @@ _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
 _G4_TIFF_PAYLOAD = _planted_g4_tiff()
 _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
+_ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
 
 
 @register(
@@ -2433,6 +2453,7 @@ _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 20 = 15 THEN CAST({len(_ARITH_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST({len(_ARITH_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
@@ -2441,6 +2462,7 @@ _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST(50 AS BIGINT)
+                WHEN doc_id % 20 = 15 THEN CAST(19 AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST(21 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
@@ -2448,6 +2470,7 @@ _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
                 WHEN doc_id % 10 = 9 THEN CAST(30 AS BIGINT)
+                WHEN doc_id % 20 = 15 THEN CAST(11 AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST(13 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
@@ -2474,7 +2497,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictor-2 TIFF (encode_tiff round-trip partner) so the zlib strip
     inflate + horizontal-differencing undo run inside the driver gate;
     doc_id % 10 == 5 rows carry a 21x13 4:2:0 SOF9 arithmetic-coded JPEG
-    with restart intervals, so the T.81 QM coder runs there too."""
+    with restart intervals, so the T.81 QM coder runs there too — and the
+    % 20 == 15 half of that slot now carries a 19x11 SOF10
+    progressive-arithmetic JPEG (Annex G.2 scan script), so the QM
+    AC-refinement path is gated as well."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -2492,6 +2518,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 9, F.lit(_G4_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(20)) == 15, F.lit(_ARITH_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 5, F.lit(_ARITH_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))

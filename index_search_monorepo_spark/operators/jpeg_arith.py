@@ -20,14 +20,21 @@ model of Annex F (F.1.4.4 encode / F.2.4 decode):
    (DAC or default 5) at bins 189/217,
  - restart markers (per-interval statistics + predictor + coder reset).
 
-Geometry, dequant, IDCT, upsampling and YCbCr are shared with the
-baseline/progressive decoders (operators/jpeg.py, jpeg_progressive.py).
-Progressive-arithmetic (SOF10) and hierarchical streams still return
-None. `encode_arith` is the tests' conformance partner: pixels encoded
-with it and with `jpeg.encode_baseline` at the same quant decode to
-bit-identical images (the two entropy coders carry identical
-coefficients), so the statistical model is cross-checked against the
-independently-validated Huffman path, not just against itself.
+Progressive-arithmetic (SOF10, Annex G.2) decodes too: the same QM
+coder + statistical model driven by the progressive scan structure —
+DC first/refinement scans (refinement bits on the fixed bin), AC band
+scans through the sequential model with (Ss, Se, Al) limits, and the
+AC successive-approximation refinement procedure (EOB decisions gated
+by the previous stage's end-of-block index, correction bits on the
+per-position X1 bins). Geometry, dequant, IDCT, upsampling and YCbCr
+are shared with the baseline/progressive decoders (operators/jpeg.py,
+jpeg_progressive.py). Hierarchical streams still return None.
+`encode_arith` / `encode_arith_progressive` are the tests' conformance
+partners: pixels encoded with them and with `jpeg.encode_baseline` at
+the same quant decode to bit-identical images (the entropy coders carry
+identical coefficients), so the statistical model is cross-checked
+against the independently-validated Huffman path, not just against
+itself.
 
 Qe state table = T.81 Table D.3 (standard-mandated data, like the
 Annex-K Huffman tables in jpeg.py). No real arithmetic-coded corpus
@@ -47,6 +54,7 @@ import numpy as np
 
 from index_search_monorepo_spark.operators.jpeg import ZIGZAG, _C, _pad_edge
 from index_search_monorepo_spark.operators.jpeg_progressive import (
+    _comp_block_dims,
     _frame_geometry,
     _reconstruct,
 )
@@ -336,19 +344,28 @@ def _decode_dc_diff(dec: _QMDecoder, stats: _ArithStats, ci: int, tbl: int) -> i
 
 
 def _decode_ac_block(
-    dec: _QMDecoder, stats: _ArithStats, tbl: int, block: np.ndarray
+    dec: _QMDecoder,
+    stats: _ArithStats,
+    tbl: int,
+    block: np.ndarray,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
 ) -> None:
-    """F.2.4.2: Decode_AC_coefficients into block (zigzag order)."""
+    """F.2.4.2: Decode_AC_coefficients into block (zigzag order). The
+    (ss, se, al) band parameters make this double as the G.2.2
+    progressive AC-first procedure — identical statistical model, band
+    limits from the scan header, decoded values scaled by 2^Al."""
     st = stats.ac(tbl)
     kx = stats.ac_cond[tbl]
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):  # SE: end-of-block
             return
         while dec.decode(st, base + 1) == 0:  # S0: zero coefficient
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("AC overrun")
             base = 3 * (k - 1)
         sign = dec.decode_fixed(stats.fixed)
@@ -371,7 +388,7 @@ def _decode_ac_block(
             if dec.decode(st, pos):
                 v |= mm
         v += 1
-        block[k] = -v if sign else v
+        block[k] = (-v if sign else v) << al
         k += 1
 
 
@@ -416,26 +433,37 @@ def _encode_dc_diff(
         enc.encode(st, pos, 1 if (v & mm) else 0)
 
 
+def _pt(v: int, al: int) -> int:
+    """AC point transform (G.1.3.2): magnitude shift, sign preserved."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
 def _encode_ac_block(
-    enc: _QMEncoder, stats: _ArithStats, tbl: int, zz: np.ndarray
+    enc: _QMEncoder,
+    stats: _ArithStats,
+    tbl: int,
+    zz: np.ndarray,
+    ss: int = 1,
+    se: int = 63,
+    al: int = 0,
 ) -> None:
     st = stats.ac(tbl)
     kx = stats.ac_cond[tbl]
-    eob = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    eob = ss - 1
+    for k in range(se, ss - 1, -1):
+        if _pt(int(zz[k]), al):
             eob = k
             break
-    k = 1
+    k = ss
     while k <= eob:
         base = 3 * (k - 1)
         enc.encode(st, base, 0)  # not EOB yet
-        v = int(zz[k])
+        v = _pt(int(zz[k]), al)
         while v == 0:
             enc.encode(st, base + 1, 0)
             k += 1
             base = 3 * (k - 1)
-            v = int(zz[k])
+            v = _pt(int(zz[k]), al)
         enc.encode(st, base + 1, 1)
         sign = 1 if v < 0 else 0
         if sign:
@@ -464,8 +492,96 @@ def _encode_ac_block(
             mm >>= 1
             enc.encode(st, pos, 1 if (v & mm) else 0)
         k += 1
-    if k <= 63:
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+def _decode_ac_refine(
+    dec: _QMDecoder,
+    stats: _ArithStats,
+    tbl: int,
+    block: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """G.2.3 AC successive-approximation refinement. Context layout per
+    position k: EOB decision at 3*(k-1), newly-nonzero at +1, correction
+    bit for a history-nonzero coefficient at +2; signs on the fixed bin.
+    The EOB decision only exists once k passes the PREVIOUS stage's
+    end-of-block index (kex), which the decoder recovers from the already
+    accumulated coefficients."""
+    st = stats.ac(tbl)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = ss - 1  # any previous-stage EOB below ss gates identically
+    for k in range(se, ss - 1, -1):
+        if block[k]:
+            kex = k
+            break
+    k = ss - 1
+    while k < se:
+        base = 3 * k  # == 3*((k+1)-1): next position's context triple
+        if k >= kex and dec.decode(st, base):
+            return  # EOB
+        while True:
+            k += 1
+            if block[k]:  # history-nonzero: one correction bit
+                if dec.decode(st, base + 2):
+                    block[k] += p1 if block[k] >= 0 else m1
+                break
+            if dec.decode(st, base + 1):  # newly nonzero
+                block[k] = m1 if dec.decode_fixed(stats.fixed) else p1
+                break
+            base += 3
+            if k >= se:
+                raise ValueError("AC refinement overrun")
+
+
+def _encode_ac_refine(
+    enc: _QMEncoder,
+    stats: _ArithStats,
+    tbl: int,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Encoder partner of _decode_ac_refine: the current-stage EOB index
+    (ke) comes from |v|>>Al, the previous-stage index (kex) from
+    |v|>>(Al+1) — the decoder sees the latter as its accumulated nonzero
+    history."""
+    st = stats.ac(tbl)
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    kex = ss - 1
+    for k in range(ke, ss - 1, -1):
+        if abs(int(zz[k])) >> (al + 1):
+            kex = k
+            break
+    k = ss - 1
+    while k < ke:
+        base = 3 * k
+        if k >= kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            k += 1
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t:
+                if t >> 1:  # history-nonzero: the new bit only
+                    enc.encode(st, base + 2, t & 1)
+                else:  # newly nonzero: significance + sign
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(stats.fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+    if k < se:
+        enc.encode(st, 3 * k, 1)  # EOB
+
 
 def _find_restart(data: bytes, pos: int) -> int:
     """Scan forward to the RSTn terminating an arithmetic interval
@@ -525,10 +641,119 @@ def _decode_scan_arith(
     return _reconstruct(frame, coefs, qt)
 
 
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Position of the first non-restart marker at/after pos (stray RSTn
+    at scan end skipped, 0xFF00 stuffing ignored)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            if 0xD0 <= payload[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated scan")
+
+
+def _decode_scan_arith_prog(
+    payload, pos, frame, scan, coefs, dc_cond, ac_cond,
+    restart_interval, ss, se, ah, al,
+):
+    """Decode ONE progressive-arithmetic scan (G.2) into the persistent
+    coef arrays; returns the stream position after the entropy data.
+    Fresh statistics + QM decoder per scan (and per restart interval),
+    as jdarith's start_pass/process_restart semantics require."""
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    stats = _ArithStats(
+        len(scan),
+        {c["dc"]: dc_cond.get(c["dc"], (0, 1)) for c in scan},
+        {c["ac"]: ac_cond.get(c["ac"], 5) for c in scan},
+    )
+    dec = _QMDecoder(payload, pos)
+    unit = 0
+
+    def maybe_restart():
+        nonlocal dec, unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            nxt = _find_restart(payload, dec.pos)
+            stats.reset()
+            dec = _QMDecoder(payload, nxt)
+        unit += 1
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+
+        def dc_unit(blk, ci, c):
+            if ah == 0:
+                diff = _decode_dc_diff(dec, stats, ci, c["dc"])
+                stats.pred[ci] += diff
+                blk[0] = stats.pred[ci] << al
+            else:  # G.2.1: refinement bit on the fixed bin
+                if dec.decode_fixed(stats.fixed):
+                    blk[0] |= 1 << al
+
+        if len(scan) > 1:  # interleaved MCU walk
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for ci, c in enumerate(scan):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    coefs[c["id"]][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ],
+                                    ci, c,
+                                )
+        else:  # T.81 A.2: one-component scans walk the raster block grid
+            c = scan[0]
+            by_n, bx_n = _comp_block_dims(frame, c, hmax, vmax)
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    maybe_restart()
+                    dc_unit(coefs[c["id"]][by, bx], 0, c)
+    else:  # AC scan: non-interleaved by spec
+        if len(scan) != 1:
+            raise ValueError("interleaved AC scan")
+        c = scan[0]
+        by_n, bx_n = _comp_block_dims(frame, c, hmax, vmax)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                maybe_restart()
+                blk = coefs[c["id"]][by, bx]
+                if ah == 0:
+                    _decode_ac_block(dec, stats, c["ac"], blk, ss, se, al)
+                else:
+                    _decode_ac_refine(dec, stats, c["ac"], blk, ss, se, al)
+    return _next_marker(payload, dec.pos)
+
+
+def _parse_sof_arith(seg: bytes):
+    """Shared SOF9/SOF10 frame-header parse with hostile-input caps."""
+    precision = seg[0]
+    h = int.from_bytes(seg[1:3], "big")
+    w = int.from_bytes(seg[3:5], "big")
+    nc = seg[5]
+    if precision != 8 or nc not in (1, 3):
+        return None
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        return None
+    comps = []
+    for k in range(nc):
+        cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
+        sh, sv = hv >> 4, hv & 0x0F
+        if not (1 <= sh <= 4 and 1 <= sv <= 4):
+            return None  # would div-by-zero / blow up the MCU grid
+        comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
+    return {"w": w, "h": h, "comps": comps}
+
+
 def decode_arith(payload: bytes):  # noqa: C901 - marker machine
-    """-> (width, height, rgb ndarray) or None if not a sequential
-    arithmetic-coded JPEG this decoder can express (SOF9, single
-    interleaved scan; SOF10 progressive-arithmetic stays with the stub)."""
+    """-> (width, height, rgb ndarray) or None if not an arithmetic-coded
+    JPEG this decoder can express: SOF9 (sequential, single interleaved
+    scan) or SOF10 (progressive: spectral selection + successive
+    approximation, T.81 Annex G.2). Hierarchical streams stay with the
+    stub."""
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         return None
     pos = 2
@@ -536,6 +761,9 @@ def decode_arith(payload: bytes):  # noqa: C901 - marker machine
     dc_cond: dict[int, tuple] = {}
     ac_cond: dict[int, int] = {}
     frame = None
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}
+    saw_scan = False
     restart_interval = 0
     try:
         while pos + 4 <= len(payload):
@@ -545,8 +773,8 @@ def decode_arith(payload: bytes):  # noqa: C901 - marker machine
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
-                return None
+            if marker == 0xD9:  # EOI
+                break
             seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
             seg = payload[pos + 4 : pos + 2 + seglen]
             if marker == 0xDB:  # DQT
@@ -569,32 +797,30 @@ def decode_arith(payload: bytes):  # noqa: C901 - marker machine
                     else:
                         ac_cond[tb] = val  # Kx
                     i += 2
-            elif marker == 0xC9:  # SOF9 extended sequential, arithmetic
-                precision = seg[0]
-                h = int.from_bytes(seg[1:3], "big")
-                w = int.from_bytes(seg[3:5], "big")
-                nc = seg[5]
-                if precision != 8 or nc not in (1, 3):
+            elif marker in (0xC9, 0xCA):  # SOF9 sequential / SOF10 prog
+                frame = _parse_sof_arith(seg)
+                if frame is None:
                     return None
-                if w <= 0 or h <= 0 or w * h > 64_000_000:
-                    return None
-                comps = []
-                for k in range(nc):
-                    cid, hv, tq = seg[6 + 3 * k : 9 + 3 * k]
-                    comps.append(
-                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                    )
-                frame = {"w": w, "h": h, "comps": comps}
+                progressive = marker == 0xCA
+                if progressive:
+                    _h, _v, mcus_x, mcus_y = _frame_geometry(frame)
+                    for c in frame["comps"]:
+                        coefs[c["id"]] = np.zeros(
+                            (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32
+                        )
             elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # Huffman / progressive-arith / hierarchical
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # Huffman / hierarchical
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
                 ns = seg[0]
-                if ns != len(frame["comps"]):
+                if progressive:
+                    if not 1 <= ns <= len(frame["comps"]):
+                        return None
+                elif ns != len(frame["comps"]):
                     return None  # non-interleaved: refuse, never mis-decode
                 scan = []
                 for k in range(ns):
@@ -603,6 +829,19 @@ def decode_arith(payload: bytes):  # noqa: C901 - marker machine
                     scan.append(
                         {**comp, "dc": tables >> 4, "ac": tables & 0x0F}
                     )
+                if progressive:
+                    ss = seg[1 + 2 * ns]
+                    se = seg[2 + 2 * ns]
+                    ahal = seg[3 + 2 * ns]
+                    if se > 63 or ss > se:
+                        return None
+                    pos = _decode_scan_arith_prog(
+                        payload, pos + 2 + seglen, frame, scan, coefs,
+                        dc_cond, ac_cond, restart_interval,
+                        ss, se, ahal >> 4, ahal & 0x0F,
+                    )
+                    saw_scan = True
+                    continue
                 stats = _ArithStats(
                     ns,
                     {c["dc"]: dc_cond.get(c["dc"], (0, 1)) for c in scan},
@@ -613,6 +852,8 @@ def decode_arith(payload: bytes):  # noqa: C901 - marker machine
                     restart_interval,
                 )
             pos += 2 + seglen
+        if progressive and saw_scan:
+            return _reconstruct(frame, coefs, qt)
     except (ValueError, IndexError, StopIteration, KeyError):
         return None
     return None
@@ -721,4 +962,146 @@ def encode_arith(
             mcu_count += 1
     out += enc.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _ScanWriter:
+    """One progressive-arithmetic scan's encoder state: fresh QM coder +
+    statistics, restart-interval flush/reset (jcarith start_pass /
+    emit_restart semantics)."""
+
+    def __init__(self, n_comps, dc_cond, ac_cond, restart_interval):
+        self.stats = _ArithStats(n_comps, dc_cond, ac_cond)
+        self.enc = _QMEncoder()
+        self.restart_interval = restart_interval
+        self.out = bytearray()
+        self.unit = 0
+        self.rst = 0
+
+    def maybe_restart(self):
+        if (
+            self.restart_interval
+            and self.unit
+            and self.unit % self.restart_interval == 0
+        ):
+            self.out += self.enc.flush()
+            self.out += bytes([0xFF, 0xD0 + self.rst % 8])
+            self.rst += 1
+            self.enc = _QMEncoder()
+            self.stats.reset()
+        self.unit += 1
+
+    def finish(self) -> bytes:
+        self.out += self.enc.flush()
+        return bytes(self.out)
+
+
+def encode_arith_progressive(
+    px: np.ndarray, quant: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Minimal conformant SOF10 encoder (tests' round-trip partner —
+    same scan script as jpeg_progressive.encode_progressive: interleaved
+    DC first at Al=1 + DC refinement, per-component AC band scans (1..5,
+    6..63) at Al=1, then AC refinement scans to Al=0; every scan QM
+    arithmetic-coded per T.81 Annex G.2). Grayscale or RGB 4:4:4, flat
+    quant, explicit DAC with default conditioning."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64) - 128.0]
+    else:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = (-0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+              + 0.5 * rgb[:, :, 2] + 128)
+        cr = (0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+              - 0.081312 * rgb[:, :, 2] + 128)
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    nc = len(planes)
+    bx_n = (w + 7) // 8
+    by_n = (h + 7) // 8
+    blocks_per_comp = []
+    for p in planes:
+        pad = _pad_edge(p, by_n * 8, bx_n * 8)
+        blocks = []
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _C @ blk @ _C.T
+                q = np.round(coef / quant).astype(np.int64)
+                blocks.append(q.reshape(64)[ZIGZAG])  # zigzag order
+        blocks_per_comp.append(blocks)
+
+    qtab = np.full(64, quant, np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(qtab.astype(np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for k in range(nc):
+        sof += bytes([k + 1, 0x11, 0])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof
+    dac = bytes([0x00, 0x10, 0x10, 0x05])  # DC0: L=0 U=1; AC0: Kx=5
+    if not gray:
+        dac += bytes([0x01, 0x10, 0x11, 0x05])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_cond = {0: (0, 1), 1: (0, 1)}
+    ac_cond = {0: 5, 1: 5}
+
+    def sos(comp_idxs, ss, se, ah, al, use_dc):
+        hdr = bytes([len(comp_idxs)])
+        for ci in comp_idxs:
+            tbl = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (tbl << 4) if use_dc else tbl])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+
+    n_blocks = by_n * bx_n
+
+    # scan 1: interleaved DC first (Al=1) — DC point transform is an
+    # ARITHMETIC shift of the full-precision value (G.1.3.1)
+    out += sos(list(range(nc)), 0, 0, 0, 1, True)
+    sw = _ScanWriter(nc, dc_cond, ac_cond, restart_interval)
+    for i in range(n_blocks):
+        sw.maybe_restart()
+        for ci in range(nc):
+            v = int(blocks_per_comp[ci][i][0]) >> 1
+            diff = v - sw.stats.pred[ci]
+            sw.stats.pred[ci] = v
+            _encode_dc_diff(sw.enc, sw.stats, ci, 0 if ci == 0 else 1, diff)
+    out += sw.finish()
+
+    # scan 2: DC refinement (Ah=1, Al=0) — one fixed-bin bit per block
+    out += sos(list(range(nc)), 0, 0, 1, 0, True)
+    sw = _ScanWriter(nc, dc_cond, ac_cond, restart_interval)
+    for i in range(n_blocks):
+        sw.maybe_restart()
+        for ci in range(nc):
+            sw.enc.encode(
+                sw.stats.fixed, 0, int(blocks_per_comp[ci][i][0]) & 1
+            )
+    out += sw.finish()
+
+    # AC band scans at Al=1, then refinements to Al=0
+    for ci in range(nc):
+        tbl = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci], ss, se, 0, 1, False)
+            sw = _ScanWriter(1, dc_cond, ac_cond, restart_interval)
+            for zz in blocks_per_comp[ci]:
+                sw.maybe_restart()
+                _encode_ac_block(sw.enc, sw.stats, tbl, zz, ss, se, 1)
+            out += sw.finish()
+    for ci in range(nc):
+        tbl = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci], ss, se, 1, 0, False)
+            sw = _ScanWriter(1, dc_cond, ac_cond, restart_interval)
+            for zz in blocks_per_comp[ci]:
+                sw.maybe_restart()
+                _encode_ac_refine(sw.enc, sw.stats, tbl, zz, ss, se, 0)
+            out += sw.finish()
+    out += b"\xff\xd9"
     return bytes(out)

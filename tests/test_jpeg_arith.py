@@ -190,7 +190,9 @@ class TestArithmeticDecode:
         payload = JA.encode_arith(im, quant=2)
         assert JA.decode_arith(payload[:50]) is None
         assert JA.decode_arith(b"\xff\xd8\xff\xd9") is None
-        # SOF10 (progressive arithmetic) stays with the stub
+        # a sequential scan script relabeled SOF10 is malformed for the
+        # progressive decoder (its SOS declares Ss=0 Se=63, which a DC
+        # scan forbids) — refused, never mis-decoded
         mut = bytearray(payload)
         idx = payload.find(b"\xff\xc9")
         mut[idx + 1] = 0xCA
@@ -199,6 +201,79 @@ class TestArithmeticDecode:
     def test_decode_image_dispatches_arithmetic(self):
         im = _smooth(16, 16)
         got = MM.decode_image(JA.encode_arith(im, quant=1))
+        assert got is not None and got[3] == "jpg"
+        assert int(np.abs(got[2].astype(int) - im.astype(int)).max()) <= 2
+
+
+class TestProgressiveArithmetic:
+    """SOF10 (T.81 Annex G.2): the QM coder driven by the progressive
+    scan structure. Conformance = bit-identity with the independently
+    tested BASELINE Huffman codec (identical coefficients delivered via
+    a 10-scan successive-approximation script vs one sequential scan)
+    AND with the Huffman progressive codec (same scan script, different
+    entropy coder)."""
+
+    def test_bit_identical_to_baseline_codec(self):
+        for seed in range(4):
+            rng = np.random.default_rng(seed)
+            im = rng.integers(0, 256, (25, 33, 3), dtype=np.uint8)
+            a = JA.decode_arith(JA.encode_arith_progressive(im, quant=1))
+            b = J.decode_baseline(J.encode_baseline(im, quant=1))
+            assert a is not None and b is not None
+            assert np.array_equal(a[2], b[2]), f"seed {seed}"
+
+    def test_bit_identical_to_huffman_progressive(self):
+        from index_search_monorepo_spark.operators import (
+            jpeg_progressive as JP,
+        )
+
+        im = _smooth(28, 20)
+        a = JA.decode_arith(JA.encode_arith_progressive(im, quant=2))
+        p = JP.decode_progressive(JP.encode_progressive(im, quant=2))
+        assert a is not None and p is not None
+        assert np.array_equal(a[2], p[2])
+
+    def test_grayscale_round_trip(self):
+        px = (np.arange(24 * 17).reshape(17, 24) * 11 % 256).astype(np.uint8)
+        a = JA.decode_arith(JA.encode_arith_progressive(px, quant=1))
+        b = J.decode_baseline(J.encode_baseline(px, quant=1))
+        assert a is not None and np.array_equal(a[2], b[2])
+
+    def test_coarse_quant_eob_heavy(self):
+        # coarse quant zeroes most AC bands -> the EOB decision and the
+        # all-zero refinement paths dominate
+        im = _smooth(48, 40)
+        for q in (4, 16, 40):
+            a = JA.decode_arith(JA.encode_arith_progressive(im, quant=q))
+            b = J.decode_baseline(J.encode_baseline(im, quant=q))
+            assert a is not None and np.array_equal(a[2], b[2]), f"q={q}"
+
+    def test_restart_intervals_every_scan(self):
+        for ri in (1, 2, 7):
+            im = _smooth(40, 24)
+            payload = JA.encode_arith_progressive(
+                im, quant=2, restart_interval=ri
+            )
+            assert b"\xff\xd0" in payload
+            a = JA.decode_arith(payload)
+            b = J.decode_baseline(
+                J.encode_baseline(im, quant=2, restart_interval=ri)
+            )
+            assert a is not None and np.array_equal(a[2], b[2]), f"ri={ri}"
+
+    def test_partial_edge_blocks(self):
+        im = _smooth(33, 25)
+        got = JA.decode_arith(JA.encode_arith_progressive(im, quant=2))
+        assert got is not None and (got[0], got[1]) == (33, 25)
+
+    def test_truncated_refused(self):
+        im = _smooth(16, 16)
+        payload = JA.encode_arith_progressive(im, quant=1)
+        assert JA.decode_arith(payload[:60]) is None
+
+    def test_decode_image_dispatches_sof10(self):
+        im = _smooth(16, 16)
+        got = MM.decode_image(JA.encode_arith_progressive(im, quant=1))
         assert got is not None and got[3] == "jpg"
         assert int(np.abs(got[2].astype(int) - im.astype(int)).max()) <= 2
 
