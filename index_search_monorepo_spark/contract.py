@@ -2428,7 +2428,10 @@ def _planted_arith_prog_jpeg() -> bytes:
 def _planted_g4_tiff() -> bytes:
     """Constant 50x30 bitonal G4 TIFF (CCITT T.6, the archival page-scan
     codec; multimodal.encode_tiff compression='g4') planted on
-    doc_id % 10 == 9 rows — the MMR decode runs inside the driver gate."""
+    doc_id % 20 == 9 rows — the MMR decode runs inside the driver gate.
+    (The % 20 == 19 half of the old slot reverted to raw text bytes so
+    the labeled stub-dispatch path keeps driver coverage — the r4 codec
+    slots had covered every odd residue, leaving the fallback ungated.)"""
     import numpy as np
 
     px = np.full((30, 50), 255, np.uint8)
@@ -2437,12 +2440,41 @@ def _planted_g4_tiff() -> bytes:
     return MM.encode_tiff(px, compression="g4")
 
 
+def _planted_wav() -> tuple[bytes, dict]:
+    """Constant 480-frame stereo 16-bit 8 kHz PCM WAV planted on
+    doc_id % 20 == 6 rows: ch0 a period-8 square wave at +/-12000, ch1 a
+    wrapping ramp — the REAL PCM decode + integer-exact feature kernel
+    (multimodal.decode_pcm / extract_media_features) runs inside the
+    driver gate. Ground truth is computed from the SOURCE waveform (not
+    through the codec), so an encoder/decoder bug pair cannot cancel."""
+    import numpy as np
+
+    i = np.arange(480)
+    ch0 = np.where(i % 8 < 4, 12000, -12000)
+    ch1 = ((i * 137) % 24001) - 12000
+    s = np.stack([ch0, ch1], axis=1)
+    s64 = s.astype(np.int64)
+    nonneg = s64 >= 0
+    truth = {
+        "energy": int((s64 * s64).sum()),
+        "zero_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+        "peak": int(np.abs(s64).max()),
+    }
+    return MM.encode_wav(s.astype(np.int16), 8000), truth
+
+
 _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
 _G4_TIFF_PAYLOAD = _planted_g4_tiff()
 _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
 _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
+_WAV_PAYLOAD, _WAV_TRUTH = _planted_wav()
+# the image half of the fused kernel must route the WAV to the labeled
+# stub (it is not an image): the stub's arithmetic on the payload length
+_WAV_STUB_W = len(_WAV_PAYLOAD) % 640 + 16
+_WAV_STUB_H = (len(_WAV_PAYLOAD) * 7) % 480 + 16
+_WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
 
 
 @register(
@@ -2452,37 +2484,58 @@ _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
-                WHEN doc_id % 10 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 20 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST({len(_ARITH_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST({len(_ARITH_JPEG_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 20 = 6 THEN CAST({len(_WAV_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 2 = 0
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
-                WHEN doc_id % 10 = 9 THEN CAST(50 AS BIGINT)
+                WHEN doc_id % 20 = 9 THEN CAST(50 AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST(19 AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST(21 AS BIGINT)
+                WHEN doc_id % 20 = 6 THEN CAST({_WAV_STUB_W} AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
-                WHEN doc_id % 10 = 9 THEN CAST(30 AS BIGINT)
+                WHEN doc_id % 20 = 9 THEN CAST(30 AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST(11 AS BIGINT)
                 WHEN doc_id % 10 = 5 THEN CAST(13 AS BIGINT)
+                WHEN doc_id % 20 = 6 THEN CAST({_WAV_STUB_H} AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
            CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
                 WHEN doc_id % 10 = 7 THEN 'jpg'
-                WHEN doc_id % 10 = 9 THEN 'tiff'
+                WHEN doc_id % 20 = 9 THEN 'tiff'
                 WHEN doc_id % 10 = 5 THEN 'jpg'
+                WHEN doc_id % 20 = 6 THEN '{_WAV_STUB_FMT}'
                 WHEN doc_id % 2 = 0 THEN 'ppm'
                 ELSE CASE octet_length(encode(text)) % 3
                      WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'wav' END
-           END AS media_format
+           END AS media_format,
+           CASE WHEN doc_id % 20 = 6 THEN CAST(8000 AS BIGINT)
+           END AS sample_rate,
+           CASE WHEN doc_id % 20 = 6 THEN CAST(2 AS BIGINT)
+           END AS channels,
+           CASE WHEN doc_id % 20 = 6 THEN CAST(480 AS BIGINT)
+           END AS n_samples,
+           CASE WHEN doc_id % 20 = 6
+                THEN CAST({_WAV_TRUTH["energy"]} AS BIGINT)
+           END AS energy,
+           CASE WHEN doc_id % 20 = 6
+                THEN CAST({_WAV_TRUTH["zero_crossings"]} AS BIGINT)
+           END AS zero_crossings,
+           CASE WHEN doc_id % 20 = 6
+                THEN CAST({_WAV_TRUTH["peak"]} AS BIGINT)
+           END AS peak,
+           CASE WHEN doc_id % 20 = 6 THEN 'wav' ELSE 'unknown'
+           END AS audio_format
     FROM documents
     """,
 )
@@ -2500,7 +2553,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     with restart intervals, so the T.81 QM coder runs there too — and the
     % 20 == 15 half of that slot now carries a 19x11 SOF10
     progressive-arithmetic JPEG (Annex G.2 scan script), so the QM
-    AC-refinement path is gated as well."""
+    AC-refinement path is gated as well. The entry now runs the FUSED
+    kernel (extract_media_features: image metadata + audio PCM features
+    in one Arrow pass — the payload bytes deserialize once): % 20 == 6
+    rows plant a stereo PCM WAV whose source-waveform ground truth
+    (integer energy / zero crossings / peak) the oracle pins, and
+    % 20 == 19 rows revert to raw text bytes so the labeled stub
+    dispatch keeps a driver row (the r4 codec slots had covered every
+    odd residue, leaving the fallback ungated)."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -2517,14 +2577,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
-        .when(F.pmod(d, F.lit(10)) == 9, F.lit(_G4_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(20)) == 9, F.lit(_G4_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(20)) == 15, F.lit(_ARITH_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 5, F.lit(_ARITH_JPEG_PAYLOAD))
+        .when(F.pmod(d, F.lit(20)) == 6, F.lit(_WAV_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),
     )
-    return MM.extract_media_metadata(docs)
+    return MM.extract_media_features(docs)
 
 
 @register(

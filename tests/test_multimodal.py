@@ -1154,3 +1154,150 @@ class TestMjpegAvi:
         avi[idx] = 0x00
         out = MM.avi_sample_frames(bytes(avi), every_ms=1, max_frames=8)
         assert out is not None and len(out) == 2  # frames 2,3 still decode
+
+
+class TestPcmAudio:
+    """REAL PCM sample decode + integer-exact feature extraction for
+    WAV/AIFF — audio is no longer metadata-only. encode_wav/encode_aiff
+    are the round-trip partners; feature ground truth is computed from
+    the source waveform, never through the codec."""
+
+    @staticmethod
+    def _stereo(n=480):
+        import numpy as np
+
+        i = np.arange(n)
+        ch0 = np.where(i % 8 < 4, 12000, -12000)
+        ch1 = ((i * 137) % 24001) - 12000
+        return np.stack([ch0, ch1], axis=1).astype(np.int16)
+
+    def test_wav_round_trip(self):
+        import numpy as np
+
+        s = self._stereo()
+        rate, out = MM.decode_pcm(MM.encode_wav(s, 8000))
+        assert rate == 8000 and np.array_equal(out, s)
+
+    def test_aiff_round_trip(self):
+        import numpy as np
+
+        s = self._stereo()
+        rate, out = MM.decode_pcm(MM.encode_aiff(s, 44100))
+        assert rate == 44100 and np.array_equal(out, s)
+
+    def test_mono_and_1d_input(self):
+        import numpy as np
+
+        s = (np.arange(100) * 331 % 4001 - 2000).astype(np.int16)
+        rate, out = MM.decode_pcm(MM.encode_wav(s, 16000))
+        assert out.shape == (100, 1) and np.array_equal(out[:, 0], s)
+
+    def test_8bit_wav_rebased_signed(self):
+        import struct
+
+        mono8 = bytes([0, 255, 128, 64])
+        fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+        w = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + mono8
+        )
+        rate, out = MM.decode_pcm(w)
+        assert rate == 4000 and out.ravel().tolist() == [-128, 127, 0, -64]
+
+    def test_24bit_wav_sign_extends(self):
+        import struct
+
+        vals = [-8388608, 8388607, -1, 0, 70000]
+        data = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+        w = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        _rate, out = MM.decode_pcm(w)
+        assert out.ravel().tolist() == vals
+
+    def test_float_wav_refused(self):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+        w = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        assert MM.decode_pcm(w) is None
+
+    def test_garbage_refused(self):
+        assert MM.decode_pcm(b"not audio at all, just text bytes") is None
+        assert MM.decode_pcm(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    def test_features_match_source_ground_truth(self):
+        import numpy as np
+
+        s = self._stereo()
+        f = MM._audio_feature_cols(MM.encode_wav(s, 8000))
+        s64 = s.astype(np.int64)
+        nn = s64 >= 0
+        assert f["energy"] == int((s64 * s64).sum())
+        assert f["zero_crossings"] == int((nn[1:] != nn[:-1]).sum())
+        assert f["peak"] == 12000
+        assert f["audio_format"] == "wav"
+        assert (f["sample_rate"], f["channels"], f["n_samples"]) == (
+            8000, 2, 480,
+        )
+
+    def test_audio_features_kernel(self, spark):
+        s = self._stereo(64)
+        wav = MM.encode_wav(s, 8000)
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"plain text"))],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in MM.extract_audio_features(df).collect()
+        }
+        assert out[1]["audio_format"] == "wav"
+        assert out[1]["n_samples"] == 64 and out[1]["peak"] == 12000
+        assert out[2]["audio_format"] == "unknown"
+        assert out[2]["energy"] is None
+
+    def test_fused_media_features_single_pass(self, spark):
+        """One Arrow pass yields image metadata AND audio features; a
+        WAV routes to the image stub but gets REAL audio columns, a PPM
+        gets REAL image dims and NULL audio columns."""
+        import numpy as np
+
+        s = self._stereo(32)
+        wav = MM.encode_wav(s, 8000)
+        px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+        ppm = b"P6\n4 3\n255\n" + px.tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(ppm))],
+            "doc_id long, payload binary",
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in MM.extract_media_features(df).collect()
+        }
+        n = len(wav)
+        assert out[1]["width"] == n % 640 + 16  # image stub arithmetic
+        assert out[1]["audio_format"] == "wav" and out[1]["n_samples"] == 32
+        assert (out[2]["width"], out[2]["height"]) == (4, 3)
+        assert out[2]["media_format"] == "ppm"
+        assert out[2]["audio_format"] == "unknown"
+        assert out[2]["sample_rate"] is None
+        # single mapInPandas stage: exactly one ArrowEvalPython, no join
+        plan = (
+            MM.extract_media_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") <= 1
+        assert "Join" not in plan
