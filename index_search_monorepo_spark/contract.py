@@ -36,6 +36,7 @@ from index_search_monorepo_spark.functions.text import (
 )
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import multimodal as MM
+from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators.extraction import (
@@ -1810,6 +1811,20 @@ _PUNCT_TERMS = " + ".join(
 )
 _STOPLIST = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 
+# PII planting (r4): a controlled suffix carrying one email, one URL, one
+# IPv4 and one phone per doc — the word-salad body has no regex hits, so
+# the planted counts/redactions are the whole signal. The pattern + order
+# fragments come from operators/pii.oracle_pii_sql so Spark (Java regex)
+# and DuckDB (RE2) cannot drift.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com via http://ex.org/p/' || CAST(doc_id AS VARCHAR)"
+    " || '?ref=a at 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_PII_COUNTS_SQL, _PII_REDACTED_SQL = PII.oracle_pii_sql("pii_text")
+
 
 @register(
     "quality_score",
@@ -1836,6 +1851,15 @@ _STOPLIST = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
                   ELSE 1000 * n_stopwords // n_tokens END AS BIGINT)
                AS stopword_pmille
       FROM counted
+    ),
+    pii_src AS (
+      SELECT doc_id, {_PII_SUFFIX_SQL} AS pii_text FROM documents
+    ),
+    pii AS (
+      SELECT doc_id,
+           {_PII_COUNTS_SQL},
+           {_PII_REDACTED_SQL} AS pii_redacted
+      FROM pii_src
     )
     SELECT doc_id, n_tokens, n_unique_tokens, n_short_tokens,
            diversity_pmille,
@@ -1845,8 +1869,11 @@ _STOPLIST = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
            n_chars, n_punct, n_stopwords, punct_pmille, stopword_pmille,
            CASE WHEN punct_pmille > 150 THEN 'noisy'
                 WHEN stopword_pmille < 30 THEN 'flat'
-                ELSE 'clean' END AS signal_band
-    FROM pm
+                ELSE 'clean' END AS signal_band,
+           n_urls, n_emails, n_ipv4, n_phones,
+           CAST(n_emails + n_ipv4 + n_phones AS BIGINT) AS n_pii,
+           pii_redacted
+    FROM pm JOIN pii USING (doc_id)
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1854,8 +1881,36 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation/stopword-ratio signals/band (one tokenize pass,
     operators/textstats.with_quality; integer-exact per-mille
     arithmetic). Merged for the 50-query driver budget — r3 matrix note
-    in COVERAGE.md."""
-    return TS.with_quality(_t(spark, sf_dir, "documents"))
+    in COVERAGE.md. NEW r4: the PII curation surface rides the same row —
+    a planted suffix (one email/URL/IPv4/phone per doc) runs the REAL
+    operators/pii.with_pii counts + ordered redaction, and the oracle
+    hashes the redacted strings byte-for-byte (Java-regex/RE2 parity is
+    part of the contract; see tests/test_pii.py). Single select pipeline:
+    the PII columns ride with_quality's `keep=` passthrough — one scan,
+    zero joins/shuffles (a doc_id self-join here would rescan documents
+    and shuffle both sides at corpus scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com via http://ex.org/p/"),
+            d.cast("string"),
+            F.lit("?ref=a at 10.0."),
+            F.pmod(d, F.lit(256)).cast("string"),
+            F.lit(".7 call +1 555-"),
+            F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+        ),
+    )
+    pii = PII.with_pii(planted, "pii_text").drop("pii_text")
+    pii_names = tuple(
+        [f"n_{name}" for name, _p, _r in PII.REDACTIONS]
+        + ["n_pii", "pii_redacted"]
+    )
+    return TS.with_quality(pii, keep=pii_names)
 
 
 @register(

@@ -235,14 +235,22 @@ def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """C10 combined: lexical-diversity score AND punct/stopword signals in
     one projection, sharing a single tokenize pass (the standalone
     `with_quality_score` / `with_quality_signals` each tokenize once; a
     pipeline wanting both would pay twice and shuffle a join — this is the
-    contract-gated one-pass shape)."""
+    contract-gated one-pass shape).
+
+    `keep` names input columns to carry through unchanged (plain attribute
+    refs, free) — so callers composing quality with other per-row surfaces
+    (e.g. the PII counts) stay one select pipeline instead of paying a
+    doc_id self-join shuffle to reattach them."""
     counted = df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
         "doc_id",
+        *keep,
         F.size("_toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("_toks")).cast("long").alias("n_unique_tokens"),
         F.size(F.filter("_toks", lambda t: F.length(t) <= 2))
@@ -284,6 +292,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return counted.select(
         "doc_id",
+        *keep,
         "n_tokens",
         "n_unique_tokens",
         "n_short_tokens",
