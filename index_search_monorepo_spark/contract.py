@@ -2356,8 +2356,9 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
              list_filter(regexp_extract_all(text, '{_BPE_RE}'),
                          x -> NOT regexp_matches(x, '^\\s+$')) AS t
       FROM documents
-    )
-    SELECT doc_id,
+    ),
+    tok AS (
+      SELECT doc_id,
            CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
            CAST(len(text) AS BIGINT) AS n_chars,
            CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique_tokens,
@@ -2368,7 +2369,71 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
              AS BIGINT) AS n_numeric_tokens,
            CAST(coalesce(list_sum(list_transform(t,
              x -> (len(trim(x)) + 3) // 4)), 0) AS BIGINT) AS subword_est
-    FROM pt
+      FROM pt
+    ),
+    rep_src AS (
+      SELECT doc_id,
+             text || repeat(chr(10) || 'boiler plate footer line',
+                            CAST(doc_id % 4 AS INT))
+                  || repeat(' lorem ipsum dolor', CAST(doc_id % 3 AS INT))
+               AS rep_text
+      FROM documents
+    ),
+    rbound AS (
+      SELECT doc_id,
+             list_filter(string_split(rep_text, chr(10)), x -> x <> '')
+               AS lines,
+             list_filter(string_split(rep_text, ' '), x -> x <> '') AS rt
+      FROM rep_src
+    ),
+    rgram AS (
+      SELECT doc_id, lines, list_distinct(lines) AS dlines,
+             list_transform(range(1, len(rt)),
+                            i -> rt[i] || ' ' || rt[i+1]) AS g2,
+             list_transform(range(1, len(rt) - 1),
+                            i -> rt[i] || ' ' || rt[i+1] || ' ' || rt[i+2])
+               AS g3
+      FROM rbound
+    ),
+    rcnt AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(dlines) AS BIGINT) AS ndl,
+             CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+               AS BIGINT) AS lchars,
+             CAST(coalesce(list_sum(list_transform(dlines, x -> len(x))), 0)
+               AS BIGINT) AS dchars,
+             CAST(len(g2) AS BIGINT) AS ng2,
+             CAST(len(list_distinct(g2)) AS BIGINT) AS ndg2,
+             CAST(len(g3) AS BIGINT) AS ng3,
+             CAST(len(list_distinct(g3)) AS BIGINT) AS ndg3
+      FROM rgram
+    ),
+    rep AS (
+      SELECT doc_id, n_lines,
+             CAST(CASE WHEN n_lines = 0 THEN 0
+                  ELSE 1000 * (n_lines - ndl) // n_lines END AS BIGINT)
+               AS dup_line_pmille,
+             CAST(CASE WHEN lchars = 0 THEN 0
+                  ELSE 1000 * (lchars - dchars) // lchars END AS BIGINT)
+               AS dup_line_char_pmille,
+             CAST(CASE WHEN ng2 = 0 THEN 0
+                  ELSE 1000 * (ng2 - ndg2) // ng2 END AS BIGINT)
+               AS dup_2gram_pmille,
+             CAST(CASE WHEN ng3 = 0 THEN 0
+                  ELSE 1000 * (ng3 - ndg3) // ng3 END AS BIGINT)
+               AS dup_3gram_pmille
+      FROM rcnt
+    )
+    SELECT tok.*, rep.n_lines,
+           rep.dup_line_pmille, rep.dup_line_char_pmille,
+           rep.dup_2gram_pmille, rep.dup_3gram_pmille,
+           CASE WHEN rep.dup_line_pmille > 300
+                  OR rep.dup_line_char_pmille > 200
+                  OR rep.dup_2gram_pmille > 200
+                  OR rep.dup_3gram_pmille > 180
+                THEN 'repetitive' ELSE 'ok' END AS repetition_band
+    FROM tok JOIN rep USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,8 +2442,34 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (training-data token budgeting; operators/textstats.with_token_stats,
     one tokenize pass + one regexp pass). Merged so the 50-query driver
     budget covers both token-counting families — r3 matrix note in
-    COVERAGE.md."""
-    return TS.with_token_stats(_t(spark, sf_dir, "documents"))
+    COVERAGE.md. NEW r4: Gopher-style repetition signals ride the same row
+    (textstats.with_repetition) over a planted rep_text — doc_id%4 copies
+    of a footer line + doc_id%3 copies of a 3-word phrase appended to the
+    raw text exercise every duplicate-line/-n-gram branch, and the
+    signals flow through with_token_stats' keep= passthrough: one scan,
+    zero joins."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "rep_text",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "repeat('\\nboiler plate footer line',"
+                " CAST(doc_id % 4 AS INT))"
+            ),
+            F.expr("repeat(' lorem ipsum dolor', CAST(doc_id % 3 AS INT))"),
+        ),
+    )
+    rep = TS.with_repetition(planted, "rep_text").drop("rep_text")
+    rep_names = (
+        "n_lines",
+        "dup_line_pmille",
+        "dup_line_char_pmille",
+        "dup_2gram_pmille",
+        "dup_3gram_pmille",
+        "repetition_band",
+    )
+    return TS.with_token_stats(rep, keep=rep_names)
 
 
 @register(
@@ -2391,14 +2482,56 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            unnest(generate_series(0,
              greatest(CAST(ceil((len(d.text) - 7) / 4.0) AS BIGINT), 1) - 1))
              AS g(i)
+    ),
+    fp AS (
+      SELECT doc_id, min(h) AS fingerprint,
+             CAST(count(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY doc_id
+    ),
+    dtoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+        CASE WHEN len(t) >= 8
+             THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+               || ' ' || t[i+7]
+             ELSE array_to_string(t, ' ') END AS shingle
+      FROM dtoks, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS g(i)
+    ),
+    bsh AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT doc_id,
+             CAST(count(DISTINCT shingle) AS BIGINT)
+               AS n_contaminated_shingles
+      FROM dsh JOIN bsh USING (shingle) GROUP BY doc_id
     )
-    SELECT doc_id, min(h) AS fingerprint,
-           CAST(count(*) AS BIGINT) AS n_shingles
-    FROM sh GROUP BY doc_id
+    SELECT f.doc_id, f.fingerprint, f.n_shingles,
+           coalesce(h.n_contaminated_shingles, 0) AS n_contaminated_shingles,
+           CAST(CASE WHEN coalesce(h.n_contaminated_shingles, 0) >= 1
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM fp f LEFT JOIN hits h USING (doc_id)
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TS.with_fingerprint(_t(spark, sf_dir, "documents"))
+    """C12 fingerprint + (NEW r4) benchmark decontamination riding the same
+    gate row: every 97th document's full text doubles as the planted
+    'benchmark' set, so those docs (and only chance 8-gram colliders) must
+    flag. Runs the REAL dedup.decontaminate plan — benchmark shingle set
+    distinct-ed and broadcast, corpus shingles never shuffle, per-doc
+    aggregate over matched rows only — and the oracle recomputes the same
+    8-gram recipe in SQL. The boolean flag is cast to BIGINT 0/1 on both
+    sides (epd_matches precedent)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    decon = D.decontaminate(docs, bench, n=8).select(
+        "doc_id",
+        "n_contaminated_shingles",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+    return TS.with_fingerprint(docs).join(decon, "doc_id")
 
 
 # multimodal gate corpus: EVEN doc_ids carry a REAL binary PPM payload with

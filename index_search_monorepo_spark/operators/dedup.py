@@ -74,20 +74,32 @@ def exact_duplicates(
 
 
 def word_shingles_expr(text: Column, n: int = 4) -> Column:
-    """Distinct word n-gram shingles of a document."""
-    toks = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
-    k = F.size(toks) - F.lit(n - 1)
-    return F.array_distinct(
-        F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+    """Distinct word n-gram shingles of a document.
+
+    The tokenize (split+filter) is bound ONCE via the
+    element_at(transform(array(e), t -> ...), 1) idiom (CLAUDE.md lesson
+    #1): the n element_at refs + size + fallback inside the shingle
+    builder would otherwise each carry their own copy of the split expr
+    tree — HOF lambdas get no common-subexpression elimination, so the
+    tokenizer ran ~(n+2)x per row (r4 plan audit: 22 split( nodes in the
+    decontamination gate plan, 2 after this binding)."""
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks) - F.lit(n - 1)
+        return F.array_distinct(
+            F.when(
+                k >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
                 ),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
-    )
+            ).otherwise(F.array(F.concat_ws(" ", toks)))
+        )
+
+    toks_once = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+    return F.element_at(F.transform(F.array(toks_once), build), 1)
 
 
 def _persist(df: DataFrame, registry: list | None) -> DataFrame:
@@ -261,6 +273,67 @@ def near_duplicate_pairs_jaccard(
     )
     return cand.filter(
         F.col("inter_cnt") * 100 >= F.col("union_cnt") * threshold_pct
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+    broadcast_benchmark: bool | str = "auto",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share word
+    n-gram shingles with an evaluation/benchmark set (the GPT-3 appendix-C
+    / Pile-style 13-gram overlap filter; n=8 default balances recall on
+    short benchmark items against chance collisions).
+
+    Returns per-doc stats at corpus grain: (doc_id, n_contaminated_shingles
+    — DISTINCT matched shingles, contaminated flag at >= min_hits).
+
+    Plan shape for 100 TB: the benchmark side is deduplicated to a distinct
+    shingle set — benchmark suites are MBs, so under 'auto' AQE broadcasts
+    it and the corpus-side shingle explode never shuffles; the only
+    exchange is the per-doc aggregate over MATCHED rows (a tiny,
+    contamination-proportional frame). The corpus is scanned once; the
+    per-doc result frame joins back to callers on doc_id (AQE broadcasts it
+    while contamination is rare). broadcast_benchmark=True force-hints the
+    broadcast; 'auto' is the default for the same reason as the stop-list
+    (a pathological 'benchmark' the size of the corpus must not OOM the
+    driver)."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                word_shingles_expr(F.col(bench_text_col), n)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_sh = _spread(docs).select(
+        "doc_id",
+        F.explode(word_shingles_expr(F.col(text_col), n)).alias("shingle"),
+    )
+    hits = (
+        doc_sh.join(_maybe_broadcast(bench_sh, broadcast_benchmark), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle")
+            .cast("long")
+            .alias("n_contaminated_shingles")
+        )
+    )
+    return docs.select("doc_id").join(
+        _maybe_broadcast(hits, broadcast_benchmark), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_contaminated_shingles"), F.lit(0).cast("long"))
+        .alias("n_contaminated_shingles"),
+        (
+            F.coalesce(F.col("n_contaminated_shingles"), F.lit(0))
+            >= F.lit(min_hits)
+        ).alias("contaminated"),
     )
 
 

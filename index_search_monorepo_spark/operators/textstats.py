@@ -77,13 +77,17 @@ def with_token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_stats(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """C11 combined: whitespace token counts AND BPE-style pre-tokenizer
     counts in one projection — one tokenize pass + one regexp pass per row,
     each bound once behind a Project boundary (CLAUDE.md lesson #1). The
     single-family variants (`with_token_count`, `with_token_count_bpe`)
     remain for callers that need only one side; this is the contract-gated
-    shape covering both."""
+    shape covering both. `keep` carries input columns through unchanged
+    (plain refs, free) so composed per-row surfaces avoid a doc_id
+    self-join."""
     pt = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
     return (
         df.withColumn("_toks", tokens_expr(F.col(text_col)))
@@ -93,6 +97,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select(
             "doc_id",
+            *keep,
             F.size("_toks").cast("long").alias("n_tokens"),
             F.length(F.col(text_col)).cast("long").alias("n_chars"),
             F.size(F.array_distinct("_toks"))
@@ -112,6 +117,101 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 + F.floor((F.length(F.btrim(t)) + 3) / 4).cast("long"),
             ).alias("subword_est"),
         )
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters) — the curation heuristics that catch boilerplate-heavy and
+    template-generated web text which length/stopword ratios miss:
+
+      - dup_line_pmille       : per-mille of non-blank lines that are
+                                repeats of an earlier identical line
+      - dup_line_char_pmille  : per-mille of line characters contained in
+                                those repeated occurrences
+      - dup_2gram_pmille      : per-mille of word 2-grams that repeat
+      - dup_3gram_pmille      : per-mille of word 3-grams that repeat
+      - repetition_band       : 'repetitive' when any signal crosses its
+                                Gopher-ish threshold (300/200/200/180),
+                                else 'ok'
+
+    Integer-exact per-mille arithmetic (1000*x DIV y) for bit-stable
+    oracle parity. Pure column expressions — whole-stage codegen, zero
+    Python, zero shuffle, linear at corpus scale. Every non-cheap array
+    (lines, distinct lines, token n-grams) is bound once behind a Project
+    boundary (CLAUDE.md lesson #1); input columns are preserved so the
+    signals compose with other per-row surfaces without a self-join."""
+    text = F.col(text_col)
+
+    def grams(n: int) -> Column:
+        k = F.size(F.col("_rtoks")) - F.lit(n - 1)
+        return F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("_rtoks"), i + j) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    line_chars = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    bound = (
+        df.withColumn(
+            "_lines", F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+        )
+        .withColumn("_dlines", F.array_distinct(F.col("_lines")))
+        .withColumn("_rtoks", tokens_expr(text))
+        .withColumn("_g2", grams(2))
+        .withColumn("_g3", grams(3))
+    )
+    counted = bound.select(
+        "*",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_dlines").cast("long").alias("_n_dlines"),
+        line_chars(F.col("_lines")).alias("_lchars"),
+        line_chars(F.col("_dlines")).alias("_dchars"),
+        F.size("_g2").cast("long").alias("_n_g2"),
+        F.size(F.array_distinct("_g2")).cast("long").alias("_n_dg2"),
+        F.size("_g3").cast("long").alias("_n_g3"),
+        F.size(F.array_distinct("_g3")).cast("long").alias("_n_dg3"),
+    )
+
+    def pmille(num: str, den: str) -> Column:
+        return F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 0"
+            f" ELSE 1000 * ({num}) DIV {den} END AS BIGINT)"
+        )
+
+    dup_line = pmille("n_lines - _n_dlines", "n_lines")
+    dup_lchar = pmille("_lchars - _dchars", "_lchars")
+    dup_g2 = pmille("_n_g2 - _n_dg2", "_n_g2")
+    dup_g3 = pmille("_n_g3 - _n_dg3", "_n_g3")
+    out = counted.select(
+        "*",
+        dup_line.alias("dup_line_pmille"),
+        dup_lchar.alias("dup_line_char_pmille"),
+        dup_g2.alias("dup_2gram_pmille"),
+        dup_g3.alias("dup_3gram_pmille"),
+    ).select(
+        "*",
+        F.when(
+            (F.col("dup_line_pmille") > 300)
+            | (F.col("dup_line_char_pmille") > 200)
+            | (F.col("dup_2gram_pmille") > 200)
+            | (F.col("dup_3gram_pmille") > 180),
+            F.lit("repetitive"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("repetition_band"),
+    )
+    return out.drop(
+        "_lines", "_dlines", "_rtoks", "_g2", "_g3",
+        "_n_dlines", "_lchars", "_dchars",
+        "_n_g2", "_n_dg2", "_n_g3", "_n_dg3",
     )
 
 

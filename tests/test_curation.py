@@ -360,3 +360,101 @@ class TestSimhashBandingExactness:
         }
         assert banded == brute
         assert len(brute) >= 5  # the planted mutants actually collide
+
+
+class TestRepetition:
+    """Gopher-style repetition signals: exact integer values on hand
+    corpora, preserved input columns, and the two-split plan bound once."""
+
+    def test_values(self, spark):
+        rows = [
+            (0, "unique words only here today"),
+            (1, "a b\na b\na b\nc d"),
+            (2, "foo bar foo bar foo bar baz"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in TS.with_repetition(df).collect()
+        }
+        assert out[0]["repetition_band"] == "ok"
+        assert out[0]["dup_2gram_pmille"] == 0
+        # 4 non-blank lines, 2 distinct -> 500 pmille; chars 3+3+3+3 vs 3+3
+        assert out[1]["n_lines"] == 4
+        assert out[1]["dup_line_pmille"] == 500
+        assert out[1]["dup_line_char_pmille"] == 500
+        assert out[1]["repetition_band"] == "repetitive"
+        # 6 2-grams, 3 distinct ("foo bar","bar foo","bar baz") -> 500
+        assert out[2]["dup_2gram_pmille"] == 500
+        assert out[2]["dup_3gram_pmille"] == 400
+        assert out[2]["repetition_band"] == "repetitive"
+        # empty text: all zero denominators stay 0, band ok
+        assert out[3]["n_lines"] == 0 and out[3]["repetition_band"] == "ok"
+
+    def test_preserves_columns_and_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "a a a a")], "doc_id long, extra string, text string"
+        )
+        out = TS.with_repetition(df)
+        row = out.collect()[0]
+        assert row["extra"] == "x" and row["text"] == "a a a a"
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # two tokenizations only (lines + words), each bound once
+        assert plan.count("split(") == 2, plan
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys and "EvalPython" not in phys
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, spark):
+        docs = _docs(spark)
+        # benchmark = full text of every 97th doc: those docs must flag
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        out = D.decontaminate(docs, bench, n=8)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == docs.count()  # corpus grain, zero-filled
+        for did in rows:
+            if did % 97 == 0:
+                assert rows[did]["contaminated"], did
+                assert rows[did]["n_contaminated_shingles"] >= 1
+        n_flagged = sum(1 for r in rows.values() if r["contaminated"])
+        # word-salad corpus: 8-gram chance collisions are rare, so the
+        # flagged set stays near the planted set
+        n_planted = sum(1 for d in rows if d % 97 == 0)
+        assert n_flagged <= n_planted + 3
+
+    def test_empty_benchmark(self, spark):
+        docs = _docs(spark)
+        bench = docs.filter(F.lit(False)).select("text")
+        out = D.decontaminate(docs, bench)
+        assert out.filter(F.col("contaminated")).count() == 0
+        assert out.count() == docs.count()
+
+    def test_corpus_never_shuffles_on_benchmark_join(self, spark):
+        """With a small benchmark the corpus-side shingle explode must hit
+        a broadcast join (no Exchange on the corpus shingle frame before
+        the join)."""
+        docs = _docs(spark)
+        bench = docs.filter(F.col("doc_id") < 3).select("text")
+        out = D.decontaminate(docs, bench, broadcast_benchmark=True)
+        out.count()  # materialize so AQE finalizes
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in head, head
+
+
+class TestShingleBinding:
+    def test_tokenize_bound_once(self, spark):
+        """word_shingles_expr binds the split+filter ONCE (element_at/
+        transform/array idiom): the n element_at refs inside the HOF lambda
+        get no CSE, so an unbound tokenizer runs ~(n+2)x per row (r4 A/B:
+        2.4x slower at sf0.1)."""
+        docs = _docs(spark)
+        plan = (
+            docs.select(D.word_shingles_expr(F.col("text"), 4).alias("sh"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("split(") == 1, plan
