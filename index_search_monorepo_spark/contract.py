@@ -36,6 +36,7 @@ from index_search_monorepo_spark.functions.text import (
 )
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import multimodal as MM
+from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
@@ -1811,6 +1812,11 @@ _PUNCT_TERMS = " + ".join(
 )
 _STOPLIST = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 
+# packing shard key: the DuckDB mirror of packing.hash_key_expr over doc_id
+# with the 'pack' salt — kept as a generated fragment so the fold width /
+# convention lives in ONE place (operators/packing.py)
+_PACK_SHARD_SQL = PK.hash_key_sql("doc_id", "pack")
+
 # PII planting (r4): a controlled suffix carrying one email, one URL, one
 # IPv4 and one phone per doc — the word-salad body has no regex hits, so
 # the planted counts/redactions are the whole signal. The pattern + order
@@ -2424,16 +2430,40 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
                   ELSE 1000 * (ng3 - ndg3) // ng3 END AS BIGINT)
                AS dup_3gram_pmille
       FROM rcnt
+    ),
+    merged AS (
+      SELECT tok.*, rep.n_lines,
+             rep.dup_line_pmille, rep.dup_line_char_pmille,
+             rep.dup_2gram_pmille, rep.dup_3gram_pmille,
+             CASE WHEN rep.dup_line_pmille > 300
+                    OR rep.dup_line_char_pmille > 200
+                    OR rep.dup_2gram_pmille > 200
+                    OR rep.dup_3gram_pmille > 180
+                  THEN 'repetitive' ELSE 'ok' END AS repetition_band
+      FROM tok JOIN rep USING (doc_id)
+    ),
+    sharded AS (
+      SELECT *, CAST({_PACK_SHARD_SQL} % 8 AS BIGINT) AS shard FROM merged
+    ),
+    cums AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM sharded
     )
-    SELECT tok.*, rep.n_lines,
-           rep.dup_line_pmille, rep.dup_line_char_pmille,
-           rep.dup_2gram_pmille, rep.dup_3gram_pmille,
-           CASE WHEN rep.dup_line_pmille > 300
-                  OR rep.dup_line_char_pmille > 200
-                  OR rep.dup_2gram_pmille > 200
-                  OR rep.dup_3gram_pmille > 180
-                THEN 'repetitive' ELSE 'ok' END AS repetition_band
-    FROM tok JOIN rep USING (doc_id)
+    SELECT * EXCLUDE (cum_prev),
+           CAST(cum_prev // 512 AS BIGINT) AS seq_id,
+           CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (cum_prev + n_tokens - 1) // 512
+                ELSE cum_prev // 512 END
+              - cum_prev // 512 + 1 AS BIGINT) AS n_seqs_spanned,
+           CAST(CASE WHEN n_tokens > 0
+                 AND (cum_prev + n_tokens - 1) // 512 > cum_prev // 512
+                THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
+    FROM cums
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2447,7 +2477,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a footer line + doc_id%3 copies of a 3-word phrase appended to the
     raw text exercise every duplicate-line/-n-gram branch, and the
     signals flow through with_token_stats' keep= passthrough: one scan,
-    zero joins."""
+    zero joins. ALSO r4: GPT-style sequence-packing bookkeeping
+    (packing.pack_sequences, budget=512, 8 md5 shards) consumes the
+    n_tokens column — shard/seq_id/seq_offset/span columns are
+    window-exact against the oracle's mirrored cumulative sum; the
+    window's hash partition on shard is the entry's single shuffle."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -2469,12 +2503,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_3gram_pmille",
         "repetition_band",
     )
-    return TS.with_token_stats(rep, keep=rep_names)
+    tok = TS.with_token_stats(rep, keep=rep_names)
+    return PK.pack_sequences(tok, budget=512, n_shards=8)
+
+
+# deterministic-sampling key mirror (packing.hash_sample_pmille, salt
+# 'sample') for the doc_fingerprint gate's sampled flag
+_SAMPLE_HASH_SQL = PK.hash_key_sql("doc_id", "sample")
 
 
 @register(
     "doc_fingerprint",
-    """
+    f"""
     WITH sh AS (
       SELECT d.doc_id,
              md5(substr(d.text, CAST(i * 4 + 1 AS INT), 8)) AS h
@@ -2511,7 +2551,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id, f.fingerprint, f.n_shingles,
            coalesce(h.n_contaminated_shingles, 0) AS n_contaminated_shingles,
            CAST(CASE WHEN coalesce(h.n_contaminated_shingles, 0) >= 1
-                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+           CAST(CASE WHEN {_SAMPLE_HASH_SQL} % 1000 < 100
+                THEN 1 ELSE 0 END AS BIGINT) AS sampled_100pmille
     FROM fp f LEFT JOIN hits h USING (doc_id)
     """,
 )
@@ -2530,6 +2572,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_contaminated_shingles",
         F.col("contaminated").cast("long").alias("contaminated"),
+        # deterministic 10% sample flag (packing.hash_sample_pmille): the
+        # stable mixture-sampling key a training-export writer filters on
+        F.when(PK.hash_sample_pmille(F.col("doc_id"), 100, salt="sample"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("sampled_100pmille"),
     )
     return TS.with_fingerprint(docs).join(decon, "doc_id")
 

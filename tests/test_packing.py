@@ -1,0 +1,118 @@
+"""Sequence packing + deterministic sampling: exact bookkeeping on a hand
+shard, shard balance/determinism, engine parity of the hash key, and the
+one-shuffle plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import packing as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+class TestPackSequences:
+    def test_exact_bookkeeping_single_shard(self, spark):
+        # one shard so the stream order is just doc_id; budget 10
+        rows = [(0, 4), (1, 4), (2, 5), (3, 10), (4, 0), (5, 25)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in P.pack_sequences(
+                df, budget=10, n_shards=1
+            ).collect()
+        }
+        # cum_prev: 0,4,8,13,23,23
+        assert (out[0]["seq_id"], out[0]["seq_offset"]) == (0, 0)
+        assert out[0]["crosses_boundary"] == 0
+        assert (out[1]["seq_id"], out[1]["seq_offset"]) == (0, 4)
+        assert out[1]["n_seqs_spanned"] == 1
+        # doc 2: starts at 8, ends at 12 -> spans seqs 0..1
+        assert (out[2]["seq_id"], out[2]["crosses_boundary"]) == (0, 1)
+        assert out[2]["n_seqs_spanned"] == 2
+        # doc 3: starts at 13, ends at 22 -> seqs 1..2
+        assert (out[3]["seq_id"], out[3]["seq_offset"]) == (1, 3)
+        assert out[3]["n_seqs_spanned"] == 2
+        # zero-token doc: stays where the stream is, spans 1
+        assert (out[4]["seq_id"], out[4]["n_seqs_spanned"]) == (2, 1)
+        assert out[4]["crosses_boundary"] == 0
+        # doc 5: 25 tokens from offset 23 -> seqs 2..4
+        assert out[5]["n_seqs_spanned"] == 3
+
+    def test_shard_balance_and_determinism(self, spark):
+        docs = _docs(spark).withColumn(
+            "n_tokens", F.size(F.split("text", " ")).cast("long")
+        )
+        a = P.pack_sequences(docs, n_shards=8).select(
+            "doc_id", "shard", "seq_id", "seq_offset"
+        )
+        b = P.pack_sequences(docs, n_shards=8).select(
+            "doc_id", "shard", "seq_id", "seq_offset"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        per_shard = {
+            r["shard"]: r["cnt"]
+            for r in a.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert len(per_shard) == 8
+        n = sum(per_shard.values())
+        assert max(per_shard.values()) < n / 8 * 2  # hash-uniform-ish
+
+    def test_single_shuffle_plan(self, spark):
+        docs = _docs(spark).withColumn("n_tokens", F.lit(5).cast("long"))
+        out = P.pack_sequences(docs, n_shards=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("== Initial Plan ==")[0]
+        assert head.count("Exchange") == 1, head
+        assert "EvalPython" not in head
+
+
+class TestHashSample:
+    def test_rate_and_independence(self, spark):
+        docs = _docs(spark)
+        n = docs.count()
+        s100 = docs.filter(
+            P.hash_sample_pmille(F.col("doc_id"), 100)
+        ).count()
+        # 10% +- generous tolerance on a small corpus
+        assert 0.03 * n < s100 < 0.2 * n
+        a = {
+            r["doc_id"]
+            for r in docs.filter(
+                P.hash_sample_pmille(F.col("doc_id"), 500, salt="a")
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in docs.filter(
+                P.hash_sample_pmille(F.col("doc_id"), 500, salt="b")
+            ).collect()
+        }
+        assert a != b  # different salts -> different subsets
+
+    def test_duckdb_parity(self, spark):
+        """The md5 hex fold must match bit-for-bit across engines — the
+        property the driver-gate hash of sampling/shard columns rests on."""
+        df = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        ).select(
+            "doc_id", P.hash_key_expr(F.col("doc_id"), "pack").alias("h")
+        )
+        got = {r["doc_id"]: r["h"] for r in df.collect()}
+        con = duckdb.connect()
+        sql = P.hash_key_sql("doc_id", "pack")
+        exp = dict(
+            con.execute(
+                f"SELECT doc_id, {sql} FROM (SELECT unnest(range(200))"
+                " AS doc_id)"
+            ).fetchall()
+        )
+        assert got == exp
