@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from index_search_monorepo_spark.operators.textstats import (
+    word_ngrams_from_tokens,
+)
+
 SIMHASH_BITS = 32
 MINHASH_K = 8
 _HEX = "0123456789abcdef"
@@ -85,17 +89,14 @@ def word_shingles_expr(text: Column, n: int = 4) -> Column:
     decontamination gate plan, 2 after this binding)."""
 
     def build(toks: Column) -> Column:
+        # shared n-gram builder (textstats.word_ngrams_from_tokens); dedup
+        # keeps its own short-doc fallback: a single whole-text shingle
+        # instead of the empty array, so tiny docs still dedup
         k = F.size(toks) - F.lit(n - 1)
         return F.array_distinct(
-            F.when(
-                k >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), k),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(n)]
-                    ),
-                ),
-            ).otherwise(F.array(F.concat_ws(" ", toks)))
+            F.when(k >= 1, word_ngrams_from_tokens(toks, n)).otherwise(
+                F.array(F.concat_ws(" ", toks))
+            )
         )
 
     toks_once = F.filter(F.split(text, " "), lambda t: t != F.lit(""))
@@ -324,9 +325,11 @@ def decontaminate(
             .alias("n_contaminated_shingles")
         )
     )
-    return docs.select("doc_id").join(
-        _maybe_broadcast(hits, broadcast_benchmark), "doc_id", "left"
-    ).select(
+    # hits is contamination-proportional, NOT benchmark-sized: when every
+    # doc matches (pathological benchmark) it reaches corpus cardinality,
+    # so the caller's force-broadcast hint must never extend to it — AQE
+    # broadcasts it while it is actually small ('auto' always).
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_contaminated_shingles"), F.lit(0).cast("long"))
         .alias("n_contaminated_shingles"),

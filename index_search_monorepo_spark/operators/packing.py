@@ -51,8 +51,10 @@ def hash_key_expr(key: Column, salt: str = "") -> Column:
 
 def hash_key_sql(key_sql: str, salt: str = "") -> str:
     """DuckDB mirror of hash_key_expr (positional hex-digit fold, the
-    dedup_simhash strpos convention)."""
-    h = f"md5('{salt}' || CAST({key_sql} AS VARCHAR))"
+    dedup_simhash strpos convention). The salt is SQL-escaped; key_sql is
+    a trusted SQL expression."""
+    h = f"md5('{salt.replace(chr(39), chr(39) * 2)}'"
+    h += f" || CAST({key_sql} AS VARCHAR))"
     terms = " + ".join(
         f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
         f" * {16 ** (HASH_HEX_DIGITS - 1 - i)}"
@@ -93,9 +95,20 @@ def pack_sequences(
                          hashing, epd_matches convention)
 
     Deterministic given (order_col, budget, n_shards, salt): the stream
-    order within a shard is ORDER BY order_col. One shuffle (the window's
-    hash partition on shard); the cumulative sum is a single linear pass
-    per shard. Input columns are preserved."""
+    order within a shard is ORDER BY order_col (callers must pass a
+    tie-free key — doc_id — or the packing is partition-order dependent).
+    One shuffle (the window's hash partition on shard); the cumulative
+    sum is a single linear pass per shard. Input columns are preserved;
+    a pre-existing column named like an output (or scratch) column would
+    be silently clobbered, so that is an error."""
+    taken = {"shard", "seq_id", "seq_offset", "n_seqs_spanned",
+             "crosses_boundary", "_cum_prev", "_end_seq"}
+    clash = taken.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"pack_sequences would overwrite input column(s) {sorted(clash)};"
+            " rename them first"
+        )
     toks = F.col(tokens_col).cast("long")
     w = (
         Window.partitionBy("shard")

@@ -29,8 +29,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_RE = r"https?://[^ \n\t\r]+"
-IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# the URL must END on a non-delimiter char so redaction does not swallow
+# text glued to the URL (closing paren, trailing comma/period, the next
+# clause): 'read (http://ex.org/docs) now' keeps its ')'. Greedy run +
+# final-char class = backtrack off the trailing punctuation, identical
+# leftmost-first semantics in Java regex and RE2.
+URL_RE = r"""https?://[^ \n\t\r]*[^ \n\t\r.,;:!?)\]'"]"""
+# octets bounded to 0-255 (alternation longest-first for identical
+# leftmost-first behavior in both engines): '10.0.7.999' is NOT an IP
+_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+IPV4_RE = rf"\b{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}\b"
 PHONE_RE = r"\+\d{1,3}[ -]\d{3}[ -]\d{4}\b"
 
 # (column suffix, pattern, replacement token) in REDACTION order
@@ -76,13 +84,18 @@ def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
 def oracle_pii_sql(text_expr: str) -> tuple[str, str]:
     """(counts_sql, redacted_sql) fragments for the DuckDB oracle over
     the given text expression — the same patterns, the same order, RE2
-    side. Kept next to the patterns so the two engines cannot drift."""
+    side. Kept next to the patterns so the two engines cannot drift.
+    Patterns are SQL-escaped (URL_RE contains a literal quote)."""
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
     counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT)"
+        f"CAST(len(regexp_extract_all({text_expr}, '{q(pat)}')) AS BIGINT)"
         f" AS n_{name}"
         for name, pat, _repl in REDACTIONS
     )
     redacted = text_expr
     for _name, pat, repl in REDACTIONS:
-        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+        redacted = f"regexp_replace({redacted}, '{q(pat)}', '{repl}', 'g')"
     return counts, redacted

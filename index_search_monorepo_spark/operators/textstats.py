@@ -26,6 +26,37 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
 
 
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of an already-bound token array; empty
+    array when there are fewer than n tokens. The single n-gram builder
+    shared by the repetition signals and dedup.word_shingles_expr (r4
+    review: two hand-rolled copies would drift). The caller MUST pass a
+    bound attribute or lambda variable, never a raw tokenize expression —
+    the n element_at references get no CSE inside the lambda (CLAUDE.md
+    lesson #1), so an unbound expr re-evaluates per reference."""
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _check_keep(keep: tuple[str, ...], produced: tuple[str, ...]) -> None:
+    """keep= passthrough names must not collide with the operator's own
+    output columns — a collision would emit two same-named columns and
+    fail far downstream with AMBIGUOUS_REFERENCE (r4 review)."""
+    clash = set(keep).intersection(produced)
+    if clash:
+        raise ValueError(
+            f"keep columns {sorted(clash)} collide with produced columns"
+        )
+
+
 def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     # _toks is bound once behind a Project boundary: CollapseProject refuses
     # to inline a non-cheap expression referenced more than once, so the
@@ -88,6 +119,10 @@ def with_token_stats(
     shape covering both. `keep` carries input columns through unchanged
     (plain refs, free) so composed per-row surfaces avoid a doc_id
     self-join."""
+    _check_keep(keep, (
+        "doc_id", "n_tokens", "n_chars", "n_unique_tokens", "n_bpe_tokens",
+        "n_word_tokens", "n_numeric_tokens", "subword_est",
+    ))
     pt = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
     return (
         df.withColumn("_toks", tokens_expr(F.col(text_col)))
@@ -144,17 +179,7 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
 
     def grams(n: int) -> Column:
-        k = F.size(F.col("_rtoks")) - F.lit(n - 1)
-        return F.when(
-            k >= 1,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(F.col("_rtoks"), i + j) for j in range(n)],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return word_ngrams_from_tokens(F.col("_rtoks"), n)
 
     line_chars = lambda c: F.aggregate(  # noqa: E731
         c, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -348,6 +373,11 @@ def with_quality(
     refs, free) — so callers composing quality with other per-row surfaces
     (e.g. the PII counts) stay one select pipeline instead of paying a
     doc_id self-join shuffle to reattach them."""
+    _check_keep(keep, (
+        "doc_id", "n_tokens", "n_unique_tokens", "n_short_tokens",
+        "diversity_pmille", "quality_band", "n_chars", "n_punct",
+        "n_stopwords", "punct_pmille", "stopword_pmille", "signal_band",
+    ))
     counted = df.withColumn("_toks", tokens_expr(F.col(text_col))).select(
         "doc_id",
         *keep,

@@ -458,3 +458,15 @@ class TestShingleBinding:
             .toString()
         )
         assert plan.count("split(") == 1, plan
+
+
+class TestKeepGuard:
+    def test_keep_collision_raises(self, spark):
+        import pytest as _pt
+        docs = _docs(spark).withColumn("n_chars", F.lit(1))
+        with _pt.raises(ValueError, match="n_chars"):
+            TS.with_quality(docs, keep=("n_chars",))
+        with _pt.raises(ValueError, match="n_tokens"):
+            TS.with_token_stats(
+                docs.withColumn("n_tokens", F.lit(1)), keep=("n_tokens",)
+            )

@@ -116,3 +116,11 @@ class TestHashSample:
             ).fetchall()
         )
         assert got == exp
+
+    def test_collision_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5, 0)], "doc_id long, n_tokens long, shard long"
+        )
+        import pytest as _pt
+        with _pt.raises(ValueError, match="shard"):
+            P.pack_sequences(df)

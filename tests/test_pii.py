@@ -23,6 +23,10 @@ CASES = [
     # almost-matches that must NOT fire
     "not a phone 555-0142; not an ip 10.0.7; not a url htt://x",
     "trailing dot ip 1.2.3.4. and version v1.2.3.4000",
+    # r4 review: URL must not swallow glued punctuation/next clause
+    "read (http://ex.org/docs) now and http://x.io/p, end",
+    # r4 review: octets bounded 0-255
+    "octets 10.0.7.999 and 256.1.1.1 bad; 255.255.255.255 and 0.0.0.0 good",
 ]
 
 
@@ -75,6 +79,14 @@ class TestPatterns:
         # 4-digit last octet of the version string does not match
         assert out[8]["n_ipv4"] == 1
         assert "v1.2.3.4000" in out[8]["pii_redacted"]
+        # URL redaction keeps the ')' and ',' glued to the URL
+        assert out[9]["n_urls"] == 2
+        assert out[9]["pii_redacted"] == "read (<URL>) now and <URL>, end"
+        # out-of-range octets are not IPs; in-range ones are
+        assert out[10]["n_ipv4"] == 2
+        assert "10.0.7.999" in out[10]["pii_redacted"]
+        assert "256.1.1.1" in out[10]["pii_redacted"]
+        assert "255.255.255.255" not in out[10]["pii_redacted"]
 
     def test_engine_parity(self, spark):
         """Byte-identical counts and redacted strings across engines —
