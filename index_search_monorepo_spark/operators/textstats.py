@@ -488,17 +488,26 @@ def with_lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id_full(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id_full(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """C9 combined: the stopword-marker heuristic AND the character-trigram
     profile vote in one projection (`marker_guess` / `ngram_guess`), sharing
     one tokenize pass and one lowercase pass. The contract-gated shape
-    covering both language-ID families."""
+    covering both language-ID families. `keep` carries input columns
+    through unchanged (collision-checked), same passthrough contract as
+    with_quality/with_token_stats."""
+    _check_keep(keep, (
+        "doc_id", "marker_hits", "n_tokens", "marker_pmille", "marker_guess",
+        *[f"{lang}_hits" for lang in TRIGRAM_PROFILES], "ngram_guess",
+    ))
     markers = F.array(*[F.lit(m) for m in EN_MARKERS])
     counted = (
         df.withColumn("_toks", tokens_expr(F.col(text_col)))
         .withColumn("_lc", F.lower(F.col(text_col)))
         .select(
             "doc_id",
+            *keep,
             F.size(F.filter("_toks", lambda t: F.array_contains(markers, t)))
             .cast("long")
             .alias("marker_hits"),
@@ -524,6 +533,7 @@ def with_lang_id_full(df: DataFrame, text_col: str = "text") -> DataFrame:
         ngram_guess = ngram_guess.when(F.col(f"{lang}_hits") == best, F.lit(lang))
     return counted.select(
         "doc_id",
+        *keep,
         "marker_hits",
         "n_tokens",
         pmille.alias("marker_pmille"),
@@ -552,4 +562,50 @@ def with_fingerprint(
         "doc_id",
         F.array_min(shingles).alias("fingerprint"),
         n_sh.cast("long").alias("n_shingles"),
+    )
+
+
+def corpus_mixture_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-mixture accounting: per (ngram_guess language, quality
+    band) document counts, token/char mass, and per-mille shares of the
+    corpus token total — the report a pipeline reads to set mixture
+    weights before sampling (packing.hash_sample_pmille) and export
+    (packing.pack_sequences).
+
+    One corpus scan, composed via the keep= passthroughs (zero self-
+    joins): with_quality carries the raw text through to with_lang_id_full
+    (whose n_tokens — same tokenizer — serves both). The heavy reduction
+    is the (language x band) hash aggregate — partial map-side combine,
+    one shuffle of ~|langs x bands| rows per partition; the share
+    window runs on the aggregated frame (tens of rows at any corpus
+    size). Integer-exact per-mille (1000*x DIV total)."""
+    q = with_quality(df, text_col, keep=(text_col,))
+    lq = with_lang_id_full(q, text_col, keep=("quality_band", "n_chars"))
+    agg = lq.groupBy("ngram_guess", "quality_band").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    tot = agg.select(
+        "*",
+        F.sum("total_tokens").over(w).alias("corpus_tokens"),
+        F.sum("n_docs").over(w).alias("corpus_docs"),
+    )
+    return tot.select(
+        "ngram_guess",
+        "quality_band",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.expr(
+            "CAST(CASE WHEN corpus_tokens = 0 THEN 0"
+            " ELSE 1000 * total_tokens DIV corpus_tokens END AS BIGINT)"
+        ).alias("token_share_pmille"),
+        F.expr(
+            "CAST(CASE WHEN corpus_docs = 0 THEN 0"
+            " ELSE 1000 * n_docs DIV corpus_docs END AS BIGINT)"
+        ).alias("doc_share_pmille"),
     )

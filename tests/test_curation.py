@@ -470,3 +470,47 @@ class TestKeepGuard:
             TS.with_token_stats(
                 docs.withColumn("n_tokens", F.lit(1)), keep=("n_tokens",)
             )
+
+
+class TestMixtureReport:
+    def test_matches_python_rollup(self, spark):
+        """The report must equal a driver-side rollup of the two per-doc
+        operators it composes (each already driver-oracle-gated at doc
+        grain), including the integer per-mille shares."""
+        docs = _docs(spark)
+        lang = {
+            r["doc_id"]: r["ngram_guess"]
+            for r in TS.with_lang_id_full(docs).collect()
+        }
+        qual = {
+            r["doc_id"]: (r["quality_band"], r["n_tokens"], r["n_chars"])
+            for r in TS.with_quality(docs).collect()
+        }
+        exp = {}
+        for did, (band, ntok, nch) in qual.items():
+            key = (lang[did], band)
+            d = exp.setdefault(key, [0, 0, 0])
+            d[0] += 1
+            d[1] += ntok
+            d[2] += nch
+        corpus_tokens = sum(v[1] for v in exp.values())
+        corpus_docs = sum(v[0] for v in exp.values())
+        got = {
+            (r["ngram_guess"], r["quality_band"]): r.asDict()
+            for r in TS.corpus_mixture_report(docs).collect()
+        }
+        assert set(got) == set(exp)
+        for key, (nd, ntok, nch) in exp.items():
+            g = got[key]
+            assert (g["n_docs"], g["total_tokens"], g["total_chars"]) == (
+                nd, ntok, nch), key
+            assert g["token_share_pmille"] == 1000 * ntok // corpus_tokens
+            assert g["doc_share_pmille"] == 1000 * nd // corpus_docs
+        assert sum(g["n_docs"] for g in got.values()) == corpus_docs
+
+    def test_single_scan(self, spark):
+        out = TS.corpus_mixture_report(_docs(spark))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        head = plan.split("== Initial Plan ==")[0]
+        assert head.count("Scan parquet") == 1, head
+        assert "EvalPython" not in head
