@@ -1459,17 +1459,81 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for b in range(32)
              )}
       FROM h GROUP BY doc_id
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST({" + ".join(
+                 f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
+                 for b in range(32)
+             )} AS BIGINT) AS simhash
+      FROM v
+    ),
+    lplanted AS (
+      SELECT doc_id,
+             'COMMON HEADER ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+             text || chr(10) ||
+             'UNIQ LINE ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+             'DIGITIZED BY EXAMPLE LIBRARY' AS ldoc_text
+      FROM documents
+    ),
+    ldl AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               list_transform(string_split(ldoc_text, chr(10)),
+                              l -> trim(l)),
+               l -> len(l) > 0))) AS l
+      FROM lplanted
+    ),
+    lfreq AS (SELECT l AS line FROM ldl GROUP BY l HAVING count(*) >= 3),
+    lfa AS (SELECT coalesce(list(line), []) AS fl FROM lfreq),
+    lclean AS (
+      SELECT p.doc_id,
+             list_filter(string_split(p.ldoc_text, chr(10)),
+                         l -> NOT list_contains(lfa.fl, trim(l))) AS kept,
+             len(string_split(p.ldoc_text, chr(10))) AS n_all
+      FROM lplanted p, lfa
     )
-    SELECT doc_id,
-           CAST({" + ".join(
-               f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END"
-               for b in range(32)
-           )} AS BIGINT) AS simhash
-    FROM v
+    SELECT s.doc_id, s.simhash,
+           md5(coalesce(list_aggregate(c.kept, 'string_agg', chr(10)), ''))
+             AS line_cleaned_md5,
+           CAST(c.n_all - len(c.kept) AS BIGINT) AS n_lines_dropped
+    FROM sim s JOIN lclean c USING (doc_id)
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.with_simhash(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    """C3 simhash fingerprints per doc — and (r4) the cross-document
+    LINE-LEVEL dedup surface rides the same row: a planted boilerplate
+    header (5 variants, ~1/5 of the corpus each), a per-doc unique line,
+    and a footer common to every doc run the REAL
+    dedup.strip_frequent_lines (CCNet/RefinedWeb-style: trimmed lines
+    frequent across >= min_docs distinct documents removed, order and
+    whitespace preserved; broadcast one-row frequent set, corpus never
+    shuffles — see TestLineDedup plan pin). The oracle recomputes the
+    frequent set and the strip in DuckDB and hashes the cleaned text
+    byte-for-byte; n_lines_dropped is integer-exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = docs.withColumn(
+        "ldoc_text",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("COMMON HEADER "), F.pmod(d, F.lit(5)).cast("string")
+            ),
+            F.col("text"),
+            F.concat(F.lit("UNIQ LINE "), d.cast("string")),
+            F.lit("DIGITIZED BY EXAMPLE LIBRARY"),
+        ),
+    )
+    stripped = D.strip_frequent_lines(
+        planted, text_col="ldoc_text", min_docs=3
+    )
+    return D._spread(stripped).select(
+        "doc_id",
+        D.simhash_expr(F.col("text")).alias("simhash"),
+        F.md5(F.col("ldoc_text_cleaned")).alias("line_cleaned_md5"),
+        "n_lines_dropped",
+    )
 
 
 _SIMHASH_CORPUS_CTE = f"""

@@ -646,3 +646,161 @@ def drop_duplicates_by_cluster(
         F.col("doc_id").alias(doc_id_col)
     )
     return docs.join(_maybe_broadcast(drop, broadcast), doc_id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet / RefinedWeb-style boilerplate strip)
+# ---------------------------------------------------------------------------
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lines that occur in >= `min_docs` distinct documents.
+
+    The web-scale boilerplate signal (CCNet; RefinedWeb line-wise filter):
+    navigation chrome, cookie banners, digitization headers/footers repeat
+    across thousands of pages while real content lines are unique. Lines
+    are trimmed before counting; whitespace-only lines are ignored.
+
+    Scale shape: the per-doc `array_distinct` means a plain `count(*)`
+    equals the distinct-document count — no `count_distinct(doc_id)`
+    state — and only the distinct trimmed lines of each document travel
+    into the aggregation (partial map-side combine collapses repeats
+    per partition), never the document text. Output is the heavy-hitter
+    set, which is tiny relative to the corpus by construction.
+    """
+    lines = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+            ),
+            lambda l: F.length(l) > 0,
+        )
+    )
+    return (
+        df.select(F.explode(lines).alias("line"))
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def strip_frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 2,
+    out_col: str | None = None,
+    max_frequent: int = 1_000_000,
+    strategy: str = "broadcast",
+    frequent: DataFrame | None = None,
+    broadcast: bool | str = "auto",
+) -> DataFrame:
+    """Remove lines frequent across the corpus from every document.
+
+    Adds `out_col` (default `<text_col>_cleaned`: the text with frequent
+    lines removed, order and whitespace-only lines preserved) and
+    `n_lines_dropped` (bigint). A line is dropped when its trimmed form
+    appears in >= `min_docs` distinct documents; matching is md5-keyed so
+    the broadcast row stays small regardless of line length.
+
+    strategy='broadcast' (default, the 100 TB shape): the frequent set is
+    folded into ONE row (`collect_list` inside the plan — no driver
+    collect, the IVF-codebook pattern, similarity.py) and broadcast; the
+    strip itself is a pure per-row higher-order filter — the corpus text
+    never shuffles. Guarded by `max_frequent`: a frequent set larger than
+    that raises at broadcast-build time instead of silently building a
+    multi-GB row (raise-on-misuse precedent: similarity._require_query_side).
+
+    strategy='join' (the unbounded fallback): posexplode lines ->
+    left_anti join on the line hash (`broadcast='auto'` lets AQE broadcast
+    a small frequent side) -> reassemble per doc_id. Two shuffles
+    (reassembly groupBy + join back); requires unique `doc_id` rows. Use
+    when the frequent set is legitimately beyond broadcast size.
+
+    `frequent=` accepts a precomputed `frequent_lines` frame (e.g. counted
+    on a sample, or frozen from a prior corpus snapshot) so the counting
+    pass and the strip pass can be decoupled across runs.
+    """
+    if out_col is None:
+        out_col = f"{text_col}_cleaned"
+    freq = (
+        frequent
+        if frequent is not None
+        else frequent_lines(df, text_col=text_col, min_docs=min_docs)
+    )
+    freq_keys = freq.select(F.md5(F.col("line")).alias("_line_md5"))
+    parts = F.split(F.col(text_col), "\n")
+
+    if strategy == "broadcast":
+        msg = (
+            f"strip_frequent_lines: frequent-line set exceeds "
+            f"max_frequent={max_frequent}; raise max_frequent or use "
+            f"strategy='join'"
+        )
+        one = freq_keys.agg(
+            F.sort_array(F.collect_list("_line_md5")).alias("_fl")
+        ).select(
+            F.when(
+                F.size("_fl") <= F.lit(int(max_frequent)), F.col("_fl")
+            )
+            .otherwise(F.raise_error(F.lit(msg)))
+            .alias("_fl")
+        )
+        # _parts/_kept bound behind Project boundaries: each is referenced
+        # twice below and HOFs are interpreted (no CSE — CLAUDE.md lesson 1).
+        bound = (
+            df.crossJoin(F.broadcast(one))
+            .withColumn("_parts", parts)
+            .withColumn(
+                "_kept",
+                F.filter(
+                    F.col("_parts"),
+                    lambda l: ~F.array_contains(
+                        F.col("_fl"), F.md5(F.trim(l))
+                    ),
+                ),
+            )
+        )
+        return (
+            bound.withColumn(out_col, F.concat_ws("\n", F.col("_kept")))
+            .withColumn(
+                "n_lines_dropped",
+                (F.size("_parts") - F.size("_kept")).cast("long"),
+            )
+            .drop("_fl", "_parts", "_kept")
+        )
+
+    if strategy != "join":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    ex = df.select(
+        "doc_id", F.posexplode(parts).alias("_pos", "_line")
+    )
+    kept = ex.join(
+        _maybe_broadcast(freq_keys, broadcast),
+        F.md5(F.trim(F.col("_line"))) == F.col("_line_md5"),
+        "left_anti",
+    )
+    reasm = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        df.join(reasm, "doc_id", "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            "n_lines_dropped",
+            (
+                F.size(parts) - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_n_kept")
+    )

@@ -514,3 +514,101 @@ class TestMixtureReport:
         head = plan.split("== Initial Plan ==")[0]
         assert head.count("Scan parquet") == 1, head
         assert "EvalPython" not in head
+
+
+class TestLineDedup:
+    """Cross-document line-level dedup (CCNet/RefinedWeb-style): frequent
+    trimmed lines counted per distinct document, stripped with order and
+    whitespace-only lines preserved; broadcast and join strategies agree."""
+
+    def _frame(self, spark):
+        rows = [
+            (0, "COMMON HEADER\nalpha beta\n\nCOMMON FOOTER"),
+            (1, "COMMON HEADER\ngamma delta\nCOMMON FOOTER"),
+            (2, "  COMMON HEADER  \nepsilon\nunique footer 2"),
+            # header repeated twice WITHIN one doc: counts once for doc 3
+            (3, "COMMON HEADER\nCOMMON HEADER\nzeta"),
+            (4, "totally unique\n   \nlines only"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_frequent_lines_counts_distinct_docs(self, spark):
+        freq = {
+            r["line"]: r["n_docs"]
+            for r in D.frequent_lines(
+                self._frame(spark), min_docs=2
+            ).collect()
+        }
+        assert freq == {"COMMON HEADER": 4, "COMMON FOOTER": 2}
+
+    def test_strip_broadcast(self, spark):
+        out = {
+            r["doc_id"]: (r["text_cleaned"], r["n_lines_dropped"])
+            for r in D.strip_frequent_lines(
+                self._frame(spark), min_docs=2
+            ).collect()
+        }
+        # trimmed-match drops the padded header in doc 2; blank and
+        # whitespace-only lines survive; doc order preserved
+        assert out[0] == ("alpha beta\n", 2)
+        assert out[1] == ("gamma delta", 2)
+        assert out[2] == ("epsilon\nunique footer 2", 1)
+        assert out[3] == ("zeta", 2)
+        assert out[4] == ("totally unique\n   \nlines only", 0)
+
+    def test_join_strategy_matches_broadcast(self, spark):
+        df = self._frame(spark)
+        a = {
+            (r["doc_id"], r["text_cleaned"], r["n_lines_dropped"])
+            for r in D.strip_frequent_lines(df, min_docs=2).collect()
+        }
+        b = {
+            (r["doc_id"], r["text_cleaned"], r["n_lines_dropped"])
+            for r in D.strip_frequent_lines(
+                df, min_docs=2, strategy="join"
+            ).collect()
+        }
+        assert a == b
+
+    def test_doc_losing_all_lines_kept_empty(self, spark):
+        df = spark.createDataFrame(
+            [(0, "X"), (1, "X"), (2, "X")], ["doc_id", "text"]
+        )
+        for strategy in ("broadcast", "join"):
+            out = {
+                r["doc_id"]: (r["text_cleaned"], r["n_lines_dropped"])
+                for r in D.strip_frequent_lines(
+                    df, min_docs=2, strategy=strategy
+                ).collect()
+            }
+            assert out == {i: ("", 1) for i in range(3)}, strategy
+
+    def test_max_frequent_guard_raises(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+
+        df = self._frame(spark)
+        with pytest.raises(Exception) as exc:
+            D.strip_frequent_lines(df, min_docs=2, max_frequent=1).collect()
+        assert "max_frequent" in str(exc.value)
+
+    def test_precomputed_frequent_frame(self, spark):
+        df = self._frame(spark)
+        freq = D.frequent_lines(df, min_docs=2)
+        out = {
+            r["doc_id"]: r["n_lines_dropped"]
+            for r in D.strip_frequent_lines(df, frequent=freq).collect()
+        }
+        assert out == {0: 2, 1: 2, 2: 1, 3: 2, 4: 0}
+
+    def test_broadcast_plan_shape(self, spark):
+        """The 100 TB pin: the strip pass must not shuffle the corpus —
+        exactly ONE hashpartitioning Exchange (the distinct-line count),
+        and the frequent set arrives via a broadcast exchange."""
+        plan = D.strip_frequent_lines(
+            _docs(spark), min_docs=2
+        )._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
