@@ -40,6 +40,7 @@ from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
+from index_search_monorepo_spark.operators import urlfilter as UF
 from index_search_monorepo_spark.operators.extraction import (
     explode_noinline,
     with_extracted_spans,
@@ -236,6 +237,20 @@ _PT_RAW_SQL = (
 )
 
 
+# URL-curation planting: subdomain hosts whose registered domain cycles
+# ex0-ex3.com (ex2.com blocked at the suffix level), an IP host on every
+# 9th doc (10.0.77.5 blocked exactly when doc_id % 256 == 77)
+_URL_BLOCKED = ["ex2.com", "10.0.77.5"]
+_URL_PLANT_SQL = (
+    "CASE WHEN doc_id % 9 = 0"
+    " THEN 'http://10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5/raw'"
+    " ELSE 'https://h' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.com/p/'"
+    " || CAST(doc_id AS VARCHAR) || '?s=1' END"
+)
+_URL_FRAGS = UF.oracle_url_sql(_URL_PLANT_SQL, blocked=_URL_BLOCKED)
+
+
 @register(
     "string_preparation",
     f"""
@@ -269,7 +284,12 @@ _PT_RAW_SQL = (
            CASE WHEN doc_id % 40 = 7
                 THEN strftime(TIMESTAMP '2026-01-15 12:34:56',
                               '%Y-%m-%d %H:%M:%S')
-           END AS err_ts
+           END AS err_ts,
+           {_URL_FRAGS['host']} AS url_host,
+           {_URL_FRAGS['registered_domain']} AS url_registered_domain,
+           {_URL_FRAGS['tld']} AS url_tld,
+           CAST({_URL_FRAGS['is_ip']} AS BIGINT) AS url_is_ip,
+           CAST({_URL_FRAGS['blocked']} AS BIGINT) AS url_blocked
     FROM pt
     """,
 )
@@ -292,7 +312,14 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     result frames ride back as per-doc columns (route from the union of
     the two frames — a doc dropped or double-routed changes join
     multiplicity and fails the row-count gate; envelope columns from the
-    errors frame, timestamp frozen via the `now` injection point)."""
+    errors frame, timestamp frozen via the `now` injection point).
+
+    NEW r4c: the URL-curation surface (operators/urlfilter.py) rides the
+    same row — planted absolute URLs run the REAL host/registered-domain/
+    TLD/IP extraction and the label-suffix blocklist flag (ex2.com blocks
+    h*.ex2.com subdomains, never the ex0/ex1/ex3 lookalikes; one exact IP
+    hit), all pure per-row regex/array codegen on the same single scan,
+    byte-matched by urlfilter.oracle_url_sql."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -353,7 +380,36 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(d, F.lit(3)) == 0,
         F.concat(F.lit("ark:/13960/t"), d.cast("string")),
     ).otherwise(F.concat(F.lit("39015"), d.cast("string"), F.lit(".x")))
-    out = docs.withColumn("_spiked", spike_text_expr(F.col("text"))).select(
+    # r4c URL-curation ride: planted URLs (subdomain hosts on a blocked
+    # registered domain, IP hosts every 9th doc) through the REAL
+    # urlfilter feature/blocklist expressions — pure per-row columns on
+    # the same single scan, zero extra joins
+    planted_url = F.when(
+        F.pmod(d, F.lit(9)) == 0,
+        F.concat(
+            F.lit("http://10.0."),
+            F.pmod(d, F.lit(256)).cast("string"),
+            F.lit(".5/raw"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(d, F.lit(13)).cast("string"),
+            F.lit(".ex"),
+            F.pmod(d, F.lit(4)).cast("string"),
+            F.lit(".com/p/"),
+            d.cast("string"),
+            F.lit("?s=1"),
+        ),
+    )
+    base = UF.with_url_features(
+        docs.withColumn("_spiked", spike_text_expr(F.col("text"))).withColumn(
+            "_url", planted_url
+        ),
+        url_col="_url",
+        blocked=_URL_BLOCKED,
+    )
+    out = base.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
         xmlesc_expr(F.col("_spiked")).alias("escaped"),
@@ -369,6 +425,11 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # F6: pairtree sanitize + shard path (ht_document.py:63-74)
         pairtree_sanitize_expr(pt_raw).alias("pairtree_id"),
         pairtree_path_expr(pt_raw).alias("pairtree_path"),
+        F.col("url_host"),
+        F.col("url_registered_domain"),
+        F.col("url_tld"),
+        F.col("url_is_ip").cast("long").alias("url_is_ip"),
+        F.col("url_blocked").cast("long").alias("url_blocked"),
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"
