@@ -41,6 +41,7 @@ from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators import urlfilter as UF
+from index_search_monorepo_spark.operators import c4rules as C4
 from index_search_monorepo_spark.operators.extraction import (
     explode_noinline,
     with_extracted_spans,
@@ -1956,6 +1957,22 @@ _PII_SUFFIX_SQL = (
 )
 _PII_COUNTS_SQL, _PII_REDACTED_SQL = PII.oracle_pii_sql("pii_text")
 
+# C4-rules planting: a multi-line page per doc — the real text as a
+# terminated first line, a too-short line, a javascript line, then
+# lorem/brace/bad-word lines cycling on doc_id so every flag branch and
+# the line filter all fire
+_C4_SRC_SQL = (
+    "text || '.' || chr(10) || 'no' || chr(10)"
+    " || 'Skip this javascript line now.' || chr(10)"
+    " || CASE WHEN doc_id % 6 = 0 THEN 'Lorem ipsum dolor sit amet.'"
+    " ELSE 'Another good sentence here.' END || chr(10)"
+    " || CASE WHEN doc_id % 10 = 0 THEN 'code { brace'"
+    " ELSE 'Clean tail line okay.' END || chr(10)"
+    " || CASE WHEN doc_id % 7 = 0 THEN 'Contains badword right here.'"
+    " ELSE 'Final ordinary sentence ends.' END"
+)
+_C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
+
 
 @register(
     "quality_score",
@@ -1991,6 +2008,30 @@ _PII_COUNTS_SQL, _PII_REDACTED_SQL = PII.oracle_pii_sql("pii_text")
            {_PII_COUNTS_SQL},
            {_PII_REDACTED_SQL} AS pii_redacted
       FROM pii_src
+    ),
+    c4src AS (
+      SELECT doc_id, {_C4_SRC_SQL} AS c4_src FROM documents
+    ),
+    c4k AS (
+      SELECT doc_id, c4_src, {_C4_FRAGS['kept_lines']} AS kept FROM c4src
+    ),
+    c4t AS (
+      SELECT doc_id,
+             coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')
+               AS c4_text,
+             CAST(len(kept) AS BIGINT) AS c4_n_lines_kept,
+             CAST(len(string_split(c4_src, chr(10))) - len(kept) AS BIGINT)
+               AS c4_n_lines_dropped,
+             CAST({_C4_FRAGS['has_brace']} AS BIGINT) AS c4_has_brace,
+             CAST({_C4_FRAGS['has_lorem']} AS BIGINT) AS c4_has_lorem,
+             CAST({_C4_FRAGS['has_bad_word']} AS BIGINT) AS c4_has_bad_word
+      FROM c4k
+    ),
+    c4 AS (
+      SELECT *,
+             CAST(len(regexp_extract_all(c4_text, '[.!?]')) AS BIGINT)
+               AS c4_n_sentences
+      FROM c4t
     )
     SELECT doc_id, n_tokens, n_unique_tokens, n_short_tokens,
            diversity_pmille,
@@ -2003,8 +2044,13 @@ _PII_COUNTS_SQL, _PII_REDACTED_SQL = PII.oracle_pii_sql("pii_text")
                 ELSE 'clean' END AS signal_band,
            n_urls, n_emails, n_ipv4, n_phones,
            CAST(n_emails + n_ipv4 + n_phones AS BIGINT) AS n_pii,
-           pii_redacted
-    FROM pm JOIN pii USING (doc_id)
+           pii_redacted,
+           c4_text, c4_n_lines_kept, c4_n_lines_dropped, c4_n_sentences,
+           c4_has_brace, c4_has_lorem, c4_has_bad_word,
+           CAST(c4_n_sentences >= 3 AND c4_has_brace = 0
+                AND c4_has_lorem = 0 AND c4_has_bad_word = 0 AS BIGINT)
+             AS c4_keep
+    FROM pm JOIN pii USING (doc_id) JOIN c4 USING (doc_id)
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2019,7 +2065,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     part of the contract; see tests/test_pii.py). Single select pipeline:
     the PII columns ride with_quality's `keep=` passthrough — one scan,
     zero joins/shuffles (a doc_id self-join here would rescan documents
-    and shuffle both sides at corpus scale)."""
+    and shuffle both sides at corpus scale).
+
+    NEW r4c: the C4 heuristic cleaning rules (operators/c4rules.py,
+    Raffel et al. §2.2) ride the same row — a planted multi-line page
+    (terminated real-text line, too-short line, javascript line, cycling
+    lorem/brace/bad-word lines) runs the REAL with_c4_rules line filter +
+    page flags + keep verdict, chained through the same keep= passthrough;
+    still one scan, zero joins, and the oracle recomputes the kept lines
+    and flags byte-for-byte."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -2035,13 +2089,51 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".7 call +1 555-"),
             F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
         ),
+    ).withColumn(
+        "c4_src",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("no"),
+            F.lit("Skip this javascript line now."),
+            F.when(
+                F.pmod(d, F.lit(6)) == 0,
+                F.lit("Lorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("Another good sentence here.")),
+            F.when(
+                F.pmod(d, F.lit(10)) == 0, F.lit("code { brace")
+            ).otherwise(F.lit("Clean tail line okay.")),
+            F.when(
+                F.pmod(d, F.lit(7)) == 0,
+                F.lit("Contains badword right here."),
+            ).otherwise(F.lit("Final ordinary sentence ends.")),
+        ),
     )
-    pii = PII.with_pii(planted, "pii_text").drop("pii_text")
+    c4d = C4.with_c4_rules(
+        planted,
+        text_col="c4_src",
+        bad_words=("badword",),
+        keep=("text", "pii_text"),
+    )
+    pii = PII.with_pii(c4d, "pii_text").drop("pii_text")
     pii_names = tuple(
         [f"n_{name}" for name, _p, _r in PII.REDACTIONS]
         + ["n_pii", "pii_redacted"]
     )
-    return TS.with_quality(pii, keep=pii_names)
+    c4_names = (
+        "c4_text",
+        "c4_n_lines_kept",
+        "c4_n_lines_dropped",
+        "c4_n_sentences",
+        "c4_has_brace",
+        "c4_has_lorem",
+        "c4_has_bad_word",
+        "c4_keep",
+    )
+    out = TS.with_quality(pii, keep=pii_names + c4_names)
+    for c in ("c4_has_brace", "c4_has_lorem", "c4_has_bad_word", "c4_keep"):
+        out = out.withColumn(c, F.col(c).cast("long"))
+    return out
 
 
 @register(

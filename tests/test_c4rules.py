@@ -1,0 +1,127 @@
+"""C4 heuristic cleaning rules: line-keep semantics, page flags, verdict,
+and byte-for-byte DuckDB oracle parity (the contract-gate guarantee)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import c4rules as C4
+
+DOCS = [
+    # kept: 2 good sentences; dropped: short line, javascript line
+    (0, "This is a good sentence.\nok\nUse javascript here today.\n"
+        "Another fine long sentence!"),
+    # lorem ipsum page flag (the lorem line itself is a valid line)
+    (1, "Lorem ipsum dolor sit amet.\nSecond decent sentence here.\n"
+        "Third proper sentence follows."),
+    # brace page flag; quote-terminated line kept
+    (2, 'He said "fine by me."\nvar x = { a: 1 }\n'
+        "One more complete sentence.\nAnd a fourth one lands."),
+    # bad word page flag
+    (3, "A perfectly normal sentence.\nThe badword appears right here.\n"
+        "Closing sentence number three."),
+    # too few sentences after filtering
+    (4, "no punctuation at all\nstill none"),
+]
+BAD = ("badword",)
+
+
+def _frame(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestC4Rules:
+    def _run(self, spark):
+        return {
+            r["doc_id"]: r
+            for r in C4.with_c4_rules(
+                _frame(spark), bad_words=BAD
+            ).collect()
+        }
+
+    def test_line_filter(self, spark):
+        out = self._run(spark)
+        assert out[0]["c4_text"] == (
+            "This is a good sentence.\nAnother fine long sentence!"
+        )
+        assert out[0]["c4_n_lines_kept"] == 2
+        assert out[0]["c4_n_lines_dropped"] == 2
+        # quote counts as terminal punctuation
+        assert 'He said "fine by me."' in out[2]["c4_text"]
+
+    def test_flags_and_verdict(self, spark):
+        out = self._run(spark)
+        assert not out[0]["c4_has_lorem"] and out[1]["c4_has_lorem"]
+        assert out[2]["c4_has_brace"] and not out[1]["c4_has_brace"]
+        assert out[3]["c4_has_bad_word"] and not out[0]["c4_has_bad_word"]
+        # verdicts: 1,2,3 flagged; 4 lacks sentences; 0 has only 2
+        # sentence marks -> fails min_sentences=3
+        assert {d: out[d]["c4_keep"] for d in out} == {
+            0: False, 1: False, 2: False, 3: False, 4: False,
+        }
+        relaxed = {
+            r["doc_id"]: r["c4_keep"]
+            for r in C4.with_c4_rules(
+                _frame(spark), bad_words=BAD, min_sentences=2
+            ).collect()
+        }
+        assert relaxed[0] is True
+
+    def test_keep_passthrough_and_collision_guard(self, spark):
+        import pytest
+
+        df = _frame(spark).withColumn("extra", F.col("doc_id") * 2)
+        out = C4.with_c4_rules(df, keep=("extra",))
+        assert out.select("extra").count() == len(DOCS)
+        with pytest.raises(ValueError):
+            C4.with_c4_rules(df.withColumnRenamed("extra", "c4_text"),
+                             keep=("c4_text",))
+
+    def test_zero_shuffle_plan(self, spark):
+        plan = (
+            C4.with_c4_rules(_frame(spark), bad_words=BAD)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_duckdb_parity(self, spark):
+        srows = {
+            r["doc_id"]: (
+                r["c4_text"],
+                r["c4_n_lines_kept"],
+                r["c4_n_sentences"],
+                r["c4_has_brace"],
+                r["c4_has_lorem"],
+                r["c4_has_bad_word"],
+                r["c4_keep"],
+            )
+            for r in self._run(spark).values()
+        }
+        frags = C4.oracle_c4_sql("text", bad_words=BAD)
+        con = duckdb.connect()
+        vals = ", ".join(
+            "(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+            for i, t in DOCS
+        )
+        sql = f"""
+        WITH t(doc_id, text) AS (VALUES {vals}),
+        k AS (SELECT doc_id, text, {frags['kept_lines']} AS kept FROM t),
+        c AS (SELECT *,
+              coalesce(list_aggregate(kept, 'string_agg', chr(10)), '')
+                AS c4_text FROM k)
+        SELECT doc_id, c4_text, len(kept),
+               len(regexp_extract_all(c4_text, '[.!?]')),
+               {frags['has_brace']}, {frags['has_lorem']},
+               {frags['has_bad_word']},
+               len(regexp_extract_all(c4_text, '[.!?]')) >= 3
+                 AND NOT {frags['has_brace']} AND NOT {frags['has_lorem']}
+                 AND NOT {frags['has_bad_word']}
+        FROM c
+        """
+        orows = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+        assert srows == orows
