@@ -2332,7 +2332,16 @@ def q_catalog_positional_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
            'ab' AS marc_codes,
            'T' || CAST(doc_id AS VARCHAR) || ' S' || CAST(doc_id AS VARCHAR)
              AS marc_vals,
-           '10' AS marc_inds
+           '10' AS marc_inds,
+           CAST(1 AS BIGINT) AS pdf_ok,
+           '1.4' AS pdf_version,
+           CAST(2 AS BIGINT) AS pdf_n_pages,
+           CAST(3 AS BIGINT) AS pdf_n_text_spans,
+           CAST(1 AS BIGINT) AS pdf_n_media_spans,
+           md5('First doc ' || CAST(doc_id AS VARCHAR) || '.' || chr(10)
+               || 'Second doc ' || CAST(doc_id AS VARCHAR) || '.' || chr(12)
+               || 'Page two of doc ' || CAST(doc_id AS VARCHAR) || '.')
+             AS pdf_text_md5
     FROM recs
     """,
 )
@@ -2350,8 +2359,18 @@ def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stray string skipped, every 50th line malformed) goes through the
     SAME normalize path the gz reader uses (marc_json_record_udf) and the
     parsed leader / control data / subfield codes+values / indicators are
-    compared; malformed lines drop out like the reader's line-skip."""
+    compared; malformed lines drop out like the reader's line-skip.
+
+    NEW r4c: the PDF/layout-parse surface (operators/pdf.py, north rule)
+    rides the same row — a REAL two-page PDF per doc, assembled from pure
+    column expressions (wrong /Length on the text streams exercises the
+    endstream-scan fallback; no xref, exercising the object-scan path),
+    goes through the fused pdf_profile mapInPandas kernel: page-tree walk,
+    content-stream text state machine, an image XObject Do as a media
+    span, and LAYOUT reordering (page 1 emits its lines bottom-first; the
+    oracle md5 pins the y-sorted reading order, top line first)."""
     from index_search_monorepo_spark.operators import marc_extracts as MX
+    from index_search_monorepo_spark.operators import pdf as PDFOP
     from index_search_monorepo_spark.sources.marc_json import (
         marc_json_record_udf,
     )
@@ -2444,7 +2463,7 @@ def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f = F.col("fields")
     f245 = F.col("_f245")
-    return parsed.select(
+    marc_out = parsed.select(
         "doc_id",
         MX.matches_keywords_expr(f).alias("matches_kw"),
         MX.has_institution_expr(f).alias("has_miu"),
@@ -2463,6 +2482,52 @@ def q_marc_dissertation_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("marc_vals"),
         F.concat(f245["ind1"], f245["ind2"]).alias("marc_inds"),
     )
+    # r4c PDF planting: a real 2-page PDF per doc from column expressions.
+    # Page 1's content stream shows its BOTTOM line first (72 100) and the
+    # top line second (72 700) — the md5 oracle pins the layout resort.
+    ds = d.cast("string")
+    pdf_payload = F.encode(
+        F.concat(
+            F.lit(
+                "%PDF-1.4\n"
+                "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                "2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>"
+                " endobj\n"
+                "3 0 obj << /Type /Page /Parent 2 0 R /Resources"
+                " << /XObject << /Im0 7 0 R >> >> /Contents 5 0 R >>"
+                " endobj\n"
+                "4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >>"
+                " endobj\n"
+                "7 0 obj << /Type /XObject /Subtype /Image /Width 1"
+                " /Height 1 /Length 1 >>\nstream\nX\nendstream\nendobj\n"
+                "5 0 obj << /Length 0 >>\nstream\n"
+                "BT /F1 12 Tf 1 0 0 1 72 100 Tm (Second doc "
+            ),
+            ds,
+            F.lit(".) Tj 1 0 0 1 72 700 Tm (First doc "),
+            ds,
+            F.lit(
+                ".) Tj ET q /Im0 Do Q\nendstream\nendobj\n"
+                "6 0 obj << /Length 0 >>\nstream\n"
+                "BT 1 0 0 1 72 500 Tm (Page two of doc "
+            ),
+            ds,
+            F.lit(".) Tj ET\nendstream\nendobj\n"),
+        ),
+        "UTF-8",
+    )
+    pdfp = PDFOP.pdf_profile(
+        _t(spark, sf_dir, "documents").select("doc_id", pdf_payload.alias("payload"))
+    ).select(
+        "doc_id",
+        F.col("ok").cast("long").alias("pdf_ok"),
+        "pdf_version",
+        F.col("n_pages").alias("pdf_n_pages"),
+        F.col("n_text_spans").alias("pdf_n_text_spans"),
+        F.col("n_media_spans").alias("pdf_n_media_spans"),
+        F.md5(F.col("doc_text")).alias("pdf_text_md5"),
+    )
+    return marc_out.join(pdfp, "doc_id")
 
 
 _SOLR_TAG = lambda name, val: f"'<field name=\"{name}\">' || {val} || '</field>'"  # noqa: E731

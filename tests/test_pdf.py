@@ -1,0 +1,143 @@
+"""PDF text/layout extraction: writer->parser round-trips (the jpeg.py
+conformance pattern), content-stream operator semantics, layout reading
+order, tolerance to malformed input, and the no-shuffle Spark kernels."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from index_search_monorepo_spark.operators import pdf as P
+
+PAGES = [
+    # emitted out of reading order on purpose: layout must resort by y
+    [(72, 100, "Second line."), (72, 700, "First line."),
+     (200, 700, "tail run.")],
+    [(72, 500, "Page two text.")],
+]
+
+
+class TestParser:
+    def test_round_trip_plain_and_flate(self):
+        for compress in (False, True):
+            d = P.parse_pdf(
+                P.build_pdf(PAGES, compress=compress, images_per_page=1)
+            )
+            assert d["ok"] and d["n_pages"] == 2 and d["version"] == "1.4"
+            assert d["pages"][0]["text"] == (
+                "First line. tail run.\nSecond line."
+            )
+            assert d["pages"][1]["text"] == "Page two text."
+
+    def test_media_spans_in_content_order(self):
+        d = P.parse_pdf(P.build_pdf(PAGES, images_per_page=2))
+        spans = d["pages"][0]["spans"]
+        # text shows first (content order), then the two Do ops
+        assert [s["kind"] for s in spans] == ["txt"] * 3 + ["media"] * 2
+        assert all(
+            s["media_ref"].startswith("img:")
+            for s in spans
+            if s["kind"] == "media"
+        )
+
+    def test_string_escapes_and_hex_and_tj(self):
+        content = (
+            rb"BT /F1 10 Tf 10 700 Td (a\(b\)c \\ \101) Tj "
+            rb"0 -20 TD [(kerned) -120 ( pair)] TJ "
+            rb"T* <48 69> Tj ET"
+        )
+        spans = P._interpret_content(content, {})
+        assert [s["text"] for s in spans] == ["a(b)c \\ A", "kerned pair", "Hi"]
+        # TD set leading=20; T* moved one more line down
+        ys = [s["y"] for s in spans]
+        assert ys == [700.0, 680.0, 660.0]
+
+    def test_quote_ops_advance_line(self):
+        content = rb"BT 20 TL 10 700 Td (one.) Tj (two.) ' ET"
+        spans = P._interpret_content(content, {})
+        assert [(s["text"], s["y"]) for s in spans] == [
+            ("one.", 700.0),
+            ("two.", 680.0),
+        ]
+
+    def test_utf16_text_string(self):
+        content = b"BT 10 700 Td (\xfe\xff\x00H\x00i) Tj ET"
+        spans = P._interpret_content(content, {})
+        assert spans[0]["text"] == "Hi"
+
+    def test_malformed_inputs_never_raise(self):
+        good = P.build_pdf(PAGES)
+        for payload in (
+            b"",
+            b"not a pdf",
+            good[: len(good) // 2],      # truncated
+            good.replace(b"/Catalog", b"/Nothing"),
+            b"%PDF-1.4\n1 0 obj << /Type /Catalog /Encrypt 9 0 R "
+            b"/Pages 2 0 R >> endobj",
+        ):
+            d = P.parse_pdf(payload)
+            assert d["ok"] is False or d["n_pages"] >= 0
+
+    def test_page_tree_cycle_guard(self):
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [2 0 R] /Count 1 >> endobj\n"
+        )
+        assert P.parse_pdf(pdf)["n_pages"] == 0
+
+
+def _payload_frame(spark, payloads):
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)], schema
+    )
+
+
+class TestSparkKernels:
+    def test_metadata_and_spans(self, spark):
+        df = _payload_frame(
+            spark,
+            [
+                P.build_pdf(PAGES, compress=True, images_per_page=1),
+                b"broken payload",
+            ],
+        )
+        meta = {
+            r["doc_id"]: r for r in P.pdf_metadata(df).collect()
+        }
+        assert meta[0]["ok"] and meta[0]["n_pages"] == 2
+        assert meta[0]["n_text_spans"] == 4  # 3 + 1 across both pages
+        assert meta[0]["n_media_spans"] == 2  # one Do per page
+        assert meta[1]["ok"] is False and meta[1]["n_pages"] == 0
+
+        spans = P.extract_pdf_spans(df).collect()
+        assert all(r["doc_id"] == 0 for r in spans)  # broken -> zero spans
+        page1 = [r for r in spans if r["page_no"] == 1]
+        assert [r["offset"] for r in page1] == [1, 2, 3, 4]
+        assert [r["kind"] for r in page1] == ["txt", "txt", "txt", "media"]
+
+        text = {
+            (r["doc_id"], r["page_no"]): r["page_text"]
+            for r in P.extract_pdf_text(df).collect()
+        }
+        assert text[(0, 1)] == "First line. tail run.\nSecond line."
+
+    def test_no_shuffle_plan(self, spark):
+        df = _payload_frame(spark, [P.build_pdf(PAGES)])
+        for kernel in (P.pdf_metadata, P.extract_pdf_spans, P.extract_pdf_text):
+            plan = (
+                kernel(df)._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" not in plan, plan
+            assert "MapInPandas" in plan, plan
