@@ -2635,6 +2635,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # apostrophe is doubled for the SQL string literal
 _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
+# Gopher-rule mirror over the raw text (c4rules.oracle_gopher_sql)
+_GOPHER_FRAGS = C4.oracle_gopher_sql("text")
+_GOPHER_COLS = tuple(c for c in C4._G_PRODUCED if c != "g_keep")
+
 
 @register(
     "token_count",
@@ -2713,6 +2717,22 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
                AS dup_3gram_pmille
       FROM rcnt
     ),
+    g0 AS (
+      SELECT doc_id,
+             {", ".join(f"{_GOPHER_FRAGS[c]} AS {c}" for c in _GOPHER_COLS)}
+      FROM documents
+    ),
+    g AS (
+      SELECT *,
+             CAST(g_n_words BETWEEN 50 AND 100000
+                  AND g_mean_word_len_e2 BETWEEN 300 AND 1000
+                  AND g_symbol_pmille <= 100
+                  AND g_alpha_word_pmille >= 800
+                  AND g_bullet_line_pmille <= 900
+                  AND g_ellipsis_line_pmille <= 300
+                  AND g_stop_hits >= 2 AS BIGINT) AS g_keep
+      FROM g0
+    ),
     merged AS (
       SELECT tok.*, rep.n_lines,
              rep.dup_line_pmille, rep.dup_line_char_pmille,
@@ -2721,8 +2741,11 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
                     OR rep.dup_line_char_pmille > 200
                     OR rep.dup_2gram_pmille > 200
                     OR rep.dup_3gram_pmille > 180
-                  THEN 'repetitive' ELSE 'ok' END AS repetition_band
-      FROM tok JOIN rep USING (doc_id)
+                  THEN 'repetitive' ELSE 'ok' END AS repetition_band,
+             g.g_n_words, g.g_mean_word_len_e2, g.g_symbol_pmille,
+             g.g_alpha_word_pmille, g.g_bullet_line_pmille,
+             g.g_ellipsis_line_pmille, g.g_stop_hits, g.g_keep
+      FROM tok JOIN rep USING (doc_id) JOIN g USING (doc_id)
     ),
     sharded AS (
       SELECT *, CAST({_PACK_SHARD_SQL} % 8 AS BIGINT) AS shard FROM merged
@@ -2763,7 +2786,14 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (packing.pack_sequences, budget=512, 8 md5 shards) consumes the
     n_tokens column — shard/seq_id/seq_offset/span columns are
     window-exact against the oracle's mirrored cumulative sum; the
-    window's hash partition on shard is the entry's single shuffle."""
+    window's hash partition on shard is the entry's single shuffle.
+
+    NEW r4c: the Gopher document-quality rules (c4rules.with_gopher_rules,
+    Rae et al. Appendix A) ride the same row over the RAW text — word
+    count/mean length, symbol and alpha-word ratios, bullet/ellipsis line
+    ratios, required-stopword hits and the g_keep verdict, chained through
+    the same keep= passthrough (still one scan before the packing window's
+    single shuffle); integer-exact against oracle_gopher_sql."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -2785,8 +2815,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_3gram_pmille",
         "repetition_band",
     )
-    tok = TS.with_token_stats(rep, keep=rep_names)
-    return PK.pack_sequences(tok, budget=512, n_shards=8)
+    goph = C4.with_gopher_rules(rep, keep=rep_names + ("text",))
+    tok = TS.with_token_stats(goph, keep=rep_names + C4._G_PRODUCED)
+    packed = PK.pack_sequences(tok, budget=512, n_shards=8)
+    return packed.withColumn("g_keep", F.col("g_keep").cast("long"))
 
 
 # deterministic-sampling key mirror (packing.hash_sample_pmille, salt

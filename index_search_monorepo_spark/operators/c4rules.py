@@ -151,3 +151,180 @@ def oracle_c4_sql(
         "has_lorem": f"contains(lower({text_sql}), 'lorem ipsum')",
         "has_bad_word": bad,
     }
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A) — the doc-level
+# companion to the C4 line rules above. Same discipline: integer-exact
+# per-mille arithmetic, pure codegen + bound HOFs, zero joins/shuffles,
+# DuckDB byte-parity.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_G_PRODUCED = (
+    "g_n_words",
+    "g_mean_word_len_e2",
+    "g_symbol_pmille",
+    "g_alpha_word_pmille",
+    "g_bullet_line_pmille",
+    "g_ellipsis_line_pmille",
+    "g_stop_hits",
+    "g_keep",
+)
+
+
+def with_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Add the Gopher document-quality columns:
+
+      g_n_words              whitespace words
+      g_mean_word_len_e2     mean word length x100 (integer DIV)
+      g_symbol_pmille        ('#' + '...' + '…') per mille of words
+      g_alpha_word_pmille    words containing an ASCII letter, per mille
+      g_bullet_line_pmille   non-empty lines starting with -, *, •
+      g_ellipsis_line_pmille non-empty lines ending with '...' or '…'
+      g_stop_hits            how many of the 8 required stopwords appear
+      g_keep                 the Gopher verdict: 50<=words<=100000,
+                             3<=mean len<=10, symbols<=10%, >=80% alpha
+                             words, <=90% bullet lines, <=30% ellipsis
+                             lines, >=2 stopword hits
+
+    `_gtoks`/`_glines` are bound once behind Project boundaries (HOFs are
+    interpreted — no CSE; CLAUDE.md lesson 1)."""
+    _check_keep(keep, _G_PRODUCED)
+    t = F.col(text_col)
+    bound = df.withColumn("_gtoks", tokens_expr(t)).withColumn(
+        "_glines",
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ),
+    )
+    toks, lines = F.col("_gtoks"), F.col("_glines")
+    dots = (
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    counted = bound.withColumns(
+        {
+            "g_n_words": F.size(toks).cast("long"),
+            "_gsumlen": F.aggregate(
+                toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ),
+            "_gsym": (
+                (F.length(t) - F.length(F.replace(t, F.lit("#"))))
+                + dots
+                + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
+            ).cast("long"),
+            "_galpha": F.size(
+                F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+            ).cast("long"),
+            "_gnl": F.size(lines).cast("long"),
+            "_gbullet": F.size(
+                F.filter(
+                    lines,
+                    lambda l: l.like("-%") | l.like("*%") | l.like("•%"),
+                )
+            ).cast("long"),
+            "_gellip": F.size(
+                F.filter(
+                    lines,
+                    lambda l: l.like("%...") | l.like("%…"),
+                )
+            ).cast("long"),
+            "g_stop_hits": F.size(
+                F.filter(
+                    F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+                    lambda w: F.array_contains(toks, w),
+                )
+            ).cast("long"),
+        }
+    )
+
+    def pm(num: str, den: str) -> F.Column:
+        return F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 0"
+            f" ELSE 1000 * {num} DIV {den} END AS BIGINT)"
+        )
+
+    mean_e2 = F.expr(
+        "CAST(CASE WHEN g_n_words = 0 THEN 0"
+        " ELSE 100 * _gsumlen DIV g_n_words END AS BIGINT)"
+    )
+    out = counted.select(
+        "doc_id",
+        *keep,
+        "g_n_words",
+        mean_e2.alias("g_mean_word_len_e2"),
+        pm("_gsym", "g_n_words").alias("g_symbol_pmille"),
+        pm("_galpha", "g_n_words").alias("g_alpha_word_pmille"),
+        pm("_gbullet", "_gnl").alias("g_bullet_line_pmille"),
+        pm("_gellip", "_gnl").alias("g_ellipsis_line_pmille"),
+        "g_stop_hits",
+    )
+    return out.withColumn(
+        "g_keep",
+        F.col("g_n_words").between(50, 100_000)
+        & F.col("g_mean_word_len_e2").between(300, 1000)
+        & (F.col("g_symbol_pmille") <= 100)
+        & (F.col("g_alpha_word_pmille") >= 800)
+        & (F.col("g_bullet_line_pmille") <= 900)
+        & (F.col("g_ellipsis_line_pmille") <= 300)
+        & (F.col("g_stop_hits") >= 2),
+    )
+
+
+def oracle_gopher_sql(text_sql: str) -> dict:
+    """DuckDB fragments mirroring with_gopher_rules byte-for-byte.
+    Returns column SQL for every g_* column except g_keep (derive it from
+    the others in the caller's outer SELECT to avoid recomputation)."""
+    toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    lines = (
+        f"list_filter(list_transform(string_split({text_sql}, chr(10)),"
+        f" l -> trim(l)), l -> len(l) > 0)"
+    )
+    nw = f"len({toks})"
+    sym = (
+        f"(len({text_sql}) - len(replace({text_sql}, '#', '')))"
+        f" + (len({text_sql}) - len(replace({text_sql}, '...', ''))) // 3"
+        f" + (len({text_sql}) - len(replace({text_sql}, '…', '')))"
+    )
+    nl = f"len({lines})"
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+    def pm(num: str, den: str) -> str:
+        return (
+            f"CAST(CASE WHEN {den} = 0 THEN 0"
+            f" ELSE 1000 * ({num}) // ({den}) END AS BIGINT)"
+        )
+
+    return {
+        "g_n_words": f"CAST({nw} AS BIGINT)",
+        "g_mean_word_len_e2": (
+            f"CAST(CASE WHEN {nw} = 0 THEN 0 ELSE 100 *"
+            f" coalesce(list_sum(list_transform({toks}, x -> len(x))), 0)"
+            f" // {nw} END AS BIGINT)"
+        ),
+        "g_symbol_pmille": pm(sym, nw),
+        "g_alpha_word_pmille": pm(
+            f"len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]')))",
+            nw,
+        ),
+        "g_bullet_line_pmille": pm(
+            f"len(list_filter({lines}, l -> l LIKE '-%' OR l LIKE '*%'"
+            f" OR l LIKE '•%'))",
+            nl,
+        ),
+        "g_ellipsis_line_pmille": pm(
+            f"len(list_filter({lines}, l -> l LIKE '%...'"
+            f" OR l LIKE '%…'))",
+            nl,
+        ),
+        "g_stop_hits": (
+            f"CAST(len(list_filter([{stop_list}],"
+            f" w -> list_contains({toks}, w))) AS BIGINT)"
+        ),
+    }

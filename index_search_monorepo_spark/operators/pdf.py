@@ -47,6 +47,8 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
 
 
 class Ref:
@@ -176,10 +178,11 @@ def _parse_object(data: bytes, pos: int):
         return None, pos + 4
     m = _NUM_RE.match(data, pos)
     if m:
-        # indirect reference: NUM GEN R
-        ref = re.match(rb"(\d+)\s+\d+\s+R\b", data[pos:])
+        # indirect reference: NUM GEN R  (matched at pos — no tail copy,
+        # this parser runs per token over multi-MB payloads)
+        ref = _REF_RE.match(data, pos)
         if ref:
-            return Ref(int(ref.group(1))), pos + ref.end()
+            return Ref(int(ref.group(1))), ref.end()
         tok = m.group(0)
         val = float(tok) if b"." in tok else int(tok)
         return val, m.end()
@@ -306,12 +309,12 @@ def _interpret_content(content: bytes, image_names: dict) -> list[dict]:
             val, pos = _parse_object(content, pos)
             stack.append(val)
             continue
-        m = re.match(rb"[A-Za-z'\"*]+", content[pos:])
+        m = _OP_RE.match(content, pos)
         if not m:
             pos += 1
             continue
         op = m.group(0).decode("latin-1")
-        pos += m.end()
+        pos = m.end()
 
         def fnum(i: int, default: float = 0.0) -> float:
             try:

@@ -125,3 +125,86 @@ class TestC4Rules:
         """
         orows = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
         assert srows == orows
+
+
+GOPHER_DOCS = [
+    # normal prose with enough stopwords; padded to pass the 50-word gate
+    (0, "the quick brown fox jumps over and over to reach the lazy dog "
+        "that waited with patience of a saint and would not have moved "
+        + "word " * 40 + "end of the story that we have told with care."),
+    # bullet-heavy with ellipsis endings and symbols
+    (1, "- item one...\n- item two…\n- item # three\nshort"),
+    # no alphabetic words
+    (2, "123 456 789 000 111"),
+    (3, ""),
+]
+
+
+class TestGopherRules:
+    def _run(self, spark):
+        df = spark.createDataFrame(GOPHER_DOCS, ["doc_id", "text"])
+        return {
+            r["doc_id"]: r for r in C4.with_gopher_rules(df).collect()
+        }
+
+    def test_counts_and_verdict(self, spark):
+        out = self._run(spark)
+        assert out[0]["g_keep"] is True
+        assert out[0]["g_stop_hits"] >= 2
+        # doc 1: 3 of 4 non-empty lines are bullets (750 pm), 2 end in
+        # ellipsis (500 pm > 300), one '#' and one '...' and one '…'
+        assert out[1]["g_bullet_line_pmille"] == 750
+        assert out[1]["g_ellipsis_line_pmille"] == 500
+        assert out[1]["g_symbol_pmille"] > 100
+        assert out[1]["g_keep"] is False
+        # doc 2: zero alpha words
+        assert out[2]["g_alpha_word_pmille"] == 0
+        assert out[2]["g_keep"] is False
+        # empty doc: all-zero, not NULL, keep False
+        assert out[3]["g_n_words"] == 0
+        assert out[3]["g_mean_word_len_e2"] == 0
+        assert out[3]["g_keep"] is False
+
+    def test_zero_shuffle_plan(self, spark):
+        df = spark.createDataFrame(GOPHER_DOCS, ["doc_id", "text"])
+        plan = (
+            C4.with_gopher_rules(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
+
+    def test_duckdb_parity(self, spark):
+        srows = {
+            r["doc_id"]: tuple(r[c] for c in C4._G_PRODUCED)
+            for r in self._run(spark).values()
+        }
+        frags = C4.oracle_gopher_sql("text")
+        con = duckdb.connect()
+        vals = ", ".join(
+            "(%d, '%s')"
+            % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+            for i, t in GOPHER_DOCS
+        )
+        cols = ", ".join(
+            f"{frags[c]} AS {c}" for c in C4._G_PRODUCED if c != "g_keep"
+        )
+        sql = f"""
+        WITH t(doc_id, text) AS (VALUES {vals}),
+        g AS (SELECT doc_id, {cols} FROM t)
+        SELECT doc_id, g_n_words, g_mean_word_len_e2, g_symbol_pmille,
+               g_alpha_word_pmille, g_bullet_line_pmille,
+               g_ellipsis_line_pmille, g_stop_hits,
+               g_n_words BETWEEN 50 AND 100000
+                 AND g_mean_word_len_e2 BETWEEN 300 AND 1000
+                 AND g_symbol_pmille <= 100
+                 AND g_alpha_word_pmille >= 800
+                 AND g_bullet_line_pmille <= 900
+                 AND g_ellipsis_line_pmille <= 300
+                 AND g_stop_hits >= 2 AS g_keep
+        FROM g
+        """
+        orows = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+        assert srows == orows
