@@ -1,0 +1,208 @@
+"""The end-to-end training-data curation plan: one composition of the
+operator library that takes a raw (doc_id, text[, url]) corpus to a
+cleaned, deduplicated, decontaminated training set.
+
+Stage layout is chosen by shuffle shape, not by concept:
+
+  A. single-scan rules   — URL blocklist flag, C4 line filter + page
+                           flags, Gopher document-quality verdict. All
+                           pure per-row expressions, so the THREE rule
+                           families fuse into ONE narrow pass over the
+                           scan with zero joins and zero shuffles (plan-
+                           pinned in tests). At 100 TB this is the stage
+                           that touches every byte — it must not shuffle.
+  B. line-level strip    — CCNet frequent-line removal over stage-A
+                           survivors (one distinct-line aggregation +
+                           broadcast set; corpus text never shuffles).
+  C. exact dedup         — md5 content key, keep the smallest doc_id per
+                           key (one shuffle on the uniform hash key).
+  D. near-dup drop       — optional: MinHash/LSH candidate pairs ->
+                           connected components -> keep one canonical
+                           per cluster (operators/dedup.py C15 path).
+  E. decontamination     — optional: drop docs sharing word-8-grams with
+                           an evaluation set (broadcast benchmark side).
+  F. sampling            — optional deterministic md5 per-mille sample
+                           (engine-portable, salt-keyed).
+
+Every stage consumes the previous stage's frame lazily; `report=True`
+materializes per-stage survivor counts (one count job per stage, against
+persisted intermediates via the cache-registry lifecycle) — the
+per-partition lineage/metrics convention of the extraction pipeline
+applied to curation attrition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import c4rules as C4
+from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import packing as PK
+from index_search_monorepo_spark.operators import urlfilter as UF
+from index_search_monorepo_spark.operators.dedup import (
+    _persist,
+    release_caches,
+)
+
+
+def rule_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
+    bad_words: tuple[str, ...] = (),
+    min_sentences: int = 3,
+    enforce: tuple[str, ...] = ("url", "c4", "gopher"),
+) -> DataFrame:
+    """Stage A as a reusable surface: add `url_blocked` (false when no
+    URL column / blocklist), `c4_keep`, `g_keep` and the combined
+    `rule_keep` — one narrow pass, zero joins/shuffles.
+
+    `enforce` picks which families gate `rule_keep` (all flags are still
+    computed and returned): web-prose heuristics like C4/Gopher are
+    corpus-dependent — an OCR book corpus legitimately fails the
+    terminal-punctuation rule — so callers tune the verdict without
+    losing the signals."""
+    out = docs
+    if url_col is not None and blocked_domains is not None:
+        out = UF.with_url_features(
+            out, url_col=url_col, blocked=list(blocked_domains)
+        )
+        blocked = F.col("url_blocked")
+    else:
+        out = out.withColumn("url_blocked", F.lit(False))
+        blocked = F.col("url_blocked")
+    carry = tuple(c for c in out.columns if c not in ("doc_id",))
+    out = C4.with_c4_rules(
+        out,
+        text_col=text_col,
+        bad_words=bad_words,
+        min_sentences=min_sentences,
+        keep=carry,
+    )
+    carry = tuple(c for c in out.columns if c not in ("doc_id",))
+    out = C4.with_gopher_rules(out, text_col=text_col, keep=carry)
+    verdict = F.lit(True)
+    if "url" in enforce:
+        verdict = verdict & ~blocked
+    if "c4" in enforce:
+        verdict = verdict & F.col("c4_keep")
+    if "gopher" in enforce:
+        verdict = verdict & F.col("g_keep")
+    return out.withColumn("rule_keep", verdict)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    url_col: str | None = None,
+    blocked_domains: list[str] | None = None,
+    bad_words: tuple[str, ...] = (),
+    min_sentences: int = 3,
+    enforce: tuple[str, ...] = ("url", "c4", "gopher"),
+    strip_lines_min_docs: int | None = None,
+    exact_dedup: bool = True,
+    near_dup: bool = False,
+    eval_set: DataFrame | None = None,
+    sample_pmille: int | None = None,
+    report: bool = False,
+    registry: list | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Run the curation chain; returns (kept, attrition_report).
+
+    `kept` preserves the input columns (plus `n_lines_dropped` when the
+    line strip ran — the cleaned text replaces `text_col` in place).
+    The report frame (stage, docs_in, docs_out, docs_dropped) is None
+    unless report=True; with report=True intermediates are persisted and
+    registered in `registry` (pass a list and call
+    dedup.release_caches(registry) after consuming the outputs)."""
+    in_cols = list(docs.columns)
+    stages: list[tuple[str, DataFrame]] = []
+
+    def note(name: str, frame: DataFrame) -> DataFrame:
+        if report:
+            frame = _persist(frame, registry)
+        stages.append((name, frame))
+        return frame
+
+    cur = note("input", docs)
+
+    flagged = rule_flags(
+        cur,
+        text_col=text_col,
+        url_col=url_col,
+        blocked_domains=blocked_domains,
+        bad_words=bad_words,
+        min_sentences=min_sentences,
+        enforce=enforce,
+    )
+    cur = note("rules", flagged.filter(F.col("rule_keep")).select(*in_cols))
+
+    if strip_lines_min_docs is not None:
+        stripped = D.strip_frequent_lines(
+            cur, text_col=text_col, min_docs=strip_lines_min_docs
+        )
+        cleaned = [
+            F.col(f"{text_col}_cleaned").alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in in_cols
+        ]
+        cur = note(
+            "line_strip", stripped.select(*cleaned, "n_lines_dropped")
+        )
+
+    if exact_dedup:
+        key = D.content_key_expr(F.col(text_col))
+        keyed = cur.withColumn("_ck", key)
+        keepers = keyed.groupBy("_ck").agg(
+            F.min("doc_id").alias("_keep_id")
+        )
+        deduped = (
+            keyed.join(
+                keepers,
+                (keyed["_ck"] == keepers["_ck"])
+                & (keyed["doc_id"] == keepers["_keep_id"]),
+                "semi",
+            ).drop("_ck")
+        )
+        cur = note("exact_dedup", deduped)
+
+    if near_dup:
+        pairs = D.lsh_candidate_pairs(
+            cur.select("doc_id", F.col(text_col).alias("text"))
+        )
+        clusters = D.duplicate_clusters(pairs)
+        cur = note("near_dup", D.drop_duplicates_by_cluster(cur, clusters))
+
+    if eval_set is not None:
+        tainted = D.decontaminate(
+            cur.select("doc_id", F.col(text_col).alias("text")),
+            eval_set,
+        ).filter(F.col("contaminated"))
+        cur = note(
+            "decontaminate",
+            cur.join(tainted.select("doc_id"), "doc_id", "left_anti"),
+        )
+
+    if sample_pmille is not None:
+        cur = note(
+            "sample",
+            cur.filter(
+                PK.hash_sample_pmille(F.col("doc_id"), sample_pmille)
+            ),
+        )
+
+    if not report:
+        return cur, None
+
+    spark = docs.sparkSession
+    counts = [(name, frame.count()) for name, frame in stages]
+    rows = []
+    for (name, n_out), (_pname, n_in) in zip(counts[1:], counts[:-1]):
+        rows.append((name, n_in, n_out, n_in - n_out))
+    rep = spark.createDataFrame(
+        rows, "stage string, docs_in long, docs_out long, docs_dropped long"
+    )
+    return cur, rep
