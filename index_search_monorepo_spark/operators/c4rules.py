@@ -27,6 +27,36 @@ from index_search_monorepo_spark.operators.textstats import (
 TERMINAL_PUNCT_RE = '[.!?"]$'
 SENTENCE_MARK_RE = "[.!?]"
 
+# explicit whitespace class (Java \s and RE2 \s disagree on \x0B) and the
+# strip pattern for word-membership normalization
+_WS_RE = "[ \\t\\n\\r\\f]+"
+_EDGE_PUNCT_RE = "^[^a-z0-9]+|[^a-z0-9]+$"
+
+
+def match_tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace-class-split tokens with leading/trailing
+    non-alphanumerics stripped — the normalization for WORD-MEMBERSHIP
+    tests (stopwords, bad words), where 'The', 'the,' and newline-glued
+    tokens must still match. Distinct from `tokens_expr` (raw counting
+    tokens): counts must stay raw, membership must normalize."""
+    raw = F.filter(
+        F.split(F.lower(text), _WS_RE), lambda x: x != F.lit("")
+    )
+    return F.transform(
+        raw, lambda w: F.regexp_replace(w, _EDGE_PUNCT_RE, "")
+    )
+
+
+def match_tokens_sql(text_sql: str) -> str:
+    """DuckDB mirror of match_tokens_expr ('g' flag: Java regexp_replace
+    is replace-all, DuckDB defaults to first-match)."""
+    return (
+        f"list_transform(list_filter("
+        f"string_split_regex(lower({text_sql}), '{_WS_RE}'),"
+        f" x -> x <> ''), "
+        f"w -> regexp_replace(w, '{_EDGE_PUNCT_RE}', '', 'g'))"
+    )
+
 _PRODUCED = (
     "c4_text",
     "c4_n_lines_kept",
@@ -75,7 +105,7 @@ def with_c4_rules(
     t = F.col(text_col)
     bad = (
         F.arrays_overlap(
-            F.transform(tokens_expr(t), lambda w: F.lower(w)),
+            match_tokens_expr(t),
             F.array(*[F.lit(b.lower()) for b in bad_words]),
         )
         if bad_words
@@ -139,9 +169,8 @@ def oracle_c4_sql(
     if bad_words:
         lits = ", ".join("'" + b.lower() + "'" for b in bad_words)
         bad = (
-            f"len(list_filter(list_filter(string_split({text_sql}, ' '),"
-            f" w -> w != ''), "
-            f"w -> list_contains([{lits}], lower(w)))) > 0"
+            f"len(list_filter({match_tokens_sql(text_sql)}, "
+            f"w -> list_contains([{lits}], w))) > 0"
         )
     else:
         bad = "FALSE"
@@ -197,12 +226,16 @@ def with_gopher_rules(
     interpreted — no CSE; CLAUDE.md lesson 1)."""
     _check_keep(keep, _G_PRODUCED)
     t = F.col(text_col)
-    bound = df.withColumn("_gtoks", tokens_expr(t)).withColumn(
-        "_glines",
-        F.filter(
-            F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-            lambda l: F.length(l) > 0,
-        ),
+    bound = (
+        df.withColumn("_gtoks", tokens_expr(t))
+        .withColumn("_gmtoks", match_tokens_expr(t))
+        .withColumn(
+            "_glines",
+            F.filter(
+                F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+                lambda l: F.length(l) > 0,
+            ),
+        )
     )
     toks, lines = F.col("_gtoks"), F.col("_glines")
     dots = (
@@ -235,10 +268,12 @@ def with_gopher_rules(
                     lambda l: l.like("%...") | l.like("%…"),
                 )
             ).cast("long"),
+            # membership over NORMALIZED tokens: 'The', 'the,' and
+            # newline-glued stopwords still count (review finding)
             "g_stop_hits": F.size(
                 F.filter(
                     F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-                    lambda w: F.array_contains(toks, w),
+                    lambda w: F.array_contains(F.col("_gmtoks"), w),
                 )
             ).cast("long"),
         }
@@ -325,6 +360,7 @@ def oracle_gopher_sql(text_sql: str) -> dict:
         ),
         "g_stop_hits": (
             f"CAST(len(list_filter([{stop_list}],"
-            f" w -> list_contains({toks}, w))) AS BIGINT)"
+            f" w -> list_contains({match_tokens_sql(text_sql)}, w)))"
+            f" AS BIGINT)"
         ),
     }

@@ -663,6 +663,10 @@ def frequent_lines(
     navigation chrome, cookie banners, digitization headers/footers repeat
     across thousands of pages while real content lines are unique. Lines
     are trimmed before counting; whitespace-only lines are ignored.
+    Requires UNIQUE doc_id rows (like the join strategy below): the
+    count(*) == distinct-documents equivalence rests on it, and a doc
+    appearing twice (e.g. after a shard union) would push its own unique
+    lines over min_docs and get them stripped.
 
     Scale shape: the per-doc `array_distinct` means a plain `count(*)`
     equals the distinct-document count — no `count_distinct(doc_id)`
@@ -692,7 +696,7 @@ def strip_frequent_lines(
     text_col: str = "text",
     min_docs: int = 2,
     out_col: str | None = None,
-    max_frequent: int = 1_000_000,
+    max_frequent: int = 100_000,
     strategy: str = "broadcast",
     frequent: DataFrame | None = None,
     broadcast: bool | str = "auto",
@@ -722,6 +726,14 @@ def strip_frequent_lines(
     `frequent=` accepts a precomputed `frequent_lines` frame (e.g. counted
     on a sample, or frozen from a prior corpus snapshot) so the counting
     pass and the strip pass can be decoupled across runs.
+
+    Cost model for choosing the strategy: the broadcast path's membership
+    test is `array_contains` — a LINEAR scan of the md5 set per corpus
+    line, so work is O(corpus_lines x |frequent|). That is the right
+    trade for the realistic boilerplate regime (10^3-10^5 frequent
+    lines); the default cap reflects it. A genuinely huge frequent set
+    (aggressive min_docs on a shard-heavy corpus) belongs on
+    strategy='join', whose per-line cost is a hash probe instead.
     """
     if out_col is None:
         out_col = f"{text_col}_cleaned"

@@ -111,8 +111,11 @@ def _parse_literal_string(data: bytes, pos: int):
             elif nxt.isdigit():
                 oct_ = data[pos + 1 : pos + 4]
                 m = re.match(rb"[0-7]{1,3}", oct_)
-                out.append(int(m.group(0), 8) & 0xFF)
-                pos += 1 + len(m.group(0))
+                if m:  # \8 / \9 are not octal: fall through to
+                    out.append(int(m.group(0), 8) & 0xFF)
+                    pos += 1 + len(m.group(0))
+                else:  # unknown escape = drop backslash (spec 7.3.4.2)
+                    pos += 1
             else:  # line continuation or unknown escape: drop backslash
                 pos += 1
         elif c == b"(":
@@ -190,9 +193,17 @@ def _parse_object(data: bytes, pos: int):
 
 
 def _scan_objects(data: bytes) -> dict:
-    """All `N G obj` bodies -> {num: (value, raw_stream_or_None)}."""
+    """All `N G obj` bodies -> {num: (value, raw_stream_or_None)}.
+
+    The scan resumes AFTER each object's stream body, so binary stream
+    bytes that happen to contain 'N G obj' can never clobber a real
+    object (last-write-wins would otherwise silently drop pages)."""
     objs = {}
-    for m in _OBJ_RE.finditer(data):
+    spos = 0
+    while True:
+        m = _OBJ_RE.search(data, spos)
+        if m is None:
+            break
         num = int(m.group(1))
         val, pos = _parse_object(data, m.end())
         stream = None
@@ -211,11 +222,19 @@ def _scan_objects(data: bytes) -> dict:
                     b"endstream"
                 ):
                     end = cand
-            if end < 0:  # indirect/wrong Length: scan
-                end = data.find(b"endstream", pos)
             if end >= 0:
-                stream = data[pos:end].rstrip(b"\r\n")
+                # exact /Length extent: every byte belongs to the stream
+                # (an rstrip here would corrupt Flate data whose
+                # compressed bytes end in 0x0a/0x0d)
+                stream = data[pos:end]
+            else:  # indirect/wrong Length: scan, trim the EOL we added
+                end = data.find(b"endstream", pos)
+                if end >= 0:
+                    stream = data[pos:end].rstrip(b"\r\n")
+            if end >= 0:
+                pos = end + len(b"endstream")
         objs[num] = (val, stream)
+        spos = max(pos, m.end())
     return objs
 
 
@@ -417,6 +436,19 @@ def parse_pdf(payload: bytes) -> dict:
         if not objs:
             return bad
         doc = _Doc(objs)
+        # /Encrypt lives in the trailer dict (classic xref) or in the
+        # /Type /XRef stream dict (PDF 1.5+) — never in the catalog
+        for m in re.finditer(rb"trailer", payload):
+            tval, _ = _parse_object(payload, m.end())
+            if isinstance(tval, dict) and "/Encrypt" in tval:
+                return {**bad, "version": version}
+        for _num, (val, _s) in objs.items():
+            if (
+                isinstance(val, dict)
+                and val.get("/Type") == "/XRef"
+                and "/Encrypt" in val
+            ):
+                return {**bad, "version": version}
         catalog = None
         for _num, (val, _s) in objs.items():
             if isinstance(val, dict) and val.get("/Type") == "/Catalog":

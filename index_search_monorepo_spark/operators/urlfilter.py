@@ -39,8 +39,12 @@ _IP_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
 
 
 def host_expr(url: Column) -> Column:
-    """Lowercased host of an absolute URL ('' when not an absolute URL)."""
-    h = F.regexp_extract(F.lower(url), _HOST_RE, 1)
+    """Lowercased host of an absolute URL ('' when not an absolute URL).
+    NULL urls behave as '' — a NULL here would propagate into the blocked
+    flag and make `filter(~blocked)` silently drop every null-URL row."""
+    h = F.regexp_extract(
+        F.lower(F.coalesce(url, F.lit(""))), _HOST_RE, 1
+    )
     return F.regexp_replace(h, r"\.$", "")
 
 
@@ -163,7 +167,7 @@ def oracle_url_sql(url_sql: str, blocked: list[str] | None = None) -> dict:
     helper in the pii.py style). Returns {'host','registered_domain',
     'tld','is_ip'[, 'blocked']} SQL fragments over `url_sql`."""
     host = (
-        f"regexp_replace(regexp_extract(lower({url_sql}), "
+        f"regexp_replace(regexp_extract(lower(coalesce({url_sql}, '')), "
         f"'{_HOST_RE_SQL}', 1), '\\.$', '')"
     )
     ls = f"string_split({host}, '.')"

@@ -114,11 +114,19 @@ def curate_corpus(
     `kept` preserves the input columns (plus `n_lines_dropped` when the
     line strip ran — the cleaned text replaces `text_col` in place).
     The report frame (stage, docs_in, docs_out, docs_dropped) is None
-    unless report=True; with report=True intermediates are persisted and
-    registered in `registry` (pass a list and call
-    dedup.release_caches(registry) after consuming the outputs)."""
+    unless report=True; with report=True intermediates are persisted.
+    Pass a `registry` list to keep them cached (call
+    dedup.release_caches(registry) after consuming the outputs); with no
+    registry they are released internally once the counts materialize —
+    nothing stays cached behind the caller's back."""
     in_cols = list(docs.columns)
     stages: list[tuple[str, DataFrame]] = []
+    # report=True persists every stage; without a caller registry the
+    # persisted frames would leak in a long-lived session, so use an
+    # internal one and release it after the counts are materialized
+    own_registry = report and registry is None
+    if own_registry:
+        registry = []
 
     def note(name: str, frame: DataFrame) -> DataFrame:
         if report:
@@ -154,18 +162,18 @@ def curate_corpus(
         )
 
     if exact_dedup:
-        key = D.content_key_expr(F.col(text_col))
-        keyed = cur.withColumn("_ck", key)
-        keepers = keyed.groupBy("_ck").agg(
-            F.min("doc_id").alias("_keep_id")
-        )
+        # window keep-first, NOT a groupBy+self-join: a self-join here
+        # recomputes the whole rules/line-strip lineage once per side
+        # (MEMORY.md plan-audit lesson) — the window is one shuffle on
+        # the uniform hash key over a single upstream computation
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_ck").orderBy("doc_id")
         deduped = (
-            keyed.join(
-                keepers,
-                (keyed["_ck"] == keepers["_ck"])
-                & (keyed["doc_id"] == keepers["_keep_id"]),
-                "semi",
-            ).drop("_ck")
+            cur.withColumn("_ck", D.content_key_expr(F.col(text_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_ck", "_rn")
         )
         cur = note("exact_dedup", deduped)
 
@@ -205,4 +213,9 @@ def curate_corpus(
     rep = spark.createDataFrame(
         rows, "stage string, docs_in long, docs_out long, docs_dropped long"
     )
+    if own_registry:
+        # counts are materialized; without a caller-owned registry the
+        # persisted frames would accumulate across calls, so release them
+        # all here (the returned frames stay valid — they recompute)
+        release_caches(registry)
     return cur, rep

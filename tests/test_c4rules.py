@@ -208,3 +208,38 @@ class TestGopherRules:
         """
         orows = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
         assert srows == orows
+
+
+class TestMembershipNormalization:
+    def test_capitalized_punctuated_glued_stopwords_count(self, spark):
+        """Review finding: 'The', 'the,' and newline-glued stopwords
+        missed the membership test; membership normalizes, counts stay
+        raw."""
+        df = spark.createDataFrame(
+            [(0, "The cat sat.\nOf course, that is it — and so be it,")],
+            ["doc_id", "text"],
+        )
+        out = C4.with_gopher_rules(df).collect()[0]
+        # the(cap), of(cap+newline-adjacent), that, and, be => >= 5
+        assert out["g_stop_hits"] >= 5, out["g_stop_hits"]
+
+    def test_bad_word_after_newline_detected(self, spark):
+        df = spark.createDataFrame(
+            [(0, "clean start\nBadword, lands here.")], ["doc_id", "text"]
+        )
+        out = C4.with_c4_rules(df, bad_words=("badword",)).collect()[0]
+        assert out["c4_has_bad_word"] is True
+
+    def test_membership_parity(self, spark):
+        import duckdb as dd
+
+        text = "The cat.\nof COURSE, that...\nBadword! and\tso be it"
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        srow = C4.with_gopher_rules(df).collect()[0]
+        con = dd.connect()
+        frags = C4.oracle_gopher_sql("text")
+        lit = text.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\t", "' || chr(9) || '")
+        o = con.execute(
+            f"SELECT {frags['g_stop_hits']} FROM (SELECT '{lit}' AS text)"
+        ).fetchone()[0]
+        assert srow["g_stop_hits"] == o

@@ -141,3 +141,37 @@ class TestSparkKernels:
             )
             assert "Exchange" not in plan, plan
             assert "MapInPandas" in plan, plan
+
+
+class TestReviewRegressions:
+    """Pins for the r4c review findings (each was a verified defect)."""
+
+    def test_flate_stream_tail_bytes_survive(self):
+        """A correct-/Length Flate stream whose compressed bytes end in
+        0x0a/0x0d must not be rstripped (finding: silently empty page)."""
+        for i in range(300):
+            t = f"Line number {i} with payload."
+            d = P.parse_pdf(P.build_pdf([[(72, 700, t)]], compress=True))
+            assert d["ok"] and d["pages"][0]["text"] == t, (i, d)
+
+    def test_unknown_numeric_escape_drops_backslash(self):
+        pdf = P.build_pdf([[(72, 700, "Good line one.")]])
+        d = P.parse_pdf(
+            pdf.replace(b"(Good line one.)", b"(Good \\9 line.)")
+        )
+        assert d["ok"] and d["pages"][0]["text"] == "Good 9 line."
+
+    def test_obj_marker_inside_stream_body_ignored(self):
+        pdf = P.build_pdf([[(72, 700, "Real page text.")]])
+        evil = pdf.replace(b"\x7f\nendstream", b"3 0 obj\nendstream")
+        d = P.parse_pdf(evil)
+        assert d["n_pages"] == 1
+        assert d["pages"][0]["text"] == "Real page text."
+
+    def test_trailer_encrypt_detected(self):
+        pdf = P.build_pdf([[(72, 700, "Secret text.")]])
+        enc = pdf.replace(
+            b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size"
+        )
+        d = P.parse_pdf(enc)
+        assert d["ok"] is False and d["version"] == "1.4"

@@ -139,3 +139,40 @@ class TestBlocklist:
         assert U.filter_blocked_domains(_frame(spark), []).count() == len(
             URLS
         )
+
+
+class TestNullUrl:
+    def test_null_url_rows_survive_static_filter(self, spark):
+        """Review finding: NULL url made the blocked flag NULL and
+        filter(~NULL) silently dropped the row; both strategies must
+        keep null-URL docs and agree."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        schema = StructType(
+            [StructField("doc_id", LongType()),
+             StructField("url", StringType())]
+        )
+        df = spark.createDataFrame(
+            [(0, None), (1, "https://x.blocked.com/a"),
+             (2, "https://ok.example.org/b")],
+            schema,
+        )
+        a = sorted(
+            r["doc_id"]
+            for r in U.filter_blocked_domains(df, ["blocked.com"]).collect()
+        )
+        bl = spark.createDataFrame([("blocked.com",)], ["domain"])
+        b = sorted(
+            r["doc_id"]
+            for r in U.filter_blocked_domains(df, bl).collect()
+        )
+        assert a == b == [0, 2]
+        feats = {
+            r["doc_id"]: (r["url_host"], r["url_blocked"])
+            for r in U.with_url_features(
+                df, blocked=["blocked.com"]
+            ).collect()
+        }
+        assert feats[0] == ("", False)
