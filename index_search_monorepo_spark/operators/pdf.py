@@ -589,6 +589,48 @@ def extract_pdf_text(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(fn, PDF_TEXT_SCHEMA)
 
 
+PDF_DOCUMENTS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def pdf_documents(df_with_payload: DataFrame) -> DataFrame:
+    """binary PDF payloads -> the engine's input contract
+    `(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>)`
+    (BASELINE.json input_hint) — PDFs become a first-class SOURCE for
+    the extraction pipeline, interchangeable with zip/METS ingest.
+
+    Spans are assembled inside the kernel (offset = 1-based global
+    content order across pages, text spans carry their page's reading-
+    order-independent show text, image Do ops become media spans with
+    media_ref 'img:<objnum>'), so the reshape is scan -> mapInPandas
+    with NO groupBy/shuffle. Unparseable payloads yield an empty spans
+    array (pair with pdf_metadata for the error surface)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_b in batches:
+            rows = []
+            for doc_id, payload in zip(pdf_b["doc_id"], pdf_b["payload"]):
+                p = bytes(payload) if payload is not None else b""
+                spans, off = [], 0
+                for pg in parse_pdf(p)["pages"]:
+                    for s in pg["spans"]:
+                        off += 1
+                        spans.append(
+                            {
+                                "kind": s["kind"],
+                                "text": s["text"],
+                                "media_ref": s["media_ref"],
+                                "offset": off,
+                            }
+                        )
+                rows.append((str(doc_id), spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return df_with_payload.mapInPandas(fn, PDF_DOCUMENTS_SCHEMA)
+
+
 PDF_PROFILE_SCHEMA = PDF_META_SCHEMA + ", doc_text string"
 
 

@@ -175,3 +175,45 @@ class TestReviewRegressions:
         )
         d = P.parse_pdf(enc)
         assert d["ok"] is False and d["version"] == "1.4"
+
+
+class TestPdfAsPipelineSource:
+    def test_pdf_documents_contract_shape_and_ocr(self, spark):
+        """PDFs as a first-class source: pdf_documents emits the
+        BASELINE input contract (doc_id:string, spans array) and the
+        REAL extraction operators run on it unchanged."""
+        from index_search_monorepo_spark.operators.extraction import (
+            with_ocr,
+        )
+
+        df = _payload_frame(
+            spark,
+            [
+                P.build_pdf(PAGES, compress=True, images_per_page=1),
+                b"broken payload",
+            ],
+        )
+        docs = P.pdf_documents(df)
+        assert docs.schema.simpleString() == (
+            "struct<doc_id:string,spans:array<struct<kind:string,"
+            "text:string,media_ref:string,offset:int>>>"
+        )
+        rows = {r["doc_id"]: r["spans"] for r in docs.collect()}
+        assert rows["1"] == []  # broken -> empty spans, not a failure
+        kinds = [s["kind"] for s in rows["0"]]
+        assert kinds == ["txt", "txt", "txt", "media", "txt", "media"]
+        assert [s["offset"] for s in rows["0"]] == list(range(1, 7))
+        # the flagship A1 operator consumes it directly (content order)
+        ocr = {r["doc_id"]: r["ocr"] for r in with_ocr(docs).collect()}
+        assert "First line." in ocr["0"] and "Page two text." in ocr["0"]
+
+    def test_pdf_documents_no_shuffle(self, spark):
+        df = _payload_frame(spark, [P.build_pdf(PAGES)])
+        plan = (
+            P.pdf_documents(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan, plan
