@@ -816,3 +816,92 @@ def strip_frequent_lines(
         )
         .drop("_n_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact-substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr variant,
+# re-expressed for Spark: positional k-gram evidence instead of a suffix
+# array, which distributes as keyed equality joins)
+# ---------------------------------------------------------------------------
+
+def duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_docs: int = 2,
+    registry: list | None = None,
+) -> DataFrame:
+    """Find duplicated PASSAGES — maximal runs of word positions covered
+    by k-gram shingles that occur in >= `min_docs` distinct documents.
+
+    The grain between the line strip (frequent_lines) and whole-document
+    dedup: a quote, a license block, or a syndicated paragraph embedded
+    in otherwise-unique documents. Returns one row per passage:
+    (doc_id, start_word, end_word, n_words) with 0-based inclusive word
+    positions over the whitespace tokenization.
+
+    Scale shape: only (md5, position) pairs shuffle — never document
+    text. The duplicated-shingle set is counted with per-doc-distinct
+    semantics (array_distinct before the count, the frequent_lines
+    trick), joined back to positions on the md5 equality key (AQE
+    broadcasts when small), and passages come from a per-doc
+    gaps-and-islands window over matched positions — integer-exact,
+    reproducible in the DuckDB oracle. Requires unique doc_id rows.
+    """
+    from pyspark.sql import Window
+
+    k = int(k)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    bound = _spread(df.select("doc_id", F.col(text_col))).withColumn(
+        "_toks", toks
+    )
+    # one row per shingle START position: (doc_id, pos, md5(shingle))
+    # sequence(0, -1) would generate a DESCENDING [0, -1] in Spark, so
+    # docs shorter than k must take the empty-array branch explicitly
+    starts = F.when(
+        F.size("_toks") >= k,
+        F.sequence(F.lit(0), F.size("_toks") - k),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = bound.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i + 1, k), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    grams = _persist(grams, registry)
+    hot = (
+        grams.select("doc_id", "h")
+        .groupBy("doc_id", "h")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(int(min_docs)))
+        .select("h")
+    )
+    # positions whose shingle is corpus-duplicated; each start position i
+    # covers words [i, i+k-1]
+    matched = grams.join(_maybe_broadcast(hot, "auto"), "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # gaps-and-islands on COVERAGE: a new passage starts when this
+    # shingle's window does not overlap the previous shingle's window
+    # (gap > k means uncovered words between them)
+    islands = (
+        matched.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_newgrp",
+            (F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k))
+            .cast("int"),
+        )
+        .withColumn("_grp", F.sum("_newgrp").over(w))
+    )
+    return islands.groupBy("doc_id", "_grp").agg(
+        F.min("pos").cast("long").alias("start_word"),
+        (F.max("pos") + k - 1).cast("long").alias("end_word"),
+        (F.max("pos") + k - F.min("pos")).cast("long").alias("n_words"),
+    ).drop("_grp")

@@ -612,3 +612,110 @@ class TestLineDedup:
 
         assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
         assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+class TestDuplicatePassages:
+    """Passage-level exact-substring dedup (Lee et al. ExactSubstr as
+    positional k-gram evidence): planted shared passages are found with
+    exact word extents, short docs contribute nothing, and the DuckDB
+    mirror agrees row-for-row."""
+
+    K = 5
+
+    def _frame(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+        rows = [
+            (0, "u0a u0b u0c " + shared + " t0a t0b"),
+            (1, "v1a " + shared + " w1a w1b w1c w1d"),
+            # two distinct docs share a DIFFERENT 5-word run
+            (2, "p2a p2b one two three four five q2"),
+            (3, "one two three four five r3a r3b r3c"),
+            # short doc (< k words) and a unique doc
+            (4, "tiny doc"),
+            (5, "fully unique words nothing shared here at all"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_planted_passages_exact_extents(self, spark):
+        reg: list = []
+        out = {
+            (r["doc_id"]): (r["start_word"], r["end_word"], r["n_words"])
+            for r in D.duplicate_passages(
+                self._frame(spark), k=self.K, registry=reg
+            ).collect()
+        }
+        D.release_caches(reg)
+        # doc 0: shared run occupies words 3..9 (7 words)
+        assert out[0] == (3, 9, 7)
+        # doc 1: words 1..7
+        assert out[1] == (1, 7, 7)
+        # docs 2/3: the exact 5-word run
+        assert out[2] == (2, 6, 5)
+        assert out[3] == (0, 4, 5)
+        assert 4 not in out and 5 not in out
+
+    def test_within_doc_repeat_not_flagged(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e a b c d e"), (1, "x y z w v u t s")],
+            ["doc_id", "text"],
+        )
+        assert D.duplicate_passages(df, k=5).count() == 0
+
+    def test_duckdb_parity(self, spark):
+        import duckdb as dd
+
+        k = self.K
+        srows = sorted(
+            tuple(r) for r in D.duplicate_passages(
+                self._frame(spark), k=k
+            ).collect()
+        )
+        con = dd.connect()
+        vals = ", ".join(
+            "(%d, '%s')" % (i, t)
+            for i, t in [
+                (r["doc_id"], r["text"])
+                for r in self._frame(spark).collect()
+            ]
+        )
+        orows = sorted(
+            tuple(r)
+            for r in con.execute(f"""
+        WITH docs(doc_id, text) AS (VALUES {vals}),
+        toks AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 FROM docs),
+        g AS (SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i:i+{k}-1], ' ')) AS h
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - {k} + 1, 0)))
+                     AS u(i)),
+        hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+                GROUP BY h HAVING count(*) >= 2),
+        m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                              OR pos - lag(pos) OVER w > {k}
+                            THEN 1 ELSE 0 END AS ng
+                FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        grp AS (SELECT *, sum(ng) OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS grp_id FROM isl)
+        SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_word,
+               CAST(max(pos) + {k} - 1 AS BIGINT) AS end_word,
+               CAST(max(pos) + {k} - min(pos) AS BIGINT) AS n_words
+        FROM grp GROUP BY doc_id, grp_id
+        """).fetchall()
+        )
+        assert srows == orows
+
+    def test_shuffles_are_keyed_only(self, spark):
+        """No cartesian/NLJ anywhere: the only joins are on the shingle
+        hash equality key."""
+        plan = (
+            D.duplicate_passages(self._frame(spark), k=self.K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
