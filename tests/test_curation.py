@@ -719,3 +719,48 @@ class TestDuplicatePassages:
         )
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+class TestExcisePassages:
+    def test_flagged_extents_removed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "u0a u0b u0c alpha beta gamma delta epsilon zeta eta t0a t0b"),
+                (1, "v1a alpha beta gamma delta epsilon zeta eta w1a w1b w1c w1d"),
+                (2, "untouched document stays put"),
+            ],
+            ["doc_id", "text"],
+        )
+        passages = D.duplicate_passages(docs, k=5)
+        out = {
+            r["doc_id"]: (r["text_excised"], r["n_words_excised"])
+            for r in D.excise_passages(docs, passages).collect()
+        }
+        # remove-all policy: BOTH copies of the shared passage are cut
+        assert out[0] == ("u0a u0b u0c t0a t0b", 7)
+        assert out[1] == ("v1a w1a w1b w1c w1d", 7)
+        assert out[2] == ("untouched document stays put", 0)
+
+    def test_duckdb_parity_indexed_lambda(self, spark):
+        """Cross-engine pin for the indexed-HOF excision (Spark filter
+        index is 0-based, DuckDB's is 1-based)."""
+        import duckdb as dd
+
+        docs = spark.createDataFrame(
+            [(0, "w0 w1 w2 w3 w4 w5 w6 w7")], ["doc_id", "text"]
+        )
+        passages = spark.createDataFrame(
+            [(0, 2, 4), (0, 6, 6)],
+            ["doc_id", "start_word", "end_word"],
+        )
+        srow = D.excise_passages(docs, passages).collect()[0]
+        con = dd.connect()
+        orow = con.execute("""
+        SELECT array_to_string(list_filter(
+                 list_filter(string_split('w0 w1 w2 w3 w4 w5 w6 w7', ' '),
+                             x -> x <> ''),
+                 (x, i) -> NOT ((i - 1 BETWEEN 2 AND 4)
+                                OR (i - 1 BETWEEN 6 AND 6))), ' ')
+        """).fetchone()[0]
+        assert srow["text_excised"] == orow == "w0 w1 w5 w7"
+        assert srow["n_words_excised"] == 4
