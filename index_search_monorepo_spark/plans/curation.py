@@ -14,6 +14,9 @@ Stage layout is chosen by shuffle shape, not by concept:
   B. line-level strip    — CCNet frequent-line removal over stage-A
                            survivors (one distinct-line aggregation +
                            broadcast set; corpus text never shuffles).
+  B2. passage excision   — optional: Lee et al. exact-substring dedup
+                           (duplicate_passages -> excise_passages); only
+                           (hash, position) pairs shuffle.
   C. exact dedup         — md5 content key, keep the smallest doc_id per
                            key (one shuffle on the uniform hash key).
   D. near-dup drop       — optional: MinHash/LSH candidate pairs ->
@@ -102,6 +105,7 @@ def curate_corpus(
     min_sentences: int = 3,
     enforce: tuple[str, ...] = ("url", "c4", "gopher"),
     strip_lines_min_docs: int | None = None,
+    passage_k: int | None = None,
     exact_dedup: bool = True,
     near_dup: bool = False,
     eval_set: DataFrame | None = None,
@@ -159,6 +163,25 @@ def curate_corpus(
         ]
         cur = note(
             "line_strip", stripped.select(*cleaned, "n_lines_dropped")
+        )
+
+    if passage_k is not None:
+        # passage-grain exact-substring dedup (Lee et al.): detect
+        # cross-document duplicated word runs, excise ALL occurrences.
+        # Replaces text_col in place (whitespace-normalized); runs before
+        # exact dedup so excision can surface new exact duplicates.
+        passages = D.duplicate_passages(
+            cur, text_col=text_col, k=passage_k, registry=registry
+        )
+        excised = D.excise_passages(cur, passages, text_col=text_col)
+        cols = [
+            F.col(f"{text_col}_excised").alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in cur.columns
+        ]
+        cur = note(
+            "passage_excise", excised.select(*cols, "n_words_excised")
         )
 
     if exact_dedup:

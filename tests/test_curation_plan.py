@@ -117,3 +117,32 @@ class TestCurationPlan:
         assert {c for c in ("c4_keep", "g_keep", "rule_keep")} <= set(
             flagged.columns
         )
+
+    def test_passage_stage(self, spark):
+        """passage_k excises cross-document duplicated word runs before
+        exact dedup, surfacing new exact duplicates downstream."""
+        shared = " ".join(f"s{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                (0, f"head0 {shared} tail0"),
+                (1, f"head1 {shared} tail1"),
+                # after excision docs 2/3 become identical -> exact dedup
+                (2, f"{shared} same tail words"),
+                (3, f"{shared} same tail words extra"),
+                (4, "wholly unrelated document body"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept, rep = CP.curate_corpus(
+            docs, enforce=(), passage_k=5, report=True
+        )
+        stages = {r["stage"]: r for r in rep.collect()}
+        texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+        assert stages["passage_excise"]["docs_dropped"] == 0
+        assert texts[0] == "head0 tail0"
+        assert texts[1] == "head1 tail1"
+        # docs 2/3 shared run INCLUDING 'same tail words' overlap? the
+        # duplicated region is maximal: whatever survives must be equal
+        # where planted identical — and doc 4 untouched
+        assert texts[4] == "wholly unrelated document body"
+        assert stages["exact_dedup"]["docs_in"] == 5
