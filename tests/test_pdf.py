@@ -217,3 +217,42 @@ class TestPdfAsPipelineSource:
         )
         assert "Exchange" not in plan, plan
         assert "MapInPandas" in plan, plan
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# latin-1-safe printable text; parens/backslashes exercise the escaper
+_RUN_TEXT = st.text(
+    alphabet=st.characters(
+        codec="latin-1", categories=("L", "N", "P", "Zs")
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda s: s.replace("\r", " ").replace("\n", " "))
+
+
+class TestPdfProperty:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        texts=st.lists(_RUN_TEXT, min_size=1, max_size=6),
+        compress=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def test_round_trip_any_text(self, texts, compress, seed):
+        """Writer->parser round trip over arbitrary latin-1 run text at
+        arbitrary positions: every run comes back byte-identical and in
+        y-descending reading order."""
+        rng_ys = [(700 - 20 * i) for i in range(len(texts))]
+        runs = [(72 + (seed % 50), y, t) for y, t in zip(rng_ys, texts)]
+        d = P.parse_pdf(P.build_pdf([runs], compress=compress))
+        assert d["ok"] and d["n_pages"] == 1
+        got = [s["text"] for s in d["pages"][0]["spans"]]
+        assert got == texts
+        # distinct descending ys -> layout order equals emission order
+        assert d["pages"][0]["text"] == "\n".join(texts)
+
+    @settings(max_examples=30, deadline=None)
+    @given(payload=st.binary(min_size=0, max_size=400))
+    def test_arbitrary_bytes_never_raise(self, payload):
+        d = P.parse_pdf(b"%PDF-1.4\n" + payload)
+        assert d["n_pages"] >= 0 and isinstance(d["ok"], bool)
