@@ -336,8 +336,21 @@ def scaling_run(corpus_dir: Path) -> dict:
                 "model_eff_8to32": round(model_t(8) / (4 * model_t(32)), 3),
             },
             # the criterion is defined on THIS artifact (VERDICT r02 wrong
-            # #1): best N->4N pair under the best-of-config estimator only
-            "efficiency": max(e28, e832),
+            # #1): best N->4N pair under the best-of-config estimator only.
+            # A pair ratio > 1.0 is physically impossible for this workload
+            # — it means the DENOMINATOR config was noise-depressed in
+            # every round (best-of can't recover a config whose whole
+            # window was loaded; observed in the r4 run-6 attempt: 8-core
+            # crushed -> 8->32 "efficiency" 1.12). Superlinear pairs are
+            # therefore invalid evidence: they never feed the headline, so
+            # the gate retries on the real remaining pair instead of
+            # passing on an artifact of noise.
+            "superlinear_suspect": e28 > 1.0 or e832 > 1.0,
+            "efficiency": (
+                max(e for e in (e28, e832) if e <= 1.0)
+                if any(e <= 1.0 for e in (e28, e832))
+                else min(e28, e832)
+            ),
         }
 
     rounds: dict[int, list[dict]] = {2: [], 8: [], 32: []}
