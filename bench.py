@@ -346,10 +346,14 @@ def scaling_run(corpus_dir: Path) -> dict:
             # the gate retries on the real remaining pair instead of
             # passing on an artifact of noise.
             "superlinear_suspect": e28 > 1.0 or e832 > 1.0,
+            # both pairs superlinear = NO valid evidence at all: headline
+            # 0.0 so the gate keeps retrying and, if noise persists to the
+            # round cap, the artifact records an honest failure instead of
+            # passing on min(e28, e832) > 1.0
             "efficiency": (
                 max(e for e in (e28, e832) if e <= 1.0)
                 if any(e <= 1.0 for e in (e28, e832))
-                else min(e28, e832)
+                else 0.0
             ),
         }
 

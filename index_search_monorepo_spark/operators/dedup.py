@@ -852,7 +852,15 @@ def duplicate_passages(
     from pyspark.sql import Window
 
     k = int(k)
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    # whitespace-CLASS split (explicit class: Java \s vs RE2 \s differ on
+    # \x0B): in the curation chain the text is newline-joined, and a
+    # space-only split would glue 'end\nstart' into one token — two docs
+    # wrapping the same passage at different line positions would then
+    # never match (review finding)
+    toks = F.filter(
+        F.split(F.col(text_col), "[ \\t\\n\\r\\f]+"),
+        lambda t: t != F.lit(""),
+    )
     bound = _spread(df.select("doc_id", F.col(text_col))).withColumn(
         "_toks", toks
     )
@@ -944,8 +952,11 @@ def excise_passages(
         )
         .withColumn(
             "_toks",
+            # same whitespace-class tokenization as duplicate_passages —
+            # positions must refer to the SAME token stream
             F.filter(
-                F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+                F.split(F.col(text_col), "[ \\t\\n\\r\\f]+"),
+                lambda t: t != F.lit(""),
             ),
         )
         .withColumn(

@@ -170,9 +170,18 @@ def curate_corpus(
         # cross-document duplicated word runs, excise ALL occurrences.
         # Replaces text_col in place (whitespace-normalized); runs before
         # exact dedup so excision can surface new exact duplicates.
+        # The detection result (small per-doc extents) is EAGERLY
+        # localCheckpoint'ed: (a) the operator's internal grams persist
+        # can be released immediately instead of leaking past the call
+        # (review finding), and (b) the excise join's right side no
+        # longer re-runs the upstream rules/line-strip lineage — the
+        # stage-A scan runs once for detection and once for the final
+        # consumption, the minimum a global-detect/apply pass needs.
+        preg: list = []
         passages = D.duplicate_passages(
-            cur, text_col=text_col, k=passage_k, registry=registry
-        )
+            cur, text_col=text_col, k=passage_k, registry=preg
+        ).localCheckpoint(eager=True)
+        release_caches(preg)
         excised = D.excise_passages(cur, passages, text_col=text_col)
         cols = [
             F.col(f"{text_col}_excised").alias(text_col)

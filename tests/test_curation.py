@@ -683,7 +683,8 @@ class TestDuplicatePassages:
             for r in con.execute(f"""
         WITH docs(doc_id, text) AS (VALUES {vals}),
         toks AS (SELECT doc_id,
-                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+                 list_filter(string_split_regex(text,
+                   '[ \t\n\r\f]+'), x -> x <> '') AS t
                  FROM docs),
         g AS (SELECT doc_id, i - 1 AS pos,
                      md5(array_to_string(t[i:i+{k}-1], ' ')) AS h
@@ -764,3 +765,31 @@ class TestExcisePassages:
         """).fetchone()[0]
         assert srow["text_excised"] == orow == "w0 w1 w5 w7"
         assert srow["n_words_excised"] == 4
+
+
+class TestPassageLineWrapRecall:
+    def test_same_passage_different_wrap_points_matches(self, spark):
+        """The curation chain feeds newline-joined text; a space-only
+        split would glue 'end\\nstart' into one token and two wrappings
+        of the same passage would never match (review finding)."""
+        body = " ".join(f"p{i}" for i in range(10))
+        a = body[:20] + "\n" + body[20:]          # wrapped early
+        b = body[:35] + "\n" + body[35:]          # wrapped late
+        docs = spark.createDataFrame(
+            [(0, f"ua ub {a}"), (1, f"vc {b} vd")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: (r["start_word"], r["end_word"])
+            for r in D.duplicate_passages(docs, k=8).collect()
+        }
+        assert out[0] == (2, 11)
+        assert out[1] == (1, 10)
+        # excision uses the same token stream: both copies removed and
+        # the output is whitespace-normalized (no embedded newlines)
+        ex = {
+            r["doc_id"]: r["text_excised"]
+            for r in D.excise_passages(
+                docs, D.duplicate_passages(docs, k=8)
+            ).collect()
+        }
+        assert ex[0] == "ua ub" and ex[1] == "vc vd"

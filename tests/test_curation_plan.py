@@ -120,15 +120,22 @@ class TestCurationPlan:
 
     def test_passage_stage(self, spark):
         """passage_k excises cross-document duplicated word runs before
-        exact dedup, surfacing new exact duplicates downstream."""
-        shared = " ".join(f"s{i}" for i in range(8))
+        exact dedup, surfacing new exact duplicates downstream: docs 2/3
+        share NO flagged run with each other (different passages, each
+        shared with a different partner), but their residues after
+        excision are identical — the exact-dedup stage must fold them,
+        proving the excised text (not the original) feeds the content
+        key."""
+        shared_a = " ".join(f"a{i}" for i in range(6))
+        shared_b = " ".join(f"b{i}" for i in range(6))
         docs = spark.createDataFrame(
             [
-                (0, f"head0 {shared} tail0"),
-                (1, f"head1 {shared} tail1"),
-                # after excision docs 2/3 become identical -> exact dedup
-                (2, f"{shared} same tail words"),
-                (3, f"{shared} same tail words extra"),
+                (0, f"head0 {shared_a} tail0"),
+                (1, f"head1 {shared_b} tail1"),
+                # residue ('residue words here', 3 words < k) carries no
+                # flagged grams of its own
+                (2, f"{shared_a} residue words here"),
+                (3, f"{shared_b} residue words here"),
                 (4, "wholly unrelated document body"),
             ],
             ["doc_id", "text"],
@@ -141,8 +148,9 @@ class TestCurationPlan:
         assert stages["passage_excise"]["docs_dropped"] == 0
         assert texts[0] == "head0 tail0"
         assert texts[1] == "head1 tail1"
-        # docs 2/3 shared run INCLUDING 'same tail words' overlap? the
-        # duplicated region is maximal: whatever survives must be equal
-        # where planted identical — and doc 4 untouched
+        # docs 2 and 3 both excised to the same residue -> exact dedup
+        # keeps the smaller doc_id only
+        assert stages["exact_dedup"]["docs_dropped"] == 1
+        assert texts[2] == "residue words here"
+        assert 3 not in texts
         assert texts[4] == "wholly unrelated document body"
-        assert stages["exact_dedup"]["docs_in"] == 5
