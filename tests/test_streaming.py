@@ -289,3 +289,48 @@ def test_streaming_exact_dedup(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT * FROM stream_dedup").collect()
     }
     assert kept == {"doc0", "doc1", "doc3"}
+
+
+def test_rule_flags_compose_with_streaming(spark, tmp_path):
+    """The stage-A curation rules (URL blocklist + C4 + Gopher) are pure
+    per-row expressions, so the SAME rule_flags call runs unchanged over
+    a readStream source — streaming ingest can filter at the edge with
+    zero extra operators."""
+    from index_search_monorepo_spark.plans.curation import rule_flags
+
+    land = tmp_path / "landed"
+    out = tmp_path / "out"
+    land.mkdir()
+    good = (
+        "the quick brown fox jumps over and over to reach the lazy dog "
+        "that waited with patience of a saint and would not have moved. "
+        + "good word " * 30
+        + "the tale ends well and that is that so it does.\n"
+        "A second proper sentence lands here.\n"
+        "And a third one closes the page."
+    )
+    spark.createDataFrame(
+        [
+            (0, good, "https://ok.example.org/a"),
+            (1, good + "\ncode { brace", "https://ok.example.org/b"),
+            (2, good, "https://ads.blocked.com/x"),
+        ],
+        "doc_id long, text string, url string",
+    ).write.parquet(str(land / "batch0"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, url string"
+    ).option("pathGlobFilter", "*.parquet").parquet(str(land) + "/*")
+    flagged = rule_flags(
+        stream, url_col="url", blocked_domains=["blocked.com"]
+    ).filter("rule_keep")
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in rows) == [0]
