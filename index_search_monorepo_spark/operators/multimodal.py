@@ -1746,3 +1746,129 @@ def extract_features(df_with_payload: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(fn, EMBED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash): the standard near-duplicate signal
+# for image corpora — identical and lightly-recompressed/noised images
+# collapse to nearby 64-bit hashes, compared with a banded hamming join
+# (the SimHash banding trick at image grain).
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = (
+    "doc_id long, phash long, decodable boolean, degenerate boolean"
+)
+
+
+def image_dhash(payload: bytes) -> int | None:
+    """64-bit difference hash of a decodable image; None otherwise.
+
+    Integer-exact and library-free: decode (the module's real decoders),
+    nearest-resize to 9x8, integer BT.601 luma (DIV 1000), then one bit
+    per horizontal neighbor comparison — row-major bit order. Stable
+    under uniform brightness shifts and nearest-resize artifacts, which
+    is exactly what survives re-encoding pipelines."""
+    real = decode_image(payload)
+    if real is None:
+        return None
+    _w, _h, px, _fmt = real
+    g = nearest_resize(px, 9, 8).astype(np.int64)
+    luma = (g[..., 0] * 299 + g[..., 1] * 587 + g[..., 2] * 114) // 1000
+    bits = (luma[:, 1:] > luma[:, :-1]).reshape(-1)
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    # two's-complement into a signed 64-bit long (Spark LongType has no
+    # unsigned variant); xor/bit_count/shiftrightunsigned are bitwise, so
+    # hamming and banding are unaffected
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def with_image_phash(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> 64-bit dHash. Scan -> mapInPandas, no shuffle;
+    undecodable payloads are (phash NULL, decodable false) rows.
+
+    `degenerate` marks the standard dHash caveat: constant-luma images
+    (blank scans, solid fills) hash to all-zero/all-one bits and would
+    collide pairwise — `phash_near_dup_pairs` excludes them by default
+    because a blank page matching every other blank page is fan-out, not
+    signal."""
+    import pandas as pd  # noqa: F811 - kernel-local, matches module style
+
+    def fn(batches):
+        for pdf in batches:
+            hs = [
+                image_dhash(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": pd.array(hs, dtype="Int64"),
+                    "decodable": [h is not None for h in hs],
+                    "degenerate": [h in (0, -1) for h in hs],
+                }
+            )
+
+    return df_with_payload.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    df_with_phash: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    include_degenerate: bool = False,
+) -> DataFrame:
+    """Near-duplicate image pairs: hamming(phash_a, phash_b) <= threshold.
+
+    Banded equality join on byte-slices of the hash (two hashes within
+    `bands - 1` bits of each other MUST agree on at least one band, so
+    max_hamming <= bands - 1 has guaranteed recall) — never an all-pairs
+    comparison; the corpus only shuffles (doc_id, band_no, band_val)
+    triples. Same at-scale shape as dedup.simhash_near_dup_pairs."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the banding guarantee "
+            f"(bands - 1 = {bands - 1}); raise `bands`"
+        )
+    width = 64 // bands
+    src = df_with_phash.filter(F.col("phash").isNotNull())
+    if not include_degenerate and "degenerate" in src.columns:
+        src = src.filter(~F.col("degenerate"))
+    banded = src.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftrightunsigned(
+                            F.col("phash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", "b.band_no", "b.band_val")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).cast("long")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .distinct()
+    )

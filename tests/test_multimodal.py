@@ -1301,3 +1301,104 @@ class TestPcmAudio:
         )
         assert plan.count("ArrowEvalPython") <= 1
         assert "Join" not in plan
+
+
+class TestImagePhash:
+    """Perceptual-hash (dHash) image dedup: identical payloads collapse,
+    light noise stays within the hamming threshold, unrelated images
+    separate, and the banded join never goes all-pairs."""
+
+    def _ppm(self, seed, noise_at=None):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        # smooth-ish gradient + structure so dHash is non-degenerate
+        base = np.add.outer(
+            np.arange(32) * 4, np.arange(32) * 3
+        ) % 256
+        px = np.stack([base, base[::-1], base.T], axis=-1).astype(np.uint8)
+        px = (px + rng.randint(0, 40, px.shape)).astype(np.uint8)
+        if noise_at is not None:
+            px = px.copy()
+            px[noise_at, noise_at] = 255 - px[noise_at, noise_at]
+        return MM.encode_ppm(px)
+
+    def _frame(self, spark):
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        payloads = [
+            (0, self._ppm(1)),
+            (1, self._ppm(1)),                # identical copy
+            (2, self._ppm(1, noise_at=5)),    # one flipped pixel
+            (3, self._ppm(99)),               # different image
+            (4, b"not an image"),             # undecodable
+        ]
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads], schema
+        )
+
+    def test_hashes_and_pairs(self, spark):
+        hashed = MM.with_image_phash(self._frame(spark))
+        rows = {r["doc_id"]: r for r in hashed.collect()}
+        assert rows[0]["phash"] == rows[1]["phash"]
+        assert rows[4]["phash"] is None and rows[4]["decodable"] is False
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in MM.phash_near_dup_pairs(hashed, max_hamming=6).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        # the single flipped pixel moves few dHash bits
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+        assert not any(3 in p or 4 in p for p in pairs)
+
+    def test_banding_guarantee_guard(self, spark):
+        import pytest
+
+        hashed = MM.with_image_phash(self._frame(spark))
+        with pytest.raises(ValueError):
+            MM.phash_near_dup_pairs(hashed, max_hamming=12, bands=8)
+
+    def test_no_cartesian_plan(self, spark):
+        hashed = MM.with_image_phash(self._frame(spark))
+        plan = (
+            MM.phash_near_dup_pairs(hashed)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_degenerate_flat_images_excluded_by_default(self, spark):
+        """Flat images all dHash to 0 and would match pairwise — the
+        standard caveat — so pairs exclude them unless asked."""
+        import numpy as np
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+
+        flat = MM.encode_ppm(np.full((16, 16, 3), 128, dtype=np.uint8))
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+        df = spark.createDataFrame(
+            [(i, bytearray(flat)) for i in range(4)], schema
+        )
+        hashed = MM.with_image_phash(df)
+        assert all(r["degenerate"] for r in hashed.collect())
+        assert MM.phash_near_dup_pairs(hashed).count() == 0
+        assert (
+            MM.phash_near_dup_pairs(hashed, include_degenerate=True).count()
+            == 6
+        )
