@@ -1872,3 +1872,83 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= F.lit(int(max_hamming)))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup: the PCM analogue of the image dHash — an
+# energy-envelope difference hash so identical and lightly-requantized
+# recordings collapse to nearby 64-bit hashes, paired with the same
+# banded hamming join.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = (
+    "doc_id long, afp long, decodable boolean, degenerate boolean"
+)
+
+
+def audio_fingerprint(payload: bytes, windows: int = 65) -> int | None:
+    """64-bit envelope hash of a decodable PCM payload; None otherwise.
+
+    Integer-exact: mono-fold the channels (mean DIV), split the signal
+    into `windows` equal spans, sum |sample| per span, then one bit per
+    adjacent-window energy comparison (the dHash trick on the loudness
+    envelope — time-local, so uniform gain changes and small requantize
+    noise keep most bits). Two's-complement into a signed 64-bit long."""
+    real = decode_pcm(payload)
+    if real is None:
+        return None
+    _rate, samples = real
+    n = samples.shape[0]
+    if n == 0:
+        return 0
+    mono = np.abs(samples.astype(np.int64)).sum(axis=1) // samples.shape[1]
+    idx = (np.arange(windows + 1) * n) // windows
+    energies = [int(mono[idx[i]: idx[i + 1]].sum()) for i in range(windows)]
+    h = 0
+    for i in range(windows - 1):
+        if energies[i + 1] > energies[i]:
+            h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def with_audio_fingerprint(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> 64-bit envelope hash. Scan -> mapInPandas, no
+    shuffle; non-PCM payloads are (afp NULL, decodable false) rows;
+    silent/constant audio is flagged degenerate (all comparisons false)
+    for the same fan-out reason as blank images."""
+    import pandas as pd  # noqa: F811 - kernel-local, matches module style
+
+    def fn(batches):
+        for pdf in batches:
+            hs = [
+                audio_fingerprint(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "afp": pd.array(hs, dtype="Int64"),
+                    "decodable": [h is not None for h in hs],
+                    "degenerate": [h in (0, -1) for h in hs],
+                }
+            )
+
+    return df_with_payload.mapInPandas(fn, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df_with_afp: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    include_degenerate: bool = False,
+) -> DataFrame:
+    """Near-duplicate audio pairs — the image banded-hamming joiner over
+    the envelope hash (same guarantee: hamming <= bands-1 always found)."""
+    renamed = df_with_afp.withColumnRenamed("afp", "phash")
+    out = phash_near_dup_pairs(
+        renamed,
+        max_hamming=max_hamming,
+        bands=bands,
+        include_degenerate=include_degenerate,
+    )
+    return out

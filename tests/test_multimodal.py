@@ -1402,3 +1402,65 @@ class TestImagePhash:
             MM.phash_near_dup_pairs(hashed, include_degenerate=True).count()
             == 6
         )
+
+
+class TestAudioFingerprint:
+    """Energy-envelope audio dedup: identical PCM collapses, light noise
+    stays within the hamming threshold, different signals separate,
+    silence is degenerate."""
+
+    def _wav(self, seed, noise=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        t = np.arange(4000)
+        # an amplitude-modulated tone gives a non-monotonic envelope
+        sig = (
+            np.sin(t / 9.0) * (4000 + 3000 * np.sin(t / 401.0))
+        ).astype(np.int64)
+        if noise:
+            sig = sig + rng.randint(-noise, noise + 1, sig.shape)
+        return MM.encode_wav(sig.astype(np.int16), 8000)
+
+    def _frame(self, spark):
+        from pyspark.sql.types import (
+            BinaryType, LongType, StructField, StructType,
+        )
+        import numpy as np
+
+        payloads = [
+            (0, self._wav(1)),
+            (1, self._wav(1)),            # identical copy
+            (2, self._wav(1, noise=60)),  # lightly noised
+            (3, MM.encode_wav(
+                (np.random.RandomState(7).randint(-8000, 8000, 4000)
+                 ).astype("int16"), 8000)),  # unrelated
+            (4, MM.encode_wav(
+                np.zeros(4000, dtype="int16"), 8000)),  # silence
+            (5, b"not audio"),
+        ]
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in payloads], schema
+        )
+
+    def test_hashes_and_pairs(self, spark):
+        hashed = MM.with_audio_fingerprint(self._frame(spark))
+        rows = {r["doc_id"]: r for r in hashed.collect()}
+        assert rows[0]["afp"] == rows[1]["afp"]
+        assert rows[4]["degenerate"] is True   # silence
+        assert rows[5]["decodable"] is False
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in MM.audio_near_dup_pairs(
+                hashed, max_hamming=6
+            ).collect()
+        }
+        assert pairs[(0, 1)] == 0
+        assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+        assert not any(3 in p or 4 in p or 5 in p for p in pairs)
