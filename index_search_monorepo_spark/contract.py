@@ -3020,6 +3020,30 @@ _G4_TIFF_PAYLOAD = _planted_g4_tiff()
 _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
 _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
 _WAV_PAYLOAD, _WAV_TRUTH = _planted_wav()
+
+# r4c: expected 64-bit dHash per planted codec payload, computed ONCE at
+# registration by the real decoder chain — the oracle pins the perceptual
+# hash kernel against every gated image format (flat planted PPMs hash to
+# 0 by construction: no luma gradient)
+_PHASH_EXPECT = {
+    name: MM.image_dhash(payload)
+    for name, payload in (
+        ("tiff", _TIFF_PAYLOAD),
+        ("tiff_lzw", _TIFF_LZW_PAYLOAD),
+        ("prog_jpeg", _PROG_JPEG_PAYLOAD),
+        ("g4_tiff", _G4_TIFF_PAYLOAD),
+        ("arith_prog", _ARITH_PROG_JPEG_PAYLOAD),
+        ("arith", _ARITH_JPEG_PAYLOAD),
+    )
+}
+
+
+def _phash_sql(name: str) -> str:
+    return f"CAST({_PHASH_EXPECT[name]} AS BIGINT)"
+
+
+def _phash_degen_sql(name: str) -> str:
+    return f"CAST({1 if _PHASH_EXPECT[name] in (0, -1) else 0} AS BIGINT)"
 # the image half of the fused kernel must route the WAV to the labeled
 # stub (it is not an image): the stub's arithmetic on the payload length
 _WAV_STUB_W = len(_WAV_PAYLOAD) % 640 + 16
@@ -3085,7 +3109,26 @@ _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
                 THEN CAST({_WAV_TRUTH["peak"]} AS BIGINT)
            END AS peak,
            CASE WHEN doc_id % 20 = 6 THEN 'wav' ELSE 'unknown'
-           END AS audio_format
+           END AS audio_format,
+           CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
+                WHEN doc_id % 10 = 3 THEN {_phash_sql("tiff_lzw")}
+                WHEN doc_id % 10 = 7 THEN {_phash_sql("prog_jpeg")}
+                WHEN doc_id % 20 = 9 THEN {_phash_sql("g4_tiff")}
+                WHEN doc_id % 20 = 15 THEN {_phash_sql("arith_prog")}
+                WHEN doc_id % 10 = 5 THEN {_phash_sql("arith")}
+                WHEN doc_id % 20 = 6 THEN NULL
+                WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+           END AS phash,
+           CASE WHEN doc_id % 10 = 1 THEN {_phash_degen_sql("tiff")}
+                WHEN doc_id % 10 = 3 THEN {_phash_degen_sql("tiff_lzw")}
+                WHEN doc_id % 10 = 7 THEN {_phash_degen_sql("prog_jpeg")}
+                WHEN doc_id % 20 = 9 THEN {_phash_degen_sql("g4_tiff")}
+                WHEN doc_id % 20 = 15 THEN {_phash_degen_sql("arith_prog")}
+                WHEN doc_id % 10 = 5 THEN {_phash_degen_sql("arith")}
+                WHEN doc_id % 20 = 6 THEN CAST(0 AS BIGINT)
+                WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT)
+           END AS phash_degenerate
     FROM documents
     """,
 )
@@ -3110,7 +3153,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer energy / zero crossings / peak) the oracle pins, and
     % 20 == 19 rows revert to raw text bytes so the labeled stub
     dispatch keeps a driver row (the r4 codec slots had covered every
-    odd residue, leaving the fallback ungated)."""
+    odd residue, leaving the fallback ungated).
+
+    NEW r4c: the perceptual-hash kernel (with_image_phash) rides the
+    same row over the same payloads — the oracle pins the expected
+    64-bit dHash PER CODEC FORMAT (computed once at registration by the
+    real decoder chain), flat planted PPMs pin the degenerate flag, and
+    WAV/text rows pin the NULL dispatch."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -3135,7 +3184,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),
     )
-    return MM.extract_media_features(docs)
+    # r4c phash ride: the REAL dHash kernel over the SAME payloads — the
+    # oracle pins the registration-time expected hash per codec format
+    # (flat planted PPMs are degenerate 0; WAV/text rows NULL)
+    feats = MM.extract_media_features(docs)
+    ph = MM.with_image_phash(docs).select(
+        "doc_id",
+        "phash",
+        F.col("degenerate").cast("long").alias("phash_degenerate"),
+    )
+    return feats.join(ph, "doc_id")
 
 
 @register(

@@ -1819,6 +1819,7 @@ def phash_near_dup_pairs(
     max_hamming: int = 6,
     bands: int = 8,
     include_degenerate: bool = False,
+    registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: hamming(phash_a, phash_b) <= threshold.
 
@@ -1853,6 +1854,15 @@ def phash_near_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "phash", "b.band_no", "b.band_val")
+    # persist the banded frame: BOTH self-join sides consume it, and
+    # while AQE exchange reuse currently dedupes the upstream decode
+    # kernel, that is a config-dependent optimization — without it every
+    # image would decode twice through the pure-Python codecs (the
+    # simhash_near_dup_pairs twin in dedup.py carries the same persist
+    # for the same reason; registry = the cache-release lifecycle)
+    from index_search_monorepo_spark.operators.dedup import _persist
+
+    banded = _persist(banded, registry)
     a, b2 = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.phash").bitwiseXOR(F.col("b.phash"))
@@ -1903,7 +1913,15 @@ def audio_fingerprint(payload: bytes, windows: int = 65) -> int | None:
         return 0
     mono = np.abs(samples.astype(np.int64)).sum(axis=1) // samples.shape[1]
     idx = (np.arange(windows + 1) * n) // windows
-    energies = [int(mono[idx[i]: idx[i + 1]].sum()) for i in range(windows)]
+    # per-window MEAN (sum DIV size), not sum: windows differ by one
+    # sample when `windows` does not divide n, and a sum-based hash made
+    # constant/DC clips hash to a length-dependent pattern instead of 0
+    # (review finding: every constant clip of a common duration paired
+    # with every other one, regardless of amplitude)
+    energies = [
+        int(mono[idx[i]: idx[i + 1]].sum()) // max(idx[i + 1] - idx[i], 1)
+        for i in range(windows)
+    ]
     h = 0
     for i in range(windows - 1):
         if energies[i + 1] > energies[i]:
@@ -1941,14 +1959,23 @@ def audio_near_dup_pairs(
     max_hamming: int = 6,
     bands: int = 8,
     include_degenerate: bool = False,
+    registry: list | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs — the image banded-hamming joiner over
-    the envelope hash (same guarantee: hamming <= bands-1 always found)."""
-    renamed = df_with_afp.withColumnRenamed("afp", "phash")
-    out = phash_near_dup_pairs(
+    the envelope hash (same guarantee: hamming <= bands-1 always found).
+
+    Explicit select, not withColumnRenamed: a frame carrying BOTH phash
+    and afp (image+audio joined on doc_id) would otherwise end up with
+    two 'phash' columns and fail later with AMBIGUOUS_REFERENCE, and a
+    missing afp column fails here with a clear error instead of a
+    silent rename no-op (review finding)."""
+    renamed = df_with_afp.select(
+        "doc_id", F.col("afp").alias("phash"), "degenerate"
+    )
+    return phash_near_dup_pairs(
         renamed,
         max_hamming=max_hamming,
         bands=bands,
         include_degenerate=include_degenerate,
+        registry=registry,
     )
-    return out

@@ -1319,8 +1319,12 @@ class TestImagePhash:
         px = np.stack([base, base[::-1], base.T], axis=-1).astype(np.uint8)
         px = (px + rng.randint(0, 40, px.shape)).astype(np.uint8)
         if noise_at is not None:
+            # noise_at must be a pixel the 9x8 nearest-resize actually
+            # SAMPLES (rows (r*32)//8, cols (c*32)//9) or the hash is
+            # unchanged and the noise test is vacuous (review finding)
+            r, c = noise_at
             px = px.copy()
-            px[noise_at, noise_at] = 255 - px[noise_at, noise_at]
+            px[r, c] = 255 - px[r, c]
         return MM.encode_ppm(px)
 
     def _frame(self, spark):
@@ -1331,7 +1335,7 @@ class TestImagePhash:
         payloads = [
             (0, self._ppm(1)),
             (1, self._ppm(1)),                # identical copy
-            (2, self._ppm(1, noise_at=5)),    # one flipped pixel
+            (2, self._ppm(1, noise_at=(0, 3))),  # one SAMPLED pixel flipped
             (3, self._ppm(99)),               # different image
             (4, b"not an image"),             # undecodable
         ]
@@ -1355,8 +1359,9 @@ class TestImagePhash:
             for r in MM.phash_near_dup_pairs(hashed, max_hamming=6).collect()
         }
         assert pairs[(0, 1)] == 0
-        # the single flipped pixel moves few dHash bits
-        assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+        # the flipped SAMPLED pixel must move some-but-few dHash bits —
+        # a joiner that only ever finds hamming-0 pairs fails here
+        assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 6, pairs.get((0, 2))
         assert not any(3 in p or 4 in p for p in pairs)
 
     def test_banding_guarantee_guard(self, spark):
