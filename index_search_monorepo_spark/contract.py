@@ -3044,6 +3044,10 @@ def _phash_sql(name: str) -> str:
 
 def _phash_degen_sql(name: str) -> str:
     return f"CAST({1 if _PHASH_EXPECT[name] in (0, -1) else 0} AS BIGINT)"
+
+
+# the planted WAV's envelope hash, same registration-time pinning
+_AFP_EXPECT = MM.audio_fingerprint(_WAV_PAYLOAD)
 # the image half of the fused kernel must route the WAV to the labeled
 # stub (it is not an image): the stub's arithmetic on the payload length
 _WAV_STUB_W = len(_WAV_PAYLOAD) % 640 + 16
@@ -3128,7 +3132,10 @@ _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
                 WHEN doc_id % 20 = 6 THEN CAST(0 AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
                 ELSE CAST(0 AS BIGINT)
-           END AS phash_degenerate
+           END AS phash_degenerate,
+           CASE WHEN doc_id % 20 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
+                ELSE CAST(0 AS BIGINT)
+           END AS audio_fp
     FROM documents
     """,
 )
@@ -3193,7 +3200,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.col("degenerate").cast("long").alias("phash_degenerate"),
     )
-    return feats.join(ph, "doc_id")
+    # non-null (0 for non-audio rows): a LEADING nullable column breaks
+    # the order-insensitive row-sort in the driver compare (None vs int)
+    afp = MM.with_audio_fingerprint(docs).select(
+        "doc_id", F.coalesce(F.col("afp"), F.lit(0)).alias("audio_fp")
+    )
+    return feats.join(ph, "doc_id").join(afp, "doc_id")
 
 
 @register(
