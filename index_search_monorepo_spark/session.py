@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr free of \r-progress frames: bench.py's artifact
+        # protocol is line-oriented JSON and the driver captures raw output
+        .config("spark.ui.showConsoleProgress", "false")
         # local-mode perf: the driver JVM is the executor. Throughput-first
         # GC (Parallel) beats G1's low-pause goal for batch string churn at
         # high thread counts; overridable for experiments.
