@@ -1503,6 +1503,19 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(planted_documents(spark, sf_dir))
 
 
+# r5 passage-dedup ride (VERDICT r04 next #5): a fixed 23-word passage is
+# appended to every doc_id % 7 == 0 document; duplicate_passages (Lee et
+# al. ExactSubstr as positional k-gram evidence) must report it — and any
+# NATURAL duplicated passage in the corpus — with integer-exact per-doc
+# counts/extent sums that the DuckDB mirror recomputes from scratch.
+_PASSAGE_K = 8
+_PASSAGE = (
+    "shared boilerplate passage alpha bravo charlie delta echo foxtrot "
+    "golf hotel india juliet kilo lima mike november oscar papa quebec "
+    "romeo sierra tango"
+)
+
+
 @register(
     "dedup_simhash",
     f"""
@@ -1554,12 +1567,51 @@ def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          l -> NOT list_contains(lfa.fl, trim(l))) AS kept,
              len(string_split(p.ldoc_text, chr(10))) AS n_all
       FROM lplanted p, lfa
+    ),
+    ptoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' {_PASSAGE}' ELSE text END,
+               '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{_PASSAGE_K - 1}], ' ')) AS h
+      FROM ptoks,
+           unnest(generate_series(1,
+             greatest(len(t) - {_PASSAGE_K} + 1, 0))) AS u(i)
+    ),
+    phot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM pg)
+             GROUP BY h HAVING count(*) >= 2),
+    pm AS (SELECT doc_id, pos FROM pg WHERE h IN (SELECT h FROM phot)),
+    pisl AS (SELECT doc_id, pos,
+                    CASE WHEN lag(pos) OVER w IS NULL
+                           OR pos - lag(pos) OVER w > {_PASSAGE_K}
+                         THEN 1 ELSE 0 END AS ng
+             FROM pm WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    pgrp AS (SELECT *, sum(ng) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS grp_id FROM pisl),
+    ppass AS (
+      SELECT doc_id, max(pos) + {_PASSAGE_K} - min(pos) AS n_words
+      FROM pgrp GROUP BY doc_id, grp_id
+    ),
+    pagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_passages,
+             CAST(sum(n_words) AS BIGINT) AS dup_passage_words
+      FROM ppass GROUP BY doc_id
     )
     SELECT s.doc_id, s.simhash,
            md5(coalesce(list_aggregate(c.kept, 'string_agg', chr(10)), ''))
              AS line_cleaned_md5,
-           CAST(c.n_all - len(c.kept) AS BIGINT) AS n_lines_dropped
+           CAST(c.n_all - len(c.kept) AS BIGINT) AS n_lines_dropped,
+           coalesce(pagg.n_dup_passages, CAST(0 AS BIGINT))
+             AS n_dup_passages,
+           coalesce(pagg.dup_passage_words, CAST(0 AS BIGINT))
+             AS dup_passage_words
     FROM sim s JOIN lclean c USING (doc_id)
+    LEFT JOIN pagg USING (doc_id)
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,11 +1642,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped = D.strip_frequent_lines(
         planted, text_col="ldoc_text", min_docs=3
     )
-    return D._spread(stripped).select(
+    base = D._spread(stripped).select(
         "doc_id",
         D.simhash_expr(F.col("text")).alias("simhash"),
         F.md5(F.col("ldoc_text_cleaned")).alias("line_cleaned_md5"),
         "n_lines_dropped",
+    )
+    # r5: passage-level exact-substring dedup rides the same row — the
+    # REAL duplicate_passages runs over the passage-planted corpus and
+    # its per-doc count / flagged-word total are oracle-recomputed
+    pdocs = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(d, F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" " + _PASSAGE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    pagg = (
+        D.duplicate_passages(pdocs, text_col="ptext", k=_PASSAGE_K)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_passages"),
+            F.sum("n_words").alias("dup_passage_words"),
+        )
+    )
+    return (
+        base.join(pagg, "doc_id", "left")
+        .withColumn("n_dup_passages", F.coalesce("n_dup_passages", F.lit(0)))
+        .withColumn(
+            "dup_passage_words", F.coalesce("dup_passage_words", F.lit(0))
+        )
     )
 
 
@@ -3013,6 +3092,32 @@ def _planted_wav() -> tuple[bytes, dict]:
     return MM.encode_wav(s.astype(np.int16), 8000), truth
 
 
+def _planted_wav2() -> tuple[bytes, dict]:
+    """Second WAV variant for the % 40 == 26 half of the audio slot (r5):
+    same container geometry as _planted_wav (480 stereo frames, 16-bit,
+    8 kHz — byte length identical, so the image-side stub dims stay one
+    CASE branch) but a genuinely different loudness envelope: quiet
+    square wave for the first half, loud for the second. Its envelope
+    hash therefore differs from variant A in many bits — the pair gate
+    checks the fingerprint SEPARATES different audio, not merely that it
+    groups identical payloads."""
+    import numpy as np
+
+    i = np.arange(480)
+    amp = np.where(i < 240, 3000, 14000)
+    ch0 = np.where(i % 6 < 3, amp, -amp)
+    ch1 = 12000 - ((i * 211) % 24001)
+    s = np.stack([ch0, ch1], axis=1)
+    s64 = s.astype(np.int64)
+    nonneg = s64 >= 0
+    truth = {
+        "energy": int((s64 * s64).sum()),
+        "zero_crossings": int((nonneg[1:] != nonneg[:-1]).sum()),
+        "peak": int(np.abs(s64).max()),
+    }
+    return MM.encode_wav(s.astype(np.int16), 8000), truth
+
+
 _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
@@ -3020,6 +3125,10 @@ _G4_TIFF_PAYLOAD = _planted_g4_tiff()
 _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
 _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
 _WAV_PAYLOAD, _WAV_TRUTH = _planted_wav()
+_WAV2_PAYLOAD, _WAV2_TRUTH = _planted_wav2()
+# identical container geometry => identical byte length => the image-side
+# stub width/height/format CASE stays a single % 20 == 6 branch
+assert len(_WAV2_PAYLOAD) == len(_WAV_PAYLOAD)
 
 # r4c: expected 64-bit dHash per planted codec payload, computed ONCE at
 # registration by the real decoder chain — the oracle pins the perceptual
@@ -3046,18 +3155,75 @@ def _phash_degen_sql(name: str) -> str:
     return f"CAST({1 if _PHASH_EXPECT[name] in (0, -1) else 0} AS BIGINT)"
 
 
-# the planted WAV's envelope hash, same registration-time pinning
+# the planted WAVs' envelope hashes, same registration-time pinning
 _AFP_EXPECT = MM.audio_fingerprint(_WAV_PAYLOAD)
+_AFP2_EXPECT = MM.audio_fingerprint(_WAV2_PAYLOAD)
 # the image half of the fused kernel must route the WAV to the labeled
 # stub (it is not an image): the stub's arithmetic on the payload length
 _WAV_STUB_W = len(_WAV_PAYLOAD) % 640 + 16
 _WAV_STUB_H = (len(_WAV_PAYLOAD) * 7) % 480 + 16
 _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
 
+# shared by the column projection and the r5 pair-count CTEs (the pair
+# mirror recomputes per-doc hashes from the same planted truth)
+_MM_PHASH_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
+                WHEN doc_id % 10 = 3 THEN {_phash_sql("tiff_lzw")}
+                WHEN doc_id % 10 = 7 THEN {_phash_sql("prog_jpeg")}
+                WHEN doc_id % 20 = 9 THEN {_phash_sql("g4_tiff")}
+                WHEN doc_id % 20 = 15 THEN {_phash_sql("arith_prog")}
+                WHEN doc_id % 10 = 5 THEN {_phash_sql("arith")}
+                WHEN doc_id % 20 = 6 THEN NULL
+                WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+           END"""
+_MM_PHASH_DEGEN_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_degen_sql("tiff")}
+                WHEN doc_id % 10 = 3 THEN {_phash_degen_sql("tiff_lzw")}
+                WHEN doc_id % 10 = 7 THEN {_phash_degen_sql("prog_jpeg")}
+                WHEN doc_id % 20 = 9 THEN {_phash_degen_sql("g4_tiff")}
+                WHEN doc_id % 20 = 15 THEN {_phash_degen_sql("arith_prog")}
+                WHEN doc_id % 10 = 5 THEN {_phash_degen_sql("arith")}
+                WHEN doc_id % 20 = 6 THEN CAST(0 AS BIGINT)
+                WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT)
+           END"""
+_MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
+                WHEN doc_id % 40 = 26 THEN CAST({_AFP2_EXPECT} AS BIGINT)
+           END"""
+
 
 @register(
     "multimodal_meta",
     f"""
+    WITH phx AS (
+      SELECT doc_id, {_MM_PHASH_CASE} AS ph
+      FROM documents
+      WHERE ({_MM_PHASH_CASE}) IS NOT NULL
+        AND ({_MM_PHASH_DEGEN_CASE}) = 0
+    ),
+    ppar AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM phx a JOIN phx b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 6
+    ),
+    pcnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT da AS doc_id FROM ppar UNION ALL SELECT db AS doc_id FROM ppar
+      ) GROUP BY doc_id
+    ),
+    afx AS (
+      SELECT doc_id, {_MM_AFP_CASE} AS afp
+      FROM documents
+      WHERE ({_MM_AFP_CASE}) IS NOT NULL AND ({_MM_AFP_CASE}) NOT IN (0, -1)
+    ),
+    apar AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM afx a JOIN afx b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.afp, b.afp)) <= 6
+    ),
+    acnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT da AS doc_id FROM apar UNION ALL SELECT db AS doc_id FROM apar
+      ) GROUP BY doc_id
+    )
     SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
@@ -3103,40 +3269,31 @@ _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
            END AS channels,
            CASE WHEN doc_id % 20 = 6 THEN CAST(480 AS BIGINT)
            END AS n_samples,
-           CASE WHEN doc_id % 20 = 6
+           CASE WHEN doc_id % 40 = 6
                 THEN CAST({_WAV_TRUTH["energy"]} AS BIGINT)
+                WHEN doc_id % 40 = 26
+                THEN CAST({_WAV2_TRUTH["energy"]} AS BIGINT)
            END AS energy,
-           CASE WHEN doc_id % 20 = 6
+           CASE WHEN doc_id % 40 = 6
                 THEN CAST({_WAV_TRUTH["zero_crossings"]} AS BIGINT)
+                WHEN doc_id % 40 = 26
+                THEN CAST({_WAV2_TRUTH["zero_crossings"]} AS BIGINT)
            END AS zero_crossings,
-           CASE WHEN doc_id % 20 = 6
+           CASE WHEN doc_id % 40 = 6
                 THEN CAST({_WAV_TRUTH["peak"]} AS BIGINT)
+                WHEN doc_id % 40 = 26
+                THEN CAST({_WAV2_TRUTH["peak"]} AS BIGINT)
            END AS peak,
            CASE WHEN doc_id % 20 = 6 THEN 'wav' ELSE 'unknown'
            END AS audio_format,
-           CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
-                WHEN doc_id % 10 = 3 THEN {_phash_sql("tiff_lzw")}
-                WHEN doc_id % 10 = 7 THEN {_phash_sql("prog_jpeg")}
-                WHEN doc_id % 20 = 9 THEN {_phash_sql("g4_tiff")}
-                WHEN doc_id % 20 = 15 THEN {_phash_sql("arith_prog")}
-                WHEN doc_id % 10 = 5 THEN {_phash_sql("arith")}
-                WHEN doc_id % 20 = 6 THEN NULL
-                WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
-           END AS phash,
-           CASE WHEN doc_id % 10 = 1 THEN {_phash_degen_sql("tiff")}
-                WHEN doc_id % 10 = 3 THEN {_phash_degen_sql("tiff_lzw")}
-                WHEN doc_id % 10 = 7 THEN {_phash_degen_sql("prog_jpeg")}
-                WHEN doc_id % 20 = 9 THEN {_phash_degen_sql("g4_tiff")}
-                WHEN doc_id % 20 = 15 THEN {_phash_degen_sql("arith_prog")}
-                WHEN doc_id % 10 = 5 THEN {_phash_degen_sql("arith")}
-                WHEN doc_id % 20 = 6 THEN CAST(0 AS BIGINT)
-                WHEN doc_id % 2 = 0 THEN CAST(1 AS BIGINT)
-                ELSE CAST(0 AS BIGINT)
-           END AS phash_degenerate,
-           CASE WHEN doc_id % 20 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
-                ELSE CAST(0 AS BIGINT)
-           END AS audio_fp
+           {_MM_PHASH_CASE} AS phash,
+           {_MM_PHASH_DEGEN_CASE} AS phash_degenerate,
+           coalesce({_MM_AFP_CASE}, CAST(0 AS BIGINT)) AS audio_fp,
+           coalesce(pcnt.n, CAST(0 AS BIGINT)) AS n_phash_pairs,
+           coalesce(acnt.n, CAST(0 AS BIGINT)) AS n_audio_pairs
     FROM documents
+    LEFT JOIN pcnt USING (doc_id)
+    LEFT JOIN acnt USING (doc_id)
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3186,7 +3343,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.pmod(d, F.lit(20)) == 9, F.lit(_G4_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(20)) == 15, F.lit(_ARITH_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 5, F.lit(_ARITH_JPEG_PAYLOAD))
-        .when(F.pmod(d, F.lit(20)) == 6, F.lit(_WAV_PAYLOAD))
+        .when(F.pmod(d, F.lit(40)) == 6, F.lit(_WAV_PAYLOAD))
+        .when(F.pmod(d, F.lit(40)) == 26, F.lit(_WAV2_PAYLOAD))
         .when(F.pmod(d, F.lit(2)) == 0, ppm)
         .otherwise(F.encode(F.col("text"), "UTF-8"))
         .alias("payload"),
@@ -3195,17 +3353,46 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle pins the registration-time expected hash per codec format
     # (flat planted PPMs are degenerate 0; WAV/text rows NULL)
     feats = MM.extract_media_features(docs)
-    ph = MM.with_image_phash(docs).select(
+    phall = MM.with_image_phash(docs)
+    ph = phall.select(
         "doc_id",
         "phash",
         F.col("degenerate").cast("long").alias("phash_degenerate"),
     )
     # non-null (0 for non-audio rows): a LEADING nullable column breaks
     # the order-insensitive row-sort in the driver compare (None vs int)
-    afp = MM.with_audio_fingerprint(docs).select(
+    afpall = MM.with_audio_fingerprint(docs)
+    afp = afpall.select(
         "doc_id", F.coalesce(F.col("afp"), F.lit(0)).alias("audio_fp")
     )
-    return feats.join(ph, "doc_id").join(afp, "doc_id")
+
+    # r5: the pair-grain joiners ride the same row as per-doc membership
+    # counts (VERDICT r04 next #5) — the REAL banded hamming join runs
+    # (phash_near_dup_pairs / audio_near_dup_pairs, default max_hamming=6,
+    # bands=8, degenerate excluded) and the oracle recomputes the pair set
+    # BRUTE-FORCE from the planted per-doc hashes, so the banding's
+    # guaranteed-recall property (hamming <= bands-1 always found) is
+    # itself under the gate. Two planted WAV variants (% 40 == 6 / 26)
+    # make the audio side separate different recordings, not just group
+    # identical ones.
+    def _membership(pairs: DataFrame, out: str) -> DataFrame:
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    pcnt = _membership(MM.phash_near_dup_pairs(phall), "n_phash_pairs")
+    acnt = _membership(MM.audio_near_dup_pairs(afpall), "n_audio_pairs")
+    return (
+        feats.join(ph, "doc_id")
+        .join(afp, "doc_id")
+        .join(pcnt, "doc_id", "left")
+        .join(acnt, "doc_id", "left")
+        .withColumn("n_phash_pairs", F.coalesce("n_phash_pairs", F.lit(0)))
+        .withColumn("n_audio_pairs", F.coalesce("n_audio_pairs", F.lit(0)))
+    )
 
 
 @register(
