@@ -3092,6 +3092,27 @@ def _planted_wav() -> tuple[bytes, dict]:
     return MM.encode_wav(s.astype(np.int16), 8000), truth
 
 
+def _planted_hier_jpeg() -> bytes:
+    """Constant 23x14 Annex-J hierarchical JPEG (DHP + SOF0 base at half
+    resolution + EXP + SOF5 differential correction;
+    jpeg_hierarchical.encode_hierarchical round-trip partner) planted on
+    doc_id % 20 == 17 rows (split off the % 10 == 7 progressive slot) —
+    the differential-frame reconstruction runs inside the driver gate,
+    and a decoder that returned the half-resolution pyramid base would
+    fail both the width/height and the pinned dHash."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:14, 0:23]
+    px = np.dstack(
+        [(19 + 11 * xx) % 253, (5 * yy + 61) % 253, (13 * (xx + yy)) % 253]
+    ).astype(np.uint8)
+    from index_search_monorepo_spark.operators.jpeg_hierarchical import (
+        encode_hierarchical,
+    )
+
+    return encode_hierarchical(px, quant=2, levels=2)
+
+
 def _planted_wav2() -> tuple[bytes, dict]:
     """Second WAV variant for the % 40 == 26 half of the audio slot (r5):
     same container geometry as _planted_wav (480 stereo frames, 16-bit,
@@ -3124,6 +3145,7 @@ _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
 _G4_TIFF_PAYLOAD = _planted_g4_tiff()
 _ARITH_JPEG_PAYLOAD = _planted_arith_jpeg()
 _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
+_HIER_JPEG_PAYLOAD = _planted_hier_jpeg()
 _WAV_PAYLOAD, _WAV_TRUTH = _planted_wav()
 _WAV2_PAYLOAD, _WAV2_TRUTH = _planted_wav2()
 # identical container geometry => identical byte length => the image-side
@@ -3143,6 +3165,7 @@ _PHASH_EXPECT = {
         ("g4_tiff", _G4_TIFF_PAYLOAD),
         ("arith_prog", _ARITH_PROG_JPEG_PAYLOAD),
         ("arith", _ARITH_JPEG_PAYLOAD),
+        ("hier", _HIER_JPEG_PAYLOAD),
     )
 }
 
@@ -3168,6 +3191,7 @@ _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
 # mirror recomputes per-doc hashes from the same planted truth)
 _MM_PHASH_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
                 WHEN doc_id % 10 = 3 THEN {_phash_sql("tiff_lzw")}
+                WHEN doc_id % 20 = 17 THEN {_phash_sql("hier")}
                 WHEN doc_id % 10 = 7 THEN {_phash_sql("prog_jpeg")}
                 WHEN doc_id % 20 = 9 THEN {_phash_sql("g4_tiff")}
                 WHEN doc_id % 20 = 15 THEN {_phash_sql("arith_prog")}
@@ -3177,6 +3201,7 @@ _MM_PHASH_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
            END"""
 _MM_PHASH_DEGEN_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_degen_sql("tiff")}
                 WHEN doc_id % 10 = 3 THEN {_phash_degen_sql("tiff_lzw")}
+                WHEN doc_id % 20 = 17 THEN {_phash_degen_sql("hier")}
                 WHEN doc_id % 10 = 7 THEN {_phash_degen_sql("prog_jpeg")}
                 WHEN doc_id % 20 = 9 THEN {_phash_degen_sql("g4_tiff")}
                 WHEN doc_id % 20 = 15 THEN {_phash_degen_sql("arith_prog")}
@@ -3227,6 +3252,7 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
     SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 20 = 17 THEN CAST({len(_HIER_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 20 = 9 THEN CAST({len(_G4_TIFF_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST({len(_ARITH_PROG_JPEG_PAYLOAD)} AS BIGINT)
@@ -3237,6 +3263,7 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
+                WHEN doc_id % 20 = 17 THEN CAST(23 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
                 WHEN doc_id % 20 = 9 THEN CAST(50 AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST(19 AS BIGINT)
@@ -3246,6 +3273,7 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
            CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
+                WHEN doc_id % 20 = 17 THEN CAST(14 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
                 WHEN doc_id % 20 = 9 THEN CAST(30 AS BIGINT)
                 WHEN doc_id % 20 = 15 THEN CAST(11 AS BIGINT)
@@ -3319,6 +3347,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatch keeps a driver row (the r4 codec slots had covered every
     odd residue, leaving the fallback ungated).
 
+    NEW r5: doc_id % 20 == 17 rows (split off the progressive slot)
+    carry a 23x14 Annex-J HIERARCHICAL JPEG (DHP + half-resolution SOF0
+    base + EXP doubling + SOF5 differential correction) — the last JPEG
+    mode off the stub list; a decoder that shipped the pyramid base
+    would fail width/height and the pinned dHash.
+
     NEW r4c: the perceptual-hash kernel (with_image_phash) rides the
     same row over the same payloads — the oracle pins the expected
     64-bit dHash PER CODEC FORMAT (computed once at registration by the
@@ -3339,6 +3373,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
+        .when(F.pmod(d, F.lit(20)) == 17, F.lit(_HIER_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(20)) == 9, F.lit(_G4_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(20)) == 15, F.lit(_ARITH_PROG_JPEG_PAYLOAD))

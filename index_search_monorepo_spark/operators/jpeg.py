@@ -249,7 +249,13 @@ def decode_baseline(payload: bytes):  # noqa: C901 - marker machine
                 frame = {"w": w, "h": h, "comps": comps}
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / hierarchical
+                return None  # progressive / arithmetic / differential
+            elif marker == 0xDE:
+                # DHP: a hierarchical stream's FIRST frame is a plain SOF0
+                # at reduced resolution — decoding it here would silently
+                # return the low-res pyramid base instead of routing to
+                # jpeg_hierarchical.decode_hierarchical
+                return None
             elif marker == 0xDD:  # DRI
                 restart_interval = int.from_bytes(seg[0:2], "big")
             elif marker == 0xDA:  # SOS — decode the scan

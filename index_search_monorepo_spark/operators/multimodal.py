@@ -14,8 +14,8 @@ successive approximation) AND arithmetic-coded JPEG — sequential SOF9
 and progressive SOF10 (operators/jpeg_arith.py: T.81 Annex-D QM coder +
 Annex-F/G.2 statistical models) — are decoded FOR REAL, no PIL needed:
 header parse, pixel grid, nearest-neighbor resize. Payloads that
-genuinely need external libs (H.26x-style codec'd video; hierarchical
-JPEG) fall back to a deterministic fake
+genuinely need external libs (H.26x-style codec'd video) fall back to a
+deterministic fake
 clearly marked as a stub; MJPEG-AVI video frames decode for real through
 the repo's own JPEG decoders (parse_avi/avi_sample_frames). Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
@@ -41,9 +41,9 @@ from pyspark.sql import functions as F
 # real numpy decode for these; everything else hits the stub fallback
 REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
 DECODE_IS_STUB = True  # still true for codec'd video (H.26x etc., no
-# ffmpeg) and hierarchical JPEG; every JPEG entropy coder and mode
-# (Huffman baseline/progressive, QM sequential- and progressive-
-# arithmetic) and MJPEG-AVI frames decode for real
+# ffmpeg); every JPEG entropy coder and mode (Huffman baseline/
+# progressive, QM sequential- and progressive-arithmetic, Annex-J
+# hierarchical) and MJPEG-AVI frames decode for real
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -900,8 +900,15 @@ def decode_image(payload: bytes) -> tuple[int, int, np.ndarray, str] | None:
             parsed = decode_progressive(payload)
         if parsed is None:
             # SOF9 sequential / SOF10 progressive arithmetic (QM coder,
-            # T.81 Annex D + F + G.2); hierarchical still stubs out
+            # T.81 Annex D + F + G.2)
             parsed = decode_arith(payload)
+        if parsed is None:
+            # Annex-J hierarchical (DHP + EXP + differential frames)
+            from index_search_monorepo_spark.operators.jpeg_hierarchical import (
+                decode_hierarchical,
+            )
+
+            parsed = decode_hierarchical(payload)
         if parsed is not None:
             return (*parsed, "jpg")
     return None
