@@ -3139,6 +3139,39 @@ def _planted_wav2() -> tuple[bytes, dict]:
     return MM.encode_wav(s.astype(np.int16), 8000), truth
 
 
+def _planted_m1v() -> tuple[bytes, dict]:
+    """Two-frame 23x14 MPEG-1 elementary video stream (ISO/IEC 11172-2,
+    all-intra; operators/mpeg1.encode_mpeg1 round-trip partner) planted
+    on doc_id % 40 == 33 rows (split off the LZW-TIFF % 10 == 3 slot) —
+    the Annex-B VLC decode + intra reconstruction runs inside the driver
+    gate twice over: parse_m1v pins the 12-bit sequence-header geometry
+    and the display-order duration (independent truth: the encoder's
+    input dims and frame count), and the first sampled I-picture's dHash
+    pins the full entropy-decode + IDCT + 4:2:0 chain."""
+    import numpy as np
+
+    frames = []
+    for phase in (0, 60):
+        yy, xx = np.mgrid[0:14, 0:23]
+        frames.append(
+            np.dstack(
+                [
+                    (31 + 7 * xx + phase) % 251,
+                    (3 * yy + 89) % 251,
+                    (11 * (xx + yy) + phase) % 251,
+                ]
+            ).astype(np.uint8)
+        )
+    from index_search_monorepo_spark.operators.mpeg1 import encode_mpeg1
+
+    payload = encode_mpeg1(frames, fps=25, qscale=2)
+    return payload, {
+        "width": 23,
+        "height": 14,
+        "duration_ms": (len(frames) * 1000) // 25,
+    }
+
+
 _TIFF_PAYLOAD = _planted_tiff("deflate")
 _TIFF_LZW_PAYLOAD = _planted_tiff("lzw")
 _PROG_JPEG_PAYLOAD = _planted_progressive_jpeg()
@@ -3148,6 +3181,16 @@ _ARITH_PROG_JPEG_PAYLOAD = _planted_arith_prog_jpeg()
 _HIER_JPEG_PAYLOAD = _planted_hier_jpeg()
 _WAV_PAYLOAD, _WAV_TRUTH = _planted_wav()
 _WAV2_PAYLOAD, _WAV2_TRUTH = _planted_wav2()
+_M1V_PAYLOAD, _M1V_TRUTH = _planted_m1v()
+# the image half of the fused kernel routes the m1v to the labeled stub
+# (it is not a raster image): stub arithmetic on the payload length
+_M1V_STUB_W = len(_M1V_PAYLOAD) % 640 + 16
+_M1V_STUB_H = (len(_M1V_PAYLOAD) * 7) % 480 + 16
+_M1V_STUB_FMT = ("png", "jpg", "wav")[len(_M1V_PAYLOAD) % 3]
+# first sampled I-picture's dHash, registration-time pinned by the real
+# decode chain (same pattern as _PHASH_EXPECT)
+_M1V_VFRAME_EXPECT = MM._video_first_frame_phash(_M1V_PAYLOAD)
+assert _M1V_VFRAME_EXPECT is not None
 # identical container geometry => identical byte length => the image-side
 # stub width/height/format CASE stays a single % 20 == 6 branch
 assert len(_WAV2_PAYLOAD) == len(_WAV_PAYLOAD)
@@ -3190,6 +3233,7 @@ _WAV_STUB_FMT = ("png", "jpg", "wav")[len(_WAV_PAYLOAD) % 3]
 # shared by the column projection and the r5 pair-count CTEs (the pair
 # mirror recomputes per-doc hashes from the same planted truth)
 _MM_PHASH_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
+                WHEN doc_id % 40 = 33 THEN NULL
                 WHEN doc_id % 10 = 3 THEN {_phash_sql("tiff_lzw")}
                 WHEN doc_id % 20 = 17 THEN {_phash_sql("hier")}
                 WHEN doc_id % 10 = 7 THEN {_phash_sql("prog_jpeg")}
@@ -3200,6 +3244,7 @@ _MM_PHASH_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_sql("tiff")}
                 WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
            END"""
 _MM_PHASH_DEGEN_CASE = f"""CASE WHEN doc_id % 10 = 1 THEN {_phash_degen_sql("tiff")}
+                WHEN doc_id % 40 = 33 THEN CAST(0 AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN {_phash_degen_sql("tiff_lzw")}
                 WHEN doc_id % 20 = 17 THEN {_phash_degen_sql("hier")}
                 WHEN doc_id % 10 = 7 THEN {_phash_degen_sql("prog_jpeg")}
@@ -3251,6 +3296,7 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
     )
     SELECT doc_id,
            CASE WHEN doc_id % 10 = 1 THEN CAST({len(_TIFF_PAYLOAD)} AS BIGINT)
+                WHEN doc_id % 40 = 33 THEN CAST({len(_M1V_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 3 THEN CAST({len(_TIFF_LZW_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 20 = 17 THEN CAST({len(_HIER_JPEG_PAYLOAD)} AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST({len(_PROG_JPEG_PAYLOAD)} AS BIGINT)
@@ -3262,7 +3308,8 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 THEN CAST(len({_MM_HDR}) + {_MM_W} * {_MM_H} * 3 AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) AS BIGINT)
            END AS n_bytes,
-           CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
+           CASE WHEN doc_id % 40 = 33 THEN CAST({_M1V_STUB_W} AS BIGINT)
+                WHEN doc_id % 10 IN (1, 3) THEN CAST(9 AS BIGINT)
                 WHEN doc_id % 20 = 17 THEN CAST(23 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(16 AS BIGINT)
                 WHEN doc_id % 20 = 9 THEN CAST(50 AS BIGINT)
@@ -3272,7 +3319,8 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_W} AS BIGINT)
                 ELSE CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT)
            END AS width,
-           CASE WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
+           CASE WHEN doc_id % 40 = 33 THEN CAST({_M1V_STUB_H} AS BIGINT)
+                WHEN doc_id % 10 IN (1, 3) THEN CAST(5 AS BIGINT)
                 WHEN doc_id % 20 = 17 THEN CAST(14 AS BIGINT)
                 WHEN doc_id % 10 = 7 THEN CAST(8 AS BIGINT)
                 WHEN doc_id % 20 = 9 THEN CAST(30 AS BIGINT)
@@ -3282,7 +3330,8 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 WHEN doc_id % 2 = 0 THEN CAST({_MM_H} AS BIGINT)
                 ELSE CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
            END AS height,
-           CASE WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
+           CASE WHEN doc_id % 40 = 33 THEN '{_M1V_STUB_FMT}'
+                WHEN doc_id % 10 IN (1, 3) THEN 'tiff'
                 WHEN doc_id % 10 = 7 THEN 'jpg'
                 WHEN doc_id % 20 = 9 THEN 'tiff'
                 WHEN doc_id % 10 = 5 THEN 'jpg'
@@ -3318,7 +3367,19 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
            {_MM_PHASH_DEGEN_CASE} AS phash_degenerate,
            coalesce({_MM_AFP_CASE}, CAST(0 AS BIGINT)) AS audio_fp,
            coalesce(pcnt.n, CAST(0 AS BIGINT)) AS n_phash_pairs,
-           coalesce(acnt.n, CAST(0 AS BIGINT)) AS n_audio_pairs
+           coalesce(acnt.n, CAST(0 AS BIGINT)) AS n_audio_pairs,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_TRUTH["width"]} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS video_w,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_TRUTH["height"]} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS video_h,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_TRUTH["duration_ms"]} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS video_ms,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_VFRAME_EXPECT} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS vframe_phash
     FROM documents
     LEFT JOIN pcnt USING (doc_id)
     LEFT JOIN acnt USING (doc_id)
@@ -3372,6 +3433,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
+        .when(F.pmod(d, F.lit(40)) == 33, F.lit(_M1V_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 3, F.lit(_TIFF_LZW_PAYLOAD))
         .when(F.pmod(d, F.lit(20)) == 17, F.lit(_HIER_JPEG_PAYLOAD))
         .when(F.pmod(d, F.lit(10)) == 7, F.lit(_PROG_JPEG_PAYLOAD))
@@ -3420,11 +3482,28 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pcnt = _membership(MM.phash_near_dup_pairs(phall), "n_phash_pairs")
     acnt = _membership(MM.audio_near_dup_pairs(afpall), "n_audio_pairs")
+    # r5: the MPEG-1 slot rides the same row — the REAL container parse
+    # (extract_video_metadata -> parse_m1v) pins geometry/duration with
+    # independent truth, and the first sampled I-picture's dHash
+    # (with_video_first_frame_phash -> mpeg1_sample_frames) pins the
+    # Annex-B entropy decode + intra reconstruction
+    vmeta = MM.extract_video_metadata(docs).select(
+        "doc_id",
+        F.coalesce(F.col("width"), F.lit(0)).alias("video_w"),
+        F.coalesce(F.col("height"), F.lit(0)).alias("video_h"),
+        F.coalesce(F.col("duration_ms"), F.lit(0)).alias("video_ms"),
+    )
+    vph = MM.with_video_first_frame_phash(docs).select(
+        "doc_id",
+        F.coalesce(F.col("vframe_phash"), F.lit(0)).alias("vframe_phash"),
+    )
     return (
         feats.join(ph, "doc_id")
         .join(afp, "doc_id")
         .join(pcnt, "doc_id", "left")
         .join(acnt, "doc_id", "left")
+        .join(vmeta, "doc_id")
+        .join(vph, "doc_id")
         .withColumn("n_phash_pairs", F.coalesce("n_phash_pairs", F.lit(0)))
         .withColumn("n_audio_pairs", F.coalesce("n_audio_pairs", F.lit(0)))
     )

@@ -14,10 +14,14 @@ successive approximation) AND arithmetic-coded JPEG — sequential SOF9
 and progressive SOF10 (operators/jpeg_arith.py: T.81 Annex-D QM coder +
 Annex-F/G.2 statistical models) — are decoded FOR REAL, no PIL needed:
 header parse, pixel grid, nearest-neighbor resize. Payloads that
-genuinely need external libs (H.26x-style codec'd video) fall back to a
+genuinely need external libs (H.26x-family codec'd video) fall back to a
 deterministic fake
 clearly marked as a stub; MJPEG-AVI video frames decode for real through
-the repo's own JPEG decoders (parse_avi/avi_sample_frames). Everything Spark-side is real and tested either way:
+the repo's own JPEG decoders (parse_avi/avi_sample_frames), and MPEG-1
+elementary video I-pictures decode for real from scratch
+(operators/mpeg1.py: ISO/IEC 11172-2 Annex-B VLC alphabets + intra
+reconstruction with mismatch control — keyframe sampling via
+mpeg1_sample_frames). Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.
@@ -40,10 +44,10 @@ from pyspark.sql import functions as F
 
 # real numpy decode for these; everything else hits the stub fallback
 REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
-DECODE_IS_STUB = True  # still true for codec'd video (H.26x etc., no
+DECODE_IS_STUB = True  # still true for H.26x-family codec'd video (no
 # ffmpeg); every JPEG entropy coder and mode (Huffman baseline/
 # progressive, QM sequential- and progressive-arithmetic, Annex-J
-# hierarchical) and MJPEG-AVI frames decode for real
+# hierarchical), MJPEG-AVI frames, and MPEG-1 I-pictures decode for real
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
@@ -1452,28 +1456,39 @@ def extract_video_metadata(df_with_payload: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = parse_mp4(bytes(payload))
-                if meta is None:
-                    avi = parse_avi(bytes(payload))
-                    if avi is not None:
-                        meta = avi[0]
-                if meta is None:
-                    meta = {
-                        "n_bytes": len(payload),
-                        "major_brand": None,
-                        "timescale": None,
-                        "duration_ms": None,
-                        "n_tracks": None,
-                        "width": None,
-                        "height": None,
-                        "media_format": "unknown",
-                    }
-                rows.append({"doc_id": doc_id, **meta})
+            rows = [
+                _video_meta_row(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(rows)
 
     return df_with_payload.mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
+def _video_meta_row(doc_id, payload: bytes) -> dict:
+    """Plain-Python kernel of extract_video_metadata (unit-testable
+    without Spark): ISO-BMFF -> RIFF/AVI -> MPEG-1 elementary video."""
+    meta = parse_mp4(payload)
+    if meta is None:
+        avi = parse_avi(payload)
+        if avi is not None:
+            meta = avi[0]
+    if meta is None:
+        from index_search_monorepo_spark.operators.mpeg1 import parse_m1v
+
+        meta = parse_m1v(payload)
+    if meta is None:
+        meta = {
+            "n_bytes": len(payload),
+            "major_brand": None,
+            "timescale": None,
+            "duration_ms": None,
+            "n_tracks": None,
+            "width": None,
+            "height": None,
+            "media_format": "unknown",
+        }
+    return {"doc_id": doc_id, **meta}
 
 
 def _fake_decode(payload: bytes) -> dict:
@@ -1668,41 +1683,63 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                payload = bytes(payload)
-                real = gif_sample_frames(
-                    payload, every_ms, max_frames, max_total_pixels
+                rows.extend(
+                    _sample_frames_rows(
+                        doc_id,
+                        bytes(payload),
+                        every_ms,
+                        max_frames,
+                        max_total_pixels,
+                    )
                 )
-                if real is None:
-                    real = avi_sample_frames(
-                        payload, every_ms, max_frames, max_total_pixels
-                    )
-                if real is not None:
-                    for k, ts, frame in real:
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "frame_no": k,
-                                "frame_ts_ms": ts,
-                                "frame": frame,
-                            }
-                        )
-                    continue
-                n_frames = min(max_frames, len(payload) % max_frames + 1)
-                for k in range(n_frames):
-                    lo = (k * 97) % max(len(payload), 1)
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "frame_no": k,
-                            "frame_ts_ms": k * every_ms,
-                            "frame": bytes(payload[lo : lo + 16]),
-                        }
-                    )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_no", "frame_ts_ms", "frame"]
             )
 
     return df_with_payload.mapInPandas(fn, FRAMES_SCHEMA)
+
+
+def _sample_frames_rows(
+    doc_id, payload: bytes, every_ms: int, max_frames: int,
+    max_total_pixels: int,
+) -> list[dict]:
+    """Plain-Python kernel of sample_frames (unit-testable without
+    Spark): animated GIF -> MJPEG-AVI -> MPEG-1 I-picture sampling, then
+    the deterministic stub for codecs this container can't decode."""
+    real = gif_sample_frames(payload, every_ms, max_frames, max_total_pixels)
+    if real is None:
+        real = avi_sample_frames(payload, every_ms, max_frames, max_total_pixels)
+    if real is None:
+        from index_search_monorepo_spark.operators.mpeg1 import (
+            mpeg1_sample_frames,
+        )
+
+        real = mpeg1_sample_frames(
+            payload, every_ms, max_frames, max_total_pixels
+        )
+    if real is not None:
+        return [
+            {
+                "doc_id": doc_id,
+                "frame_no": k,
+                "frame_ts_ms": ts,
+                "frame": frame,
+            }
+            for k, ts, frame in real
+        ]
+    rows = []
+    n_frames = min(max_frames, len(payload) % max_frames + 1)
+    for k in range(n_frames):
+        lo = (k * 97) % max(len(payload), 1)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "frame_no": k,
+                "frame_ts_ms": k * every_ms,
+                "frame": bytes(payload[lo : lo + 16]),
+            }
+        )
+    return rows
 
 
 def image_feature_vector(px: np.ndarray, dim: int = 8) -> list[float]:
@@ -1819,6 +1856,49 @@ def with_image_phash(df_with_payload: DataFrame) -> DataFrame:
             )
 
     return df_with_payload.mapInPandas(fn, PHASH_SCHEMA)
+
+
+VFRAME_PHASH_SCHEMA = "doc_id long, vframe_phash long"
+
+
+def _video_first_frame_phash(payload: bytes) -> int | None:
+    """dHash of the first REAL sampled video frame (animated GIF,
+    MJPEG-AVI, or MPEG-1 I-picture timeline); None when the payload has
+    no decodable video timeline. Plain-Python kernel, unit-testable
+    without Spark."""
+    from index_search_monorepo_spark.operators.mpeg1 import (
+        mpeg1_sample_frames,
+    )
+
+    for sampler in (gif_sample_frames, avi_sample_frames, mpeg1_sample_frames):
+        frames = sampler(payload, 1, 1)
+        if frames:
+            return image_dhash(frames[0][2])
+    return None
+
+
+def with_video_first_frame_phash(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> dHash of the first sampled video frame (NULL for
+    non-video payloads). Scan -> mapInPandas, no shuffle — the codec's
+    full entropy-decode + reconstruction path runs per row, so planting a
+    payload with a pinned expected hash puts the decoder itself under a
+    driver gate."""
+    import pandas as pd  # noqa: F811 - kernel-local, matches module style
+
+    def fn(batches):
+        for pdf in batches:
+            hs = [
+                _video_first_frame_phash(bytes(p) if p is not None else b"")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "vframe_phash": pd.array(hs, dtype="Int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(fn, VFRAME_PHASH_SCHEMA)
 
 
 def phash_near_dup_pairs(

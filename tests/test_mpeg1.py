@@ -1,0 +1,251 @@
+"""MPEG-1 intra video (ISO/IEC 11172-2): round-trip conformance, VLC
+alphabet pins, syntax pins, and the I-only sampling guards.
+
+Conformance strategy (module docstring of mpeg1.py): no external MPEG
+decoder exists in this container, so the checks are (a) encoder→decoder
+round-trip within the quantization error bound, (b) the VLC alphabets
+pinned prefix-free and spot-pinned against published Annex-B code
+values, (c) byte-level syntax pins (start codes, 12-bit geometry, the
+picture-rate enum), and (d) non-I pictures are skipped on the sampling
+timeline, never misdecoded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from index_search_monorepo_spark.operators import mpeg1 as M
+from index_search_monorepo_spark.operators.mpeg1 import (
+    encode_mpeg1,
+    mpeg1_sample_frames,
+    parse_m1v,
+)
+
+
+def _gradient_rgb(h: int, w: int, phase: int = 0) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.dstack(
+        [
+            (7 * xx + 3 * yy + phase) % 256,
+            (255 - 5 * xx + phase) % 256,
+            (11 * yy + xx) % 256,
+        ]
+    ).astype(np.uint8)
+
+
+def _smooth_gray_rgb(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = (
+        (xx * 255) // max(w - 1, 1) // 2 + (yy * 255) // max(h - 1, 1) // 2
+    ).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, 2)
+
+
+def _decode_first_frame(payload: bytes) -> np.ndarray:
+    frames = mpeg1_sample_frames(payload, every_ms=1, max_frames=1)
+    assert frames is not None
+    from index_search_monorepo_spark.operators.multimodal import decode_image
+
+    decoded = decode_image(frames[0][2])
+    assert decoded is not None
+    w, h, px, fmt = decoded
+    assert fmt == "ppm"
+    return px
+
+
+class TestVlcAlphabets:
+    def _assert_prefix_free(self, codes):
+        cs = sorted(codes)
+        for a, b in zip(cs, cs[1:]):
+            assert not b.startswith(a), (a, b)
+
+    def test_alphabets_prefix_free(self):
+        # the coefficient alphabet must also exclude EOB/escape prefixes
+        self._assert_prefix_free(
+            list(M._AC_CODES) + ["10", "000001"]
+        )
+        self._assert_prefix_free(
+            list(M._MBA_CODES) + [M.MBA_STUFFING, M.MBA_ESCAPE]
+        )
+        self._assert_prefix_free(list(M._DC_LUM_CODES))
+        self._assert_prefix_free(list(M._DC_CHROM_CODES))
+
+    def test_published_code_pins(self):
+        # Annex B spot pins: B.1, B.5a/b, and the run/level table
+        assert M._MBA_CODES["1"] == 1
+        assert M._MBA_CODES["00000011000"] == 33
+        assert M._DC_LUM_CODES["100"] == 0
+        assert M._DC_CHROM_CODES["11111110"] == 8
+        assert M._AC_CODES["11"] == (0, 1)
+        assert M._AC_CODES["011"] == (1, 1)
+        assert M._AC_CODES["0101"] == (2, 1)
+        assert M._AC_CODES["000000000010000"] == (0, 40)
+        assert M._AC_CODES["0000000000011011"] == (31, 1)
+
+    def test_ac_alphabet_complete(self):
+        # every (run, level) the table claims is unique
+        assert len(set(M._AC_CODES.values())) == len(M._AC_CODES)
+
+
+class TestSyntax:
+    def test_stream_layout(self):
+        payload = encode_mpeg1([_gradient_rgb(32, 48)], fps=25)
+        assert payload[:4] == b"\x00\x00\x01\xb3"
+        # 12-bit geometry straddling bytes: 48 = 0x030, 32 = 0x020
+        assert payload[4] == 0x03  # width high 8
+        assert payload[5] == 0x00 | 0x00  # width low 4 | height high 4
+        assert payload[6] == 0x20  # height low 8
+        assert b"\x00\x00\x01\xb8" in payload  # GOP
+        assert b"\x00\x00\x01\x00" in payload  # picture
+        assert b"\x00\x00\x01\x01" in payload  # first slice
+        assert payload.endswith(b"\x00\x00\x01\xb7")  # sequence end
+
+    def test_parse_m1v_meta(self):
+        payload = encode_mpeg1(
+            [_gradient_rgb(32, 48, p) for p in (0, 50, 100)], fps=25
+        )
+        meta = parse_m1v(payload)
+        assert meta is not None
+        assert (meta["width"], meta["height"]) == (48, 32)
+        assert meta["media_format"] == "m1v"
+        assert meta["timescale"] == 25
+        assert meta["duration_ms"] == 120  # 3 frames at 25 fps
+        assert meta["n_tracks"] == 1
+
+    def test_parse_rejects_non_mpeg(self):
+        assert parse_m1v(b"") is None
+        assert parse_m1v(b"\x00\x00\x01\xb3") is None  # truncated
+        assert parse_m1v(b"RIFF\x00\x00\x00\x00AVI ") is None
+        assert parse_m1v(bytes(64)) is None
+
+    def test_ntsc_rate_code(self):
+        payload = encode_mpeg1([_gradient_rgb(16, 16)], fps=30)
+        meta = parse_m1v(payload)
+        assert meta["timescale"] == 30
+
+
+class TestRoundTrip:
+    def test_smooth_image_tight_bound(self):
+        px = _smooth_gray_rgb(32, 48)
+        out = _decode_first_frame(encode_mpeg1([px], qscale=2))
+        assert out.shape == px.shape
+        err = np.abs(out.astype(int) - px.astype(int)).mean()
+        assert err < 4.0, err
+
+    def test_gradient_rgb(self):
+        px = _gradient_rgb(48, 64)
+        out = _decode_first_frame(encode_mpeg1([px], qscale=4))
+        err = np.abs(out.astype(int) - px.astype(int)).mean()
+        assert err < 14.0, err
+
+    def test_odd_dims_cropped(self):
+        # 23x14: geometry not a macroblock multiple — encoder pads,
+        # decoder crops back to the 12-bit header dims
+        px = _gradient_rgb(23, 14)
+        out = _decode_first_frame(encode_mpeg1([px]))
+        assert out.shape == (23, 14, 3)
+
+    def test_flat_image_exact_dc_path(self):
+        # constant luma exercises DC prediction with all-zero AC
+        px = np.full((32, 32, 3), 137, np.uint8)
+        out = _decode_first_frame(encode_mpeg1([px], qscale=2))
+        assert np.abs(out.astype(int) - 137).max() <= 2
+
+    def test_escape_coded_levels(self):
+        # high-contrast checkerboard at qscale 1 forces levels outside
+        # the VLC alphabet -> escape path on both sides
+        yy, xx = np.mgrid[0:16, 0:16]
+        px = ((xx + yy) % 2 * 255).astype(np.uint8)
+        px = np.repeat(px[:, :, None], 3, 2)
+        out = _decode_first_frame(encode_mpeg1([px], qscale=1))
+        err = np.abs(out.astype(int) - px.astype(int)).mean()
+        assert err < 40.0, err  # extreme content; bound is sanity, not fidelity
+
+    def test_multi_frame_timeline(self):
+        frames = [_gradient_rgb(16, 32, p) for p in (0, 60, 120, 180)]
+        payload = encode_mpeg1(frames, fps=25)
+        out = mpeg1_sample_frames(payload, every_ms=1, max_frames=8)
+        assert out is not None and len(out) == 4
+        # 25 fps -> 40 ms per frame
+        assert [ts for _, ts, _ in out] == [0, 40, 80, 120]
+        # frames are distinct: phase shifts survive the codec
+        from index_search_monorepo_spark.operators.multimodal import decode_image
+
+        px0 = decode_image(out[0][2])[2]
+        px1 = decode_image(out[1][2])[2]
+        assert np.abs(px0.astype(int) - px1.astype(int)).mean() > 5
+
+    def test_sampling_respects_every_ms(self):
+        frames = [_gradient_rgb(16, 16, p) for p in range(10)]
+        payload = encode_mpeg1(frames, fps=25)  # 40 ms apart
+        out = mpeg1_sample_frames(payload, every_ms=100, max_frames=8)
+        assert out is not None
+        assert [ts for _, ts, _ in out] == [0, 120, 240, 360]
+
+    def test_retained_pixel_cap(self):
+        frames = [_gradient_rgb(64, 64, p) for p in range(4)]
+        payload = encode_mpeg1(frames)
+        out = mpeg1_sample_frames(
+            payload, every_ms=1, max_frames=8, max_total_pixels=2 * 64 * 64
+        )
+        assert out is not None and len(out) == 2
+
+
+class TestNonIPictures:
+    def _with_p_picture(self) -> bytes:
+        """Splice a P-picture header (type 2, no slices) into an I-only
+        stream between the two real I pictures."""
+        frames = [_gradient_rgb(16, 16, p) for p in (0, 90)]
+        payload = bytearray(encode_mpeg1(frames, fps=25))
+        # second picture start: bump its temporal_reference to 2 and
+        # insert a fake P at temporal_reference 1
+        second = payload.index(b"\x00\x00\x01\x00", 8)
+        second = payload.index(b"\x00\x00\x01\x00", second + 4)
+        p_hdr = bytes((0, 0, 1, 0)) + bytes(
+            ((1 >> 2) & 0xFF, ((1 & 3) << 6) | (2 << 3) | 7, 0xFF, 0xFF)
+        )
+        # temporal_ref 10 bits: value 1 -> byte0 0x00, byte1 high 2 bits
+        # 01; picture type P=2 in next 3 bits; vbv_delay all-ones
+        patched = bytearray(p_hdr)
+        patched[4] = 0
+        patched[5] = (1 << 6) | (2 << 3) | ((0xFFFF >> 13) & 0x7)
+        return bytes(payload[:second]) + bytes(patched) + b"\xff\xfe" + bytes(
+            payload[second:]
+        )
+
+    def test_p_pictures_skipped_not_misdecoded(self):
+        payload = self._with_p_picture()
+        out = mpeg1_sample_frames(payload, every_ms=1, max_frames=8)
+        assert out is not None
+        assert len(out) == 2  # the two real I pictures only
+
+    def test_all_p_stream_returns_none(self):
+        payload = bytearray(encode_mpeg1([_gradient_rgb(16, 16)]))
+        # flip the single picture's type I->P (3 bits after the 10-bit
+        # temporal reference)
+        pic = payload.index(b"\x00\x00\x01\x00")
+        payload[pic + 5] = (payload[pic + 5] & ~0x38) | (2 << 3)
+        assert mpeg1_sample_frames(bytes(payload), 1, 8) is None
+
+
+class TestDispatch:
+    def test_video_metadata_routes_m1v(self):
+        from index_search_monorepo_spark.operators.multimodal import (
+            _video_meta_row,
+        )
+
+        payload = encode_mpeg1([_gradient_rgb(32, 48)])
+        row = _video_meta_row(7, payload)
+        assert row["media_format"] == "m1v"
+        assert (row["width"], row["height"]) == (48, 32)
+
+    def test_sample_frames_kernel_routes_m1v(self):
+        from index_search_monorepo_spark.operators.multimodal import (
+            _sample_frames_rows,
+        )
+
+        payload = encode_mpeg1([_gradient_rgb(16, 16, p) for p in (0, 80)])
+        rows = _sample_frames_rows(3, payload, 1, 8, 64_000_000)
+        assert len(rows) == 2
+        assert all(r["frame"].startswith(b"P6") for r in rows)
