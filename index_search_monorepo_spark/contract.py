@@ -35,6 +35,7 @@ from index_search_monorepo_spark.functions.text import (
     xmlesc_expr,
 )
 from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import pii as PII
@@ -2681,7 +2682,8 @@ _GREATEST = f"greatest({', '.join(f'{lang}_hits' for lang in _LANGS)})"
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
              {", ".join(_lang_hits_sql(lang) for lang in _LANGS)}
       FROM lc
-    )
+    ),
+    lang_out AS (
     SELECT doc_id, marker_hits, n_tokens,
            CAST(1000 * marker_hits // n_tokens AS BIGINT) AS marker_pmille,
            CASE WHEN 1000 * marker_hits // n_tokens >= 60
@@ -2694,6 +2696,17 @@ _GREATEST = f"greatest({', '.join(f'{lang}_hits' for lang in _LANGS)})"
                 )}
                 ELSE '{_LANGS[-1]}' END AS ngram_guess
     FROM hits
+    ),
+    {LMOD.lm_oracle_sql(
+        train_pmille=500, top_k=16,
+        hash_sql=PK.hash_key_sql("doc_id", "lmtrain"),
+    ).lstrip()},
+    lang_lm AS (
+      SELECT l.*, m.lm_tokens, m.lm_oov, m.lm_nll_bits, m.lm_nll_mean_e3
+      FROM lang_out l JOIN lm_out m USING (doc_id)
+    ),
+    {PK.mixture_oracle_sql("lang_lm", "ngram_guess").lstrip()}
+    SELECT * FROM mix_out
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2702,8 +2715,24 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tie-break), sharing one tokenize + one lowercase pass
     (operators/textstats.with_lang_id_full). Merged so the 50-query driver
     budget covers both language-ID families — r3 matrix note in
-    COVERAGE.md."""
-    return TS.with_lang_id_full(_t(spark, sf_dir, "documents"))
+    COVERAGE.md.
+
+    NEW r5: two curation stages ride the same row. (1) CCNet-style
+    unigram-LM quality scoring (operators/lm.py) — the LM is TRAINED
+    inside the entry on a deterministic 50% hash slice (salt 'lmtrain'),
+    vocabulary capped to the top-16 tokens (count DESC / token ASC — the
+    cap and its tie-break are themselves under the gate, and the 31-token
+    synthetic vocabulary guarantees real OOV traffic), then every document
+    is scored with the integer bit-length NLL surrogate; the oracle
+    recomputes train->cap->score from scratch in SQL. (2) sqrt-temperature
+    mixture sampling (packing.with_mixture_sampling, XLM-R alpha=0.5)
+    over the ngram_guess stratum — isqrt weights, integer rate arithmetic,
+    and each document's deterministic mix_copies are all value-hashed."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = TS.with_lang_id_full(docs)
+    counts = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
+    lm = LMOD.with_lm_nll(docs, counts)
+    return PK.with_mixture_sampling(lang.join(lm, "doc_id"), "ngram_guess")
 
 
 

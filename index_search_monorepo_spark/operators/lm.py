@@ -1,0 +1,333 @@
+"""Unigram language-model quality scoring (CCNet-style) for corpus curation.
+
+CCNet (Wenzek et al. 2020) ranks web documents by the perplexity of a
+language model trained on a trusted corpus; low-perplexity documents look
+like the training distribution, high-perplexity ones are noise/boilerplate.
+This module is that stage re-expressed Spark-first, with one deliberate
+substitution: the per-token negative log-likelihood is the **integer
+bit-length surrogate**
+
+    nll_bits(t) = bitlen(N + V) - bitlen(c(t) + 1)
+
+where c(t) is the token's training count (0 for out-of-vocabulary), N the
+total training-token count over the kept vocabulary, V the vocabulary size
+(add-one smoothing mass), and bitlen(x) = length(bin(x)) — the position of
+the highest set bit. bitlen(x) = floor(log2(x)) + 1, so nll_bits tracks
+-log2 p(t) = log2((N + V) / (c(t) + 1)) to within 1 bit — monotone in the
+probability and **bit-identical across engines** (Spark `bin()` and DuckDB
+`bin()` both render the minimal binary string of a BIGINT), which is the
+property the driver's value-hash oracle gate needs. A float KenLM score
+would differ in last-ulp libm behavior between JVM and DuckDB and could
+never be hash-gated; the bit-length surrogate keeps the *pipeline* (train
+counts -> vocabulary cap -> per-document score) fully verifiable.
+
+Pipeline shape (and why it scales):
+
+ - `train_unigram_counts`: tokenize a deterministic hash-sampled training
+   slice (packing.hash_sample_pmille — stable across runs and cluster
+   layouts), explode, groupBy(token).count(). The canonical wordcount:
+   partial aggregation collapses per-partition duplicates map-side, so the
+   shuffle carries ~distinct-tokens-per-partition rows, never the corpus.
+   The vocabulary is then capped to the `top_k` most frequent (count DESC,
+   token ASC tie-break — total order, deterministic at any parallelism),
+   exactly the vocabulary pruning a production KenLM build does.
+ - `with_lm_nll`: score every document against the trained table.
+   strategy='join' (default, JVM-side end to end): explode tokens, left
+   broadcast-join the vocabulary (top_k-bounded — fits any executor),
+   groupBy(doc_id) re-aggregate. The only exchange carries slim
+   (doc_id, long) pairs with map-side partial sums; document text never
+   shuffles. strategy='udf': an Arrow-batched pandas UDF over a
+   SparkContext-broadcast python dict — zero shuffle, for callers composing
+   onto already-fat rows; same columns bit-for-bit (pinned by test).
+
+No reference counterpart: hathitrust/index_search_monorepo indexes OCR
+without model-based quality filtering; this extends the curation family
+(operators/c4rules.py, operators/textstats.py) per the build brief.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.packing import hash_sample_pmille
+from index_search_monorepo_spark.operators.textstats import (
+    _check_keep,
+    tokens_expr,
+)
+
+DEFAULT_TOP_K = 65536
+
+
+def bitlen_expr(x: Column) -> Column:
+    """bitlen(x) = length of the minimal binary rendering of a BIGINT =
+    floor(log2(x)) + 1 for x >= 1. Integer-exact in Spark and DuckDB
+    (`length(bin(x))` in both); never computed through float log."""
+    return F.length(F.bin(x.cast("long"))).cast("long")
+
+
+def bitlen_sql(x_sql: str) -> str:
+    """DuckDB mirror of bitlen_expr."""
+    return f"CAST(length(bin(CAST({x_sql} AS BIGINT))) AS BIGINT)"
+
+
+def train_unigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    train_pmille: int = 1000,
+    salt: str = "lmtrain",
+    top_k: int | None = DEFAULT_TOP_K,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(token, cnt) over the deterministic hash-sampled training slice,
+    capped to the top_k most frequent tokens (count DESC, token ASC
+    tie-break — a total order, so the cap is deterministic at any
+    parallelism/partitioning). train_pmille < 1000 holds out documents the
+    same way a CCNet reference-corpus split does; the sample is
+    content-hash stable, never partition-order dependent."""
+    src = df
+    if train_pmille < 1000:
+        src = df.filter(hash_sample_pmille(F.col(key_col), train_pmille, salt))
+    counts = (
+        src.select(F.explode(tokens_expr(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+    return counts
+
+
+def _nll_table(counts: DataFrame) -> DataFrame:
+    """(token, nll, oov_nll) — per-token bit-length NLL plus the OOV score
+    replicated on every row (so scorers need no second scalar join). The
+    totals frame is one row; the crossJoin is the one-row-broadcast-literal
+    pattern (operators/dedup.py strip-set convention), not a cartesian."""
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("_N"),
+        F.count("*").cast("long").alias("_V"),
+    )
+    smoothed = bitlen_expr(F.col("_N") + F.col("_V"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("_bits_nv", smoothed)
+        .select(
+            "token",
+            (F.col("_bits_nv") - bitlen_expr(F.col("cnt") + F.lit(1)))
+            .alias("nll"),
+            # OOV: c = 0 -> bitlen(0 + 1) = 1
+            (F.col("_bits_nv") - F.lit(1)).cast("long").alias("oov_nll"),
+        )
+    )
+
+
+_LM_PRODUCED = ("lm_tokens", "lm_oov", "lm_nll_bits", "lm_nll_mean_e3")
+
+
+def with_lm_nll(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    strategy: str = "join",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score each document against a trained unigram table
+    (`train_unigram_counts` output). Adds, at doc grain (every input row
+    kept, including empty documents):
+
+      lm_tokens       : tokens scored (== whitespace token count)
+      lm_oov          : tokens absent from the (capped) vocabulary
+      lm_nll_bits     : sum of per-token bit-length NLLs (the document's
+                        total "surprisal" in whole bits)
+      lm_nll_mean_e3  : (1000 * lm_nll_bits) DIV lm_tokens — the
+                        per-token mean in milli-bits, the CCNet-style
+                        quality ranking key; 0 for empty documents
+
+    strategy='join': explode -> broadcast-join vocab -> re-aggregate on
+    doc_id (slim pairs only; map-side partial sums). strategy='udf':
+    Arrow-batched pandas UDF over a broadcast dict, zero shuffle —
+    identical outputs, pinned by tests/test_lm.py."""
+    _check_keep(keep, ("doc_id", *_LM_PRODUCED))
+    if strategy == "join":
+        scored = _score_join(df, counts, text_col)
+    elif strategy == "udf":
+        scored = _score_udf(df, counts, text_col)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out = df.select("doc_id", *keep).join(scored, "doc_id", "left")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "doc_id",
+        *keep,
+        F.coalesce("lm_tokens", zero).alias("lm_tokens"),
+        F.coalesce("lm_oov", zero).alias("lm_oov"),
+        F.coalesce("lm_nll_bits", zero).alias("lm_nll_bits"),
+        F.coalesce("lm_nll_mean_e3", zero).alias("lm_nll_mean_e3"),
+    )
+
+
+def _score_join(df: DataFrame, counts: DataFrame, text_col: str) -> DataFrame:
+    tok = df.select(
+        "doc_id", F.explode(tokens_expr(F.col(text_col))).alias("token")
+    )
+    nll = _nll_table(counts)
+    per_tok = tok.join(F.broadcast(nll), "token", "left")
+    agg = per_tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("lm_tokens"),
+        F.sum(F.when(F.col("nll").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("lm_oov"),
+        # sum() skips the LEFT-join-miss nulls: in-vocabulary bits only.
+        # A join miss nulls the whole broadcast row (including oov_nll),
+        # so the OOV score comes from the scalar aggregate below instead.
+        F.sum("nll").alias("_invocab_bits"),
+    )
+    # OOV bits: oov_nll is constant over the nll table; fetch it once via a
+    # one-row aggregate and broadcast it onto the slim per-doc frame.
+    oov_scalar = nll.agg(F.max("oov_nll").alias("_oov_nll"))
+    return (
+        agg.crossJoin(F.broadcast(oov_scalar))
+        .withColumn(
+            "lm_nll_bits",
+            (
+                F.coalesce(F.col("_invocab_bits"), F.lit(0).cast("long"))
+                + F.col("lm_oov") * F.coalesce("_oov_nll", F.lit(0))
+            ).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "lm_tokens",
+            "lm_oov",
+            "lm_nll_bits",
+            F.expr(
+                "CAST(CASE WHEN lm_tokens > 0"
+                " THEN (1000 * lm_nll_bits) DIV lm_tokens"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("lm_nll_mean_e3"),
+        )
+    )
+
+
+def _score_udf(df: DataFrame, counts: DataFrame, text_col: str) -> DataFrame:
+    """Zero-shuffle scorer: vocabulary (top_k-bounded) collected once and
+    SparkContext-broadcast; an Arrow-batched pandas UDF sums bit-length
+    NLLs per row. The collect is the broadcast-dim pattern (bounded by
+    top_k, like the decontamination shingle set) — never corpus-sized."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rows = _nll_table(counts).collect()
+    table = {r["token"]: r["nll"] for r in rows}
+    oov_nll = rows[0]["oov_nll"] if rows else 0
+    spark = df.sparkSession
+    btable = spark.sparkContext.broadcast((table, oov_nll))
+
+    out_t = StructType(
+        [
+            StructField("lm_tokens", LongType()),
+            StructField("lm_oov", LongType()),
+            StructField("lm_nll_bits", LongType()),
+            StructField("lm_nll_mean_e3", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def score(texts: pd.Series) -> pd.DataFrame:
+        tbl, oov = btable.value
+        rows_out = []
+        for text in texts:
+            toks = [t for t in (text or "").split(" ") if t]
+            bits = 0
+            n_oov = 0
+            for t in toks:
+                v = tbl.get(t)
+                if v is None:
+                    n_oov += 1
+                    bits += oov
+                else:
+                    bits += v
+            n = len(toks)
+            rows_out.append(
+                (n, n_oov, bits, (1000 * bits) // n if n else 0)
+            )
+        return pd.DataFrame(
+            rows_out,
+            columns=["lm_tokens", "lm_oov", "lm_nll_bits", "lm_nll_mean_e3"],
+        )
+
+    # one struct column computed once, then fanned out to plain columns —
+    # fan-out of struct FIELDS is cheap extraction, and the UDF sits behind
+    # a Project boundary so it is not re-inlined per field (CLAUDE.md
+    # lesson #1; the nondeterministic pin of lesson #9 is unnecessary here
+    # because no filter is pushed across this projection by callers that
+    # follow the documented keep/compose contract)
+    tmp = df.select("doc_id", score(F.col(text_col)).alias("_lm"))
+    return tmp.select("doc_id", "_lm.*")
+
+
+def lm_oracle_sql(
+    source_cte: str = "documents",
+    text_sql: str = "text",
+    train_pmille: int = 1000,
+    salt: str = "lmtrain",
+    top_k: int = DEFAULT_TOP_K,
+    hash_sql: str | None = None,
+) -> str:
+    """DuckDB CTE chain mirroring train_unigram_counts + with_lm_nll
+    (join strategy) from scratch: returns SQL whose final SELECT yields
+    (doc_id, lm_tokens, lm_oov, lm_nll_bits, lm_nll_mean_e3) from
+    `source_cte`. `hash_sql` must be packing.hash_key_sql('doc_id', salt)
+    when train_pmille < 1000 (kept a caller-supplied fragment so this
+    module never imports SQL-generation helpers it does not own)."""
+    toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    where = ""
+    if train_pmille < 1000:
+        assert hash_sql is not None
+        where = f"WHERE ({hash_sql}) % 1000 < {train_pmille}"
+    return f"""
+    lm_train AS (
+      SELECT unnest({toks}) AS token FROM {source_cte} {where}
+    ),
+    lm_cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM lm_train
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_k}
+    ),
+    lm_tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+             CAST(count(*) AS BIGINT) AS v_tot FROM lm_cnt
+    ),
+    lm_nll AS (
+      SELECT token,
+             {bitlen_sql('n_tot + v_tot')} - {bitlen_sql('cnt + 1')} AS nll,
+             {bitlen_sql('n_tot + v_tot')} - 1 AS oov_nll
+      FROM lm_cnt, lm_tot
+    ),
+    lm_doc_tok AS (
+      SELECT doc_id, unnest({toks}) AS token FROM {source_cte}
+    ),
+    lm_scored AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS lm_tokens,
+             CAST(sum(CASE WHEN v.nll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS lm_oov,
+             CAST(sum(coalesce(v.nll,
+               (SELECT {bitlen_sql('n_tot + v_tot')} - 1 FROM lm_tot)))
+               AS BIGINT) AS lm_nll_bits
+      FROM lm_doc_tok d LEFT JOIN lm_nll v USING (token)
+      GROUP BY d.doc_id
+    ),
+    lm_out AS (
+      SELECT s.doc_id,
+             coalesce(l.lm_tokens, 0) AS lm_tokens,
+             coalesce(l.lm_oov, 0) AS lm_oov,
+             coalesce(l.lm_nll_bits, 0) AS lm_nll_bits,
+             CAST(CASE WHEN coalesce(l.lm_tokens, 0) > 0
+                  THEN (1000 * l.lm_nll_bits) // l.lm_tokens
+                  ELSE 0 END AS BIGINT) AS lm_nll_mean_e3
+      FROM {source_cte} s LEFT JOIN lm_scored l USING (doc_id)
+    )"""

@@ -73,6 +73,163 @@ def hash_sample_pmille(
     return (hash_key_expr(key, salt) % 1000) < rate
 
 
+def isqrt_cols(x: Column) -> Column:
+    """Exact integer sqrt (floor) of a non-negative BIGINT, identical in
+    Spark and DuckDB: float sqrt seeds the answer, two integer comparisons
+    correct the possible off-by-one from double rounding. Callers must
+    bind the input behind a Project boundary when x is non-cheap — the
+    seed is referenced three times (CLAUDE.md lesson #1); here it is only
+    ever applied to tiny stratum-count frames."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        s0
+        + F.when((s0 + 1) * (s0 + 1) <= x, F.lit(1)).otherwise(F.lit(0))
+        - F.when(s0 * s0 > x, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def isqrt_sql(x_sql: str) -> str:
+    """DuckDB mirror of isqrt_cols (same seed-and-correct formula; DuckDB
+    floor(sqrt()) returns DOUBLE, so the seed is cast back to BIGINT)."""
+    s0 = f"CAST(floor(sqrt(CAST({x_sql} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s0} + CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({x_sql})"
+        f" THEN 1 ELSE 0 END"
+        f" - CASE WHEN {s0} * {s0} > ({x_sql}) THEN 1 ELSE 0 END)"
+    )
+
+
+_MIX_PRODUCED = ("mix_rate_pmille", "mix_copies")
+
+
+def with_mixture_sampling(
+    df: DataFrame,
+    stratum_col: str,
+    target_total: int | None = None,
+    rate_cap_pmille: int = 8000,
+    salt: str = "mix",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5, the multilingual
+    sampling rule of XLM-R / mBERT): strata (languages, domains, sources)
+    are re-balanced so a stratum's share of the output corpus is
+    proportional to sqrt(n_s) instead of n_s — rare strata are up-sampled,
+    dominant strata down-sampled. Adds, preserving all input columns:
+
+      mix_rate_pmille : the stratum's expected copies-per-document in
+                        per-mille (integer), capped at rate_cap_pmille
+      mix_copies      : THIS document's deterministic integer copy count —
+                        rate DIV 1000 guaranteed copies plus one more for
+                        the md5-hash fraction of documents selected by the
+                        fractional remainder (hash_sample_pmille semantics:
+                        stable across runs and cluster layouts)
+
+    Exact integer arithmetic end to end: w_s = isqrt(n_s * 10^6)
+    (milli-precision sqrt), rate = ((B * 1000 DIV n_s) * w_s) DIV W with
+    W = sum(w_s) and B = target_total (default: corpus size, i.e. a
+    resampling to the same total). The division ORDER is part of the spec
+    — both engines evaluate the identical expression, which is what the
+    value-hash oracle gate verifies; intermediates stay under 2^63 for
+    corpora to 10^12 docs.
+
+    Scale shape: one map-side-combined groupBy over the stratum column
+    (output rows = #strata), a one-row total, then a broadcast join of the
+    tiny rate table back onto the corpus — the corpus itself never
+    shuffles. Materializing the copies (explode over
+    sequence(1, mix_copies)) is left to the writer stage so this operator
+    stays row-preserving and oracle-checkable at doc grain."""
+    clash = set(_MIX_PRODUCED) | {"_n_s", "_w_s", "_W", "_B"}
+    clash &= set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_mixture_sampling would overwrite column(s) "
+            f"{sorted(clash)}; rename them first"
+        )
+    counts = df.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("_n_s")
+    )
+    weights = counts.withColumn(
+        "_w_s", isqrt_cols(F.col("_n_s") * F.lit(1_000_000))
+    )
+    totals = weights.agg(
+        F.sum("_w_s").cast("long").alias("_W"),
+        F.sum("_n_s").cast("long").alias("_B_default"),
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_B",
+            F.lit(target_total).cast("long")
+            if target_total is not None
+            else F.col("_B_default"),
+        )
+        .select(
+            stratum_col,
+            F.least(
+                F.expr("((_B * 1000 DIV _n_s) * _w_s) DIV _W"),
+                F.lit(rate_cap_pmille).cast("long"),
+            ).alias("mix_rate_pmille"),
+        )
+    )
+    # inner join on the stratum: a NULL stratum matches nothing in either
+    # engine (SQL NULL equality), so callers must bucket nulls into a
+    # sentinel stratum first — lang-ID guesses here are never null
+    out = df.join(F.broadcast(rates), stratum_col)
+    frac_pick = (
+        hash_key_expr(F.col(key_col), salt) % 1000
+        < F.col("mix_rate_pmille") % 1000
+    )
+    return out.withColumn(
+        "mix_copies",
+        (
+            F.expr("mix_rate_pmille DIV 1000")
+            + F.when(frac_pick, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+
+
+def mixture_oracle_sql(
+    source_cte: str,
+    stratum_sql: str,
+    target_total_sql: str | None = None,
+    rate_cap_pmille: int = 8000,
+    salt: str = "mix",
+    key_sql: str = "doc_id",
+) -> str:
+    """DuckDB CTE chain mirroring with_mixture_sampling from scratch; the
+    final CTE `mix_out` yields (doc_id-grain rows of source_cte) +
+    (mix_rate_pmille, mix_copies) keyed by `key_sql`."""
+    b = target_total_sql or "(SELECT sum(_n_s) FROM mix_w)"
+    return f"""
+    mix_cnt AS (
+      SELECT {stratum_sql} AS _stratum, CAST(count(*) AS BIGINT) AS _n_s
+      FROM {source_cte} GROUP BY 1
+    ),
+    mix_w AS (
+      SELECT _stratum, _n_s,
+             {isqrt_sql('_n_s * 1000000')} AS _w_s
+      FROM mix_cnt
+    ),
+    mix_rate AS (
+      -- DuckDB sum(BIGINT) is HUGEINT; cast every aggregate edge back to
+      -- BIGINT so the emitted column types match Spark LongType exactly
+      SELECT _stratum,
+             CAST(least(((CAST({b} AS BIGINT) * 1000 // _n_s) * _w_s)
+                          // CAST((SELECT sum(_w_s) FROM mix_w) AS BIGINT),
+                        {rate_cap_pmille}) AS BIGINT) AS mix_rate_pmille
+      FROM mix_w
+    ),
+    mix_out AS (
+      SELECT s.*, r.mix_rate_pmille,
+             CAST(r.mix_rate_pmille // 1000
+                  + CASE WHEN {hash_key_sql(key_sql, salt)} % 1000
+                              < r.mix_rate_pmille % 1000
+                         THEN 1 ELSE 0 END AS BIGINT) AS mix_copies
+      FROM {source_cte} s
+      JOIN mix_rate r ON {stratum_sql} = r._stratum
+    )"""
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str = "n_tokens",

@@ -1,0 +1,266 @@
+"""Unigram-LM quality scoring + temperature mixture sampling: hand-exact
+NLL math, join/udf strategy equality, DuckDB oracle parity, isqrt
+exactness, and the broadcast plan shape (corpus never shuffles)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import lm as LM
+from index_search_monorepo_spark.operators import packing as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+class TestBitlen:
+    def test_matches_python_bit_length(self, spark):
+        vals = [1, 2, 3, 4, 7, 8, 1023, 1024, (1 << 40) - 1, 1 << 40]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r["x"]: r["b"]
+            for r in df.select("x", LM.bitlen_expr(F.col("x")).alias("b"))
+            .collect()
+        }
+        for v in vals:
+            assert got[v] == v.bit_length()
+
+    def test_duckdb_mirror(self):
+        vals = [1, 2, 3, 1023, 1024, (1 << 40) - 1]
+        for v in vals:
+            (b,) = duckdb.sql(
+                f"SELECT {LM.bitlen_sql(str(v))}"
+            ).fetchone()
+            assert b == v.bit_length()
+
+
+class TestLmNll:
+    def test_hand_exact(self, spark):
+        # corpus: "a a a b" + "a b c" -> counts a=4, b=2, c=1
+        # top_k=2 keeps a,b; N=6, V=2 -> bits(N+V)=bits(8)=4
+        # nll(a)=4-bits(5)=1, nll(b)=4-bits(3)=2, oov=4-1=3
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "a b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        counts = LM.train_unigram_counts(df, top_k=2)
+        got = {
+            (r["token"], r["cnt"]) for r in counts.collect()
+        }
+        assert got == {("a", 4), ("b", 2)}
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in LM.with_lm_nll(df, counts).collect()
+        }
+        # doc1: 3*nll(a) + nll(b) = 3+2 = 5, no OOV
+        assert out[1]["lm_tokens"] == 4
+        assert out[1]["lm_oov"] == 0
+        assert out[1]["lm_nll_bits"] == 5
+        assert out[1]["lm_nll_mean_e3"] == (1000 * 5) // 4
+        # doc2: nll(a)+nll(b)+oov = 1+2+3 = 6, one OOV
+        assert out[2]["lm_oov"] == 1
+        assert out[2]["lm_nll_bits"] == 6
+        # empty doc: all zeros, row preserved
+        assert out[3] == {
+            "doc_id": 3,
+            "lm_tokens": 0,
+            "lm_oov": 0,
+            "lm_nll_bits": 0,
+            "lm_nll_mean_e3": 0,
+        }
+
+    def test_strategies_identical(self, spark):
+        docs = _docs(spark)
+        counts = LM.train_unigram_counts(
+            docs, train_pmille=500, top_k=16
+        )
+        cols = ["doc_id", *LM._LM_PRODUCED]
+        a = sorted(
+            map(tuple, LM.with_lm_nll(docs, counts, strategy="join")
+                .select(cols).collect())
+        )
+        b = sorted(
+            map(tuple, LM.with_lm_nll(docs, counts, strategy="udf")
+                .select(cols).collect())
+        )
+        assert a == b
+        # sanity: the cap actually produced OOV tokens on real text
+        assert any(r[2] > 0 for r in a)
+
+    def test_duckdb_oracle_parity(self, spark):
+        docs = _docs(spark)
+        counts = LM.train_unigram_counts(docs, train_pmille=500, top_k=16)
+        got = sorted(
+            map(
+                tuple,
+                LM.with_lm_nll(docs, counts)
+                .select("doc_id", *LM._LM_PRODUCED)
+                .collect(),
+            )
+        )
+        cte = LM.lm_oracle_sql(
+            train_pmille=500,
+            top_k=16,
+            hash_sql=P.hash_key_sql("doc_id", "lmtrain"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"WITH {cte.lstrip()} SELECT doc_id, lm_tokens, lm_oov,"
+                    " lm_nll_bits, lm_nll_mean_e3 FROM lm_out"
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_join_strategy_broadcasts_vocab(self, spark):
+        docs = _docs(spark)
+        counts = LM.train_unigram_counts(docs, top_k=64)
+        plan = (
+            LM.with_lm_nll(docs, counts)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the fat text column must not survive into any exchange
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text column shuffled: {line}")
+
+    def test_keep_collision_raises(self, spark):
+        docs = _docs(spark).withColumn("lm_oov", F.lit(1))
+        counts = LM.train_unigram_counts(docs, top_k=8)
+        with pytest.raises(ValueError):
+            LM.with_lm_nll(docs, counts, keep=("lm_oov",))
+
+
+class TestIsqrt:
+    def test_exact_over_boundaries(self, spark):
+        vals = []
+        for s in (1, 2, 3, 10, 1000, 10**6, 10**9):
+            vals += [s * s - 1, s * s, s * s + 1]
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r["x"]: r["s"]
+            for r in df.select(
+                "x", P.isqrt_cols(F.col("x")).alias("s")
+            ).collect()
+        }
+        import math
+
+        for v in vals:
+            assert got[v] == math.isqrt(v), v
+
+    def test_duckdb_mirror(self):
+        import math
+
+        for s in (1, 3, 1000, 10**6):
+            for v in (s * s - 1, s * s, s * s + 1):
+                (r,) = duckdb.sql(
+                    f"SELECT {P.isqrt_sql(str(v))}"
+                ).fetchone()
+                assert r == math.isqrt(v), v
+
+
+class TestMixture:
+    def test_hand_exact_rates(self, spark):
+        # strata: x has 90 docs, y has 10 -> w_x=isqrt(90e6)=9486,
+        # w_y=isqrt(10e6)=3162, W=12648, B=100
+        # rate_x = ((100*1000 DIV 90) * 9486) DIV 12648 = (1111*9486)//12648
+        # rate_y = ((100*1000 DIV 10) * 3162) DIV 12648 = (10000*3162)//12648
+        rows = [(i, "x" if i < 90 else "y") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = P.with_mixture_sampling(df, "stratum")
+        rates = {
+            r["stratum"]: r["mix_rate_pmille"]
+            for r in out.select("stratum", "mix_rate_pmille")
+            .distinct()
+            .collect()
+        }
+        assert rates["x"] == (1111 * 9486) // 12648  # 833: down-sampled
+        assert rates["y"] == (10000 * 3162) // 12648  # 2500: up-sampled
+        # copies: base DIV 1000 + fractional hash pick
+        got = out.select("doc_id", "stratum", "mix_copies").collect()
+        for r in got:
+            base = rates[r["stratum"]] // 1000
+            assert r["mix_copies"] in (base, base + 1)
+        # deterministic across runs
+        again = P.with_mixture_sampling(df, "stratum").select(
+            "doc_id", "mix_copies"
+        )
+        assert sorted(map(tuple, again.collect())) == sorted(
+            (r["doc_id"], r["mix_copies"]) for r in got
+        )
+
+    def test_rate_cap(self, spark):
+        rows = [(i, "big" if i < 999 else "tiny") for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, stratum string")
+        out = P.with_mixture_sampling(df, "stratum", rate_cap_pmille=3000)
+        tiny = out.filter(F.col("stratum") == "tiny").first()
+        assert tiny["mix_rate_pmille"] == 3000
+
+    def test_duckdb_oracle_parity(self, spark):
+        docs = _docs(spark).withColumn(
+            "stratum", F.expr("CAST(doc_id % 7 AS STRING)")
+        )
+        got = sorted(
+            map(
+                tuple,
+                P.with_mixture_sampling(docs, "stratum")
+                .select("doc_id", "mix_rate_pmille", "mix_copies")
+                .collect(),
+            )
+        )
+        cte = P.mixture_oracle_sql("src", "stratum")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW src AS SELECT doc_id,"
+            f" CAST(doc_id % 7 AS VARCHAR) AS stratum FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"WITH {cte.lstrip()} SELECT doc_id, mix_rate_pmille,"
+                    " mix_copies FROM mix_out"
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_corpus_never_shuffles(self, spark):
+        docs = _docs(spark)
+        plan = (
+            P.with_mixture_sampling(
+                docs.withColumn("stratum", F.lit("only")), "stratum"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text column shuffled: {line}")
+
+    def test_column_collision_raises(self, spark):
+        df = _docs(spark).withColumn("mix_copies", F.lit(0)).withColumn(
+            "stratum", F.lit("s")
+        )
+        with pytest.raises(ValueError):
+            P.with_mixture_sampling(df, "stratum")
