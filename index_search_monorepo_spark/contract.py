@@ -34,6 +34,7 @@ from index_search_monorepo_spark.functions.text import (
     string_preparation_expr,
     xmlesc_expr,
 )
+from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
@@ -2747,6 +2748,17 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 _GOPHER_FRAGS = C4.oracle_gopher_sql("text")
 _GOPHER_COLS = tuple(c for c in C4._G_PRODUCED if c != "g_keep")
 
+# Fixed rank-ordered merge list for the BPE-application gate: a PLANTED
+# tokenizer model (like the planted codec payloads), not a trained one —
+# the oracle must recompute segmentation under the SAME rules, so the
+# rules are constants; the TRAINER is pinned separately by
+# tests/test_bpe.py's golden. Multi-char lefts/rights ((m,er), (p,ar),
+# ( s,u)) exercise rank-chained merges through both engines' folds.
+_GATE_MERGES = [
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "r"),
+    ("m", "er"), ("p", "ar"), (" s", "u"), ("in", "g"),
+]
+
 
 @register(
     "token_count",
@@ -2865,7 +2877,8 @@ _GOPHER_COLS = tuple(c for c in C4._G_PRODUCED if c != "g_keep")
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_prev
       FROM sharded
-    )
+    ),
+    pk_out AS (
     SELECT * EXCLUDE (cum_prev),
            CAST(cum_prev // 512 AS BIGINT) AS seq_id,
            CAST(cum_prev % 512 AS BIGINT) AS seq_offset,
@@ -2877,6 +2890,10 @@ _GOPHER_COLS = tuple(c for c in C4._G_PRODUCED if c != "g_keep")
                  AND (cum_prev + n_tokens - 1) // 512 > cum_prev // 512
                 THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
     FROM cums
+    ),
+    {BPE.bpe_oracle_sql(_GATE_MERGES).lstrip()}
+    SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym
+    FROM pk_out p JOIN bpe_out b USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2901,7 +2918,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/mean length, symbol and alpha-word ratios, bullet/ellipsis line
     ratios, required-stopword hits and the g_keep verdict, chained through
     the same keep= passthrough (still one scan before the packing window's
-    single shuffle); integer-exact against oracle_gopher_sql."""
+    single shuffle); integer-exact against oracle_gopher_sql.
+
+    NEW r5: real BPE merge application rides the same row
+    (operators/bpe.with_bpe_tokens, distinct-pretoken strategy) under the
+    planted _GATE_MERGES tokenizer model — per-doc merged-symbol count and
+    longest merged symbol, with the oracle refolding every distinct
+    pre-token through the same rank-ordered greedy merges via
+    list_reduce (bpe.bpe_oracle_sql). The trainer that produces such merge
+    lists is golden-pinned in tests/test_bpe.py."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -2926,7 +2951,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     goph = C4.with_gopher_rules(rep, keep=rep_names + ("text",))
     tok = TS.with_token_stats(goph, keep=rep_names + C4._G_PRODUCED)
     packed = PK.pack_sequences(tok, budget=512, n_shards=8)
-    return packed.withColumn("g_keep", F.col("g_keep").cast("long"))
+    bpe = BPE.with_bpe_tokens(docs, _GATE_MERGES)
+    return packed.withColumn("g_keep", F.col("g_keep").cast("long")).join(
+        bpe, "doc_id"
+    )
 
 
 # deterministic-sampling key mirror (packing.hash_sample_pmille, salt
