@@ -284,10 +284,26 @@ def worker_serve_main(cores: int, corpus_dir: str) -> None:
     # granularity follows real bytes, not the 4 MB-per-file padding.
     total = _corpus_bytes(Path(corpus_dir))
     split_bytes = max(4 << 20, total // (TASK_WAVES * cores))
+    # Shuffle partitions: memory-bounded, not throughput-tuned. The
+    # constraint is that `cores` concurrent tasks must hold their decoded
+    # shuffle partitions in heap at once, i.e. decoded/partitions <=
+    # heap_budget/cores -> partitions >= decoded*cores/heap_budget (8 GB
+    # working-set budget of the 16 GB JVM). A 2-core worker over the 120k
+    # corpus would otherwise push ~11 GB of decoded rows per partition
+    # (the sf1-rehearsal OOM class); at the 12k corpus the bound resolves
+    # below core count for every config, so round-over-round numbers are
+    # untouched. Deliberately NOT main()'s ~128 MB throughput rule here:
+    # interleaved A/B at 12k/local[2] measured 17 partitions ~18% slower
+    # than 2 (30.8 -> 36.3 s best-of-4) — more waves of tiny tasks, no
+    # memory need — and a depressed 2-core denominator would also inflate
+    # the 2->8 efficiency headline, which must stay honest.
+    decoded = total * 3  # zstd parquet ~3x on decode
+    heap_budget = 8 << 30
+    shuffle_parts = max(cores, (decoded * cores) // heap_budget)
     spark = get_spark(
         app_name=f"bench_worker_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=cores,
+        shuffle_partitions=shuffle_parts,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split_bytes),
             "spark.sql.files.openCostInBytes": str(1 << 20),
