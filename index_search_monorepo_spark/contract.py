@@ -49,6 +49,7 @@ from index_search_monorepo_spark.operators.extraction import (
     with_extracted_spans,
     with_ocr,
 )
+from index_search_monorepo_spark.sources import warc as WARC
 from index_search_monorepo_spark.sources.docs_to_spans import (
     documents_to_spans,
     spans_pages_sql,
@@ -252,6 +253,10 @@ _URL_PLANT_SQL = (
     " || CAST(doc_id AS VARCHAR) || '?s=1' END"
 )
 _URL_FRAGS = UF.oracle_url_sql(_URL_PLANT_SQL, blocked=_URL_BLOCKED)
+# WARC round-trip gate (r5): the kernel builds a gzip-membered WARC per doc,
+# parses it with the real reader, and extracts main content from the HTML
+# payload; these fragments predict the results (sources/warc.oracle_warc_sql)
+_WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
 
 
 @register(
@@ -292,7 +297,13 @@ _URL_FRAGS = UF.oracle_url_sql(_URL_PLANT_SQL, blocked=_URL_BLOCKED)
            {_URL_FRAGS['registered_domain']} AS url_registered_domain,
            {_URL_FRAGS['tld']} AS url_tld,
            CAST({_URL_FRAGS['is_ip']} AS BIGINT) AS url_is_ip,
-           CAST({_URL_FRAGS['blocked']} AS BIGINT) AS url_blocked
+           CAST({_URL_FRAGS['blocked']} AS BIGINT) AS url_blocked,
+           {_WARC_FRAGS['warc_status']} AS warc_status,
+           {_WARC_FRAGS['warc_uri']} AS warc_uri,
+           {_WARC_FRAGS['warc_payload_len']} AS warc_payload_len,
+           {_WARC_FRAGS['warc_extract_md5']} AS warc_extract_md5,
+           {_WARC_FRAGS['warc_n_records']} AS warc_n_records,
+           {_WARC_FRAGS['warc_n_errors']} AS warc_n_errors
     FROM pt
     """,
 )
@@ -322,7 +333,15 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     TLD/IP extraction and the label-suffix blocklist flag (ex2.com blocks
     h*.ex2.com subdomains, never the ex0/ex1/ex3 lookalikes; one exact IP
     hit), all pure per-row regex/array codegen on the same single scan,
-    byte-matched by urlfilter.oracle_url_sql."""
+    byte-matched by urlfilter.oracle_url_sql.
+
+    NEW r5: the WARC source (sources/warc.py) rides the same row as a
+    full round-trip — per doc the kernel BUILDS a gzip-membered WARC
+    (warcinfo + HTTP response; every 13th doc gets a junk member), PARSES
+    it with the real reader, and boilerplate-strips the HTML payload; the
+    oracle pins status/URI/payload-length/extract-md5/record- and
+    error-counts, so writer, member streamer, record parser, HTTP parser
+    and extractor are all value-gated."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -412,6 +431,12 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_col="_url",
         blocked=_URL_BLOCKED,
     )
+    # r5 WARC round-trip ride: build -> gzip-member -> parse -> HTTP ->
+    # boilerplate-strip, all inside one Arrow-batched kernel; the struct is
+    # bound behind a Project boundary (nondeterministic UDF, lesson #9)
+    base = base.withColumn(
+        "_warc", WARC.warc_roundtrip_udf()(F.col("doc_id"), F.col("text"))
+    )
     out = base.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
@@ -433,6 +458,12 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url_tld"),
         F.col("url_is_ip").cast("long").alias("url_is_ip"),
         F.col("url_blocked").cast("long").alias("url_blocked"),
+        F.col("_warc.warc_status").alias("warc_status"),
+        F.col("_warc.warc_uri").alias("warc_uri"),
+        F.col("_warc.warc_payload_len").alias("warc_payload_len"),
+        F.col("_warc.warc_extract_md5").alias("warc_extract_md5"),
+        F.col("_warc.warc_n_records").alias("warc_n_records"),
+        F.col("_warc.warc_n_errors").alias("warc_n_errors"),
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"
@@ -1957,22 +1988,56 @@ assign AS (
 """
 
 
+# Trained-codebook oracle (r5): replay 2 Lloyd iterations in SQL, plus one
+# extra assignment pass (kassign3 = occupancy of the final codebook kcents2).
+_KM_CTES, _KM_FINAL = SIM.oracle_kmeans_ctes(k=16, iters=3)
+
+
 @register(
     "similarity_ivf_cells",
     f"""
-    WITH {_IVF_ASSIGN_CTE.strip()}
-    SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
-           CAST(max(vec_id) AS BIGINT) AS max_vec_id
-    FROM assign GROUP BY cell
+    WITH {_IVF_ASSIGN_CTE.strip()},
+    {_KM_CTES},
+    kocc AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS km_n_vecs,
+             CAST(min(vec_id) AS BIGINT) AS km_min_vec_id,
+             CAST(max(vec_id) AS BIGINT) AS km_max_vec_id
+      FROM kassign3 GROUP BY cell
+    ),
+    kmd5 AS (
+      SELECT cell, md5(array_to_string(list_transform(c_vec,
+               x -> CAST(CAST(round(x * 1e6) AS BIGINT) AS VARCHAR)), ','))
+               AS c_md5
+      FROM kcents2
+    )
+    SELECT s.cell, s.n_vecs, s.min_vec_id, s.max_vec_id,
+           coalesce(k.km_n_vecs, CAST(0 AS BIGINT)) AS km_n_vecs,
+           coalesce(k.km_min_vec_id, CAST(-1 AS BIGINT)) AS km_min_vec_id,
+           coalesce(k.km_max_vec_id, CAST(-1 AS BIGINT)) AS km_max_vec_id,
+           m.c_md5
+    FROM (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+             CAST(max(vec_id) AS BIGINT) AS max_vec_id
+      FROM assign GROUP BY cell
+    ) s
+    JOIN kmd5 m USING (cell)
+    LEFT JOIN kocc k USING (cell)
     """,
 )
 def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cell occupancy (codebook = vectors 0..15, broadcast one-row
-    array; assignment is a map-side argmax, zero corpus shuffle)."""
-    return SIM.ivf_cell_stats(
-        _t(spark, sf_dir, "embeddings"), centroid_ids=list(range(16))
-    )
+    """IVF cell occupancy, static AND k-means-trained (r5): the static
+    codebook (= vectors 0..15, broadcast one-row array, map-side argmax,
+    zero corpus shuffle) next to the distributed-Lloyd-trained codebook
+    (2 iterations; per-coordinate means via posexplode + map-side-combined
+    hash aggregate — the shuffle carries k x dim partial rows, never
+    vectors). km_c_md5 pins the trained centroid VALUES (e6 fixed-point
+    serialization), so a drift anywhere in either Lloyd iteration — the
+    argmax, the mean, the empty-cell rule — flips the hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    static = SIM.ivf_cell_stats(emb, centroid_ids=list(range(16)))
+    trained = SIM.kmeans_cell_stats(emb, init_ids=list(range(16)), iters=2)
+    return static.join(trained, "cell")
 
 
 @register(

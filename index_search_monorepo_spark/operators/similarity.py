@@ -401,6 +401,214 @@ def ivf_topk(
     )
 
 
+def kmeans_iterate(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration -> next one-row codebook (same shape as
+    `ivf_codebook`).
+
+    The 100 TB shape of distributed k-means: the E-step is `ivf_assign`
+    (broadcast one-row codebook, map-side argmax, ZERO corpus shuffle);
+    the M-step is per-coordinate means via posexplode + hash aggregate —
+    posexplode is a narrow per-row op and the groupBy(cell, pos) partial
+    aggregation combines map-side, so the shuffle carries at most
+    k x dim x n_partitions partial rows, never vectors. New coordinates
+    are rounded to 6 dp so the trained codebook is bit-reproducible
+    cross-engine (the DuckDB oracle replays the same iterations). A cell
+    that loses every member keeps its previous centroid (deterministic;
+    mirrored in SQL with a left-join coalesce)."""
+    assigned = ivf_assign(emb, codebook, id_col, vec_col)
+    means = (
+        assigned.select(
+            "cell", F.posexplode(_as_double(F.col("vec"))).alias("pos", "val")
+        )
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    new_cents = (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("cval")))
+            ).alias("pv")
+        )
+        .select("cell", F.transform("pv", lambda s: s["cval"]).alias("c_new"))
+    )
+    prev = codebook.select(F.explode("cents").alias("c")).select(
+        F.col("c.cell").alias("cell"), F.col("c.c_vec").alias("c_prev")
+    )
+    merged = prev.join(new_cents, "cell", "left").select(
+        "cell", F.coalesce("c_new", "c_prev").alias("c_vec")
+    )
+    return merged.select(
+        F.struct(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("c_vec").alias("c_vec"),
+            norm_expr(F.col("c_vec")).alias("c_norm"),
+        ).alias("c")
+    ).agg(F.sort_array(F.collect_list("c")).alias("cents"))
+
+
+def _literal_codebook(spark, cells: list[tuple[int, list[float]]]) -> DataFrame:
+    """One-row codebook DataFrame from driver-side (cell, coords) pairs —
+    the lineage-truncation step between Lloyd iterations (k x dim doubles,
+    bounded and tiny; the corpus never visits the driver)."""
+    cents = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(cell).cast("long").alias("cell"),
+                    F.array(*[F.lit(float(x)).cast("double") for x in vec]).alias(
+                        "c_vec"
+                    ),
+                    norm_expr(
+                        F.array(*[F.lit(float(x)).cast("double") for x in vec])
+                    ).alias("c_norm"),
+                )
+                for cell, vec in cells
+            ]
+        )
+    )
+    return spark.range(1).select(cents.alias("cents"))
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    init_ids: list[int],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    collect_each_iter: bool = True,
+) -> DataFrame:
+    """Distributed Lloyd's k-means -> trained one-row codebook for the IVF
+    index (replaces the "centroid ids as codebook" bootstrap with real
+    training; `ivf_codebook`'s docstring deferred this to "offline
+    k-means" — this is that trainer, Spark-first).
+
+    Init = the vectors with ids `init_ids` (deterministic; cell label = the
+    init id, stable across iterations). With collect_each_iter=True (the
+    production shape, same as Spark ML's KMeans driver loop) each
+    iteration's k x dim codebook is collected to the driver and re-entered
+    as literals, truncating lineage so every iteration is ONE pass over the
+    corpus; False keeps the whole loop lazy (plan-only, for plan tests).
+    Collected doubles round-trip exactly (coords are 6 dp-rounded by
+    `kmeans_iterate`), so both modes produce identical codebooks."""
+    cb = ivf_codebook(emb, init_ids, id_col, vec_col)
+    for _ in range(int(iters)):
+        cb = kmeans_iterate(emb, cb, id_col, vec_col)
+        if collect_each_iter:
+            row = cb.collect()[0]
+            cb = _literal_codebook(
+                emb.sparkSession,
+                [(c["cell"], list(c["c_vec"])) for c in row["cents"]],
+            )
+    return cb
+
+
+def codebook_md5_cells(codebook: DataFrame) -> DataFrame:
+    """(cell, c_md5): centroid fingerprints — md5 over the e6 fixed-point
+    serialization of each centroid, so the oracle can pin trained VALUES,
+    not just assignment counts."""
+    return codebook.select(F.explode("cents").alias("c")).select(
+        F.col("c.cell").alias("cell"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("c.c_vec"),
+                    lambda x: F.round(x * 1e6).cast("long").cast("string"),
+                ),
+            )
+        ).alias("c_md5"),
+    )
+
+
+def kmeans_cell_stats(
+    emb: DataFrame,
+    init_ids: list[int],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    collect_each_iter: bool = True,
+) -> DataFrame:
+    """Per-cell stats of the TRAINED index: (cell, km_n_vecs, km_min_vec_id,
+    km_max_vec_id, km_c_md5). Base relation is the codebook (k rows, every
+    init cell present even if emptied), left-joined with final-assignment
+    occupancy; the corpus-side plan is the same zero-shuffle broadcast
+    argmax as `ivf_cell_stats`."""
+    cb = kmeans_codebook(
+        emb, init_ids, iters, id_col, vec_col, collect_each_iter
+    )
+    occ = (
+        ivf_assign(emb, cb, id_col, vec_col)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("km_n_vecs"),
+            F.min("vid").cast("long").alias("km_min_vec_id"),
+            F.max("vid").cast("long").alias("km_max_vec_id"),
+        )
+    )
+    return (
+        codebook_md5_cells(cb)
+        .join(occ, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("km_n_vecs", F.lit(0).cast("long")).alias("km_n_vecs"),
+            F.coalesce("km_min_vec_id", F.lit(-1).cast("long")).alias(
+                "km_min_vec_id"
+            ),
+            F.coalesce("km_max_vec_id", F.lit(-1).cast("long")).alias(
+                "km_max_vec_id"
+            ),
+            "c_md5",
+        )
+    )
+
+
+def oracle_kmeans_ctes(
+    k: int, iters: int = 2, table: str = "embeddings"
+) -> tuple[str, str]:
+    """(cte_block, final_cents_name) — DuckDB CTE chain replaying the SAME
+    Lloyd iterations (init = vec_id < k; 6 dp-rounded coordinate means;
+    empty cells keep the previous centroid via left-join coalesce). Kept
+    next to the trainer so the two engines cannot drift."""
+    parts = [
+        f"""kcents0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c_vec
+  FROM {table} WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        prev = f"kcents{i - 1}"
+        parts.append(
+            f"""kassign{i} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) DESC, c.cell) AS rn
+    FROM {table} e CROSS JOIN {prev} c) WHERE rn = 1
+),
+kmeans{i} AS (
+  SELECT cell, pos, round(avg(val), 6) AS cval FROM (
+    SELECT cell, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           unnest(range(1, len(embedding) + 1)) AS pos
+    FROM kassign{i}) GROUP BY cell, pos
+),
+knew{i} AS (
+  SELECT cell, list(cval ORDER BY pos) AS c_vec FROM kmeans{i} GROUP BY cell
+),
+kcents{i} AS (
+  SELECT p.cell, coalesce(n.c_vec, p.c_vec) AS c_vec
+  FROM {prev} p LEFT JOIN knew{i} n USING (cell)
+)"""
+        )
+    return ",\n".join(parts), f"kcents{iters}"
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     threshold_e6: int = 990000,

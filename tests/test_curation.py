@@ -793,3 +793,69 @@ class TestPassageLineWrapRecall:
             ).collect()
         }
         assert ex[0] == "ua ub" and ex[1] == "vc vd"
+
+
+class TestKmeansTrainer:
+    def test_lazy_and_collected_modes_identical(self, spark):
+        """collect_each_iter only truncates lineage — the trained codebook
+        must be bit-identical (coords are 6 dp-rounded, so the driver
+        round-trip is exact)."""
+        emb = _emb(spark)
+        a = SIM.kmeans_codebook(
+            emb, init_ids=list(range(8)), iters=2, collect_each_iter=True
+        ).collect()[0]["cents"]
+        b = SIM.kmeans_codebook(
+            emb, init_ids=list(range(8)), iters=2, collect_each_iter=False
+        ).collect()[0]["cents"]
+        assert [(c["cell"], list(c["c_vec"])) for c in a] == [
+            (c["cell"], list(c["c_vec"])) for c in b
+        ]
+
+    def test_training_improves_cohesion(self, spark):
+        """Lloyd's must not worsen the objective: mean cosine of each
+        vector to its assigned centroid rises (or holds) vs the untrained
+        id-codebook."""
+        emb = _emb(spark)
+        ids = list(range(8))
+
+        def mean_assigned_sim(cb):
+            a = SIM.ivf_assign(emb, cb)
+            cents = cb.select(F.explode("cents").alias("c")).select(
+                F.col("c.cell").alias("cell"), F.col("c.c_vec").alias("c_vec")
+            )
+            return (
+                a.join(F.broadcast(cents), "cell")
+                .select(
+                    SIM.cosine_expr(F.col("vec"), F.col("c_vec")).alias("s")
+                )
+                .agg(F.avg("s"))
+                .collect()[0][0]
+            )
+
+        before = mean_assigned_sim(SIM.ivf_codebook(emb, ids))
+        after = mean_assigned_sim(SIM.kmeans_codebook(emb, ids, iters=2))
+        assert after >= before - 1e-9, (before, after)
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        """A centroid no vector picks survives the iteration unchanged
+        (deterministic; the SQL oracle mirrors with a left-join
+        coalesce)."""
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.01 * i]) for i in range(4)],
+            ["vec_id", "embedding"],
+        )
+        cb = SIM._literal_codebook(
+            spark, [(0, [1.0, 0.0]), (9, [-1.0, 0.0])]
+        )
+        out = SIM.kmeans_iterate(emb, cb).collect()[0]["cents"]
+        cells = {c["cell"]: list(c["c_vec"]) for c in out}
+        assert set(cells) == {0, 9}
+        assert cells[9] == [-1.0, 0.0]            # kept verbatim
+        assert cells[0] == [1.0, 0.015]           # mean of 0..0.03, 6 dp
+
+    def test_cell_stats_cover_corpus(self, spark):
+        emb = _emb(spark)
+        rows = SIM.kmeans_cell_stats(emb, init_ids=list(range(8))).collect()
+        assert len(rows) == 8
+        assert sum(r["km_n_vecs"] for r in rows) == emb.count()
+        assert all(len(r["c_md5"]) == 32 for r in rows)
