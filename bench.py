@@ -606,29 +606,51 @@ def main() -> None:
     }
     _emit(artifact)  # snapshot 1: headline done
 
+    # Headline-phase cached frames (dedup/LM entries persist intermediates
+    # on the cache-registry lifecycle) must not occupy the extraction
+    # phase's heap: at the 120k dress-rehearsal corpus the doc-meta shuffle
+    # join runs 32 concurrent fat-row reduce tasks right at the 16 GB
+    # JVM's margin, and leftover storage blocks tipped it into GC-overhead
+    # OOM (r5 sf1 run 1). Phases are separate jobs in production.
+    spark.catalog.clearCache()
+
     # Gate-and-retry on extraction throughput (VERDICT r03 next #3), same
     # shape as the scaling-efficiency gate: keep the BEST reading (ambient
     # load only subtracts), bounded retries, depth recorded in the artifact
     # — now also capped by the global budget, reserving room for scaling.
+    # A phase failure (OOM class) records extraction_error and falls
+    # through to scaling: a partial artifact beats an absent one.
     scaling_reserve = 100.0 + 45.0 * SCALING_ROUNDS if do_scaling else 0.0
-    extraction = run_extraction(spark, corpus_dir, size_shuffle_by_bytes=True)
-    attempt_est = 4.0 * extraction["sec"] + 2.0  # warmup + 3 timed runs
-    retries = 0
-    while (
-        extraction["docs_per_sec"] < EXTRACTION_FLOOR
-        and retries < EXTRACTION_MAX_RETRIES
-        and _budget_allows(attempt_est + scaling_reserve)
-    ):
-        retries += 1
-        again = run_extraction(spark, corpus_dir, size_shuffle_by_bytes=True)
-        if again["docs_per_sec"] > extraction["docs_per_sec"]:
-            extraction = again
-    extraction["floor_docs_per_sec"] = EXTRACTION_FLOOR
-    extraction["retries"] = retries
-    extraction["below_floor"] = extraction["docs_per_sec"] < EXTRACTION_FLOOR
-    spark.stop()
+    try:
+        extraction = run_extraction(
+            spark, corpus_dir, size_shuffle_by_bytes=True
+        )
+        attempt_est = 4.0 * extraction["sec"] + 2.0  # warmup + 3 timed runs
+        retries = 0
+        while (
+            extraction["docs_per_sec"] < EXTRACTION_FLOOR
+            and retries < EXTRACTION_MAX_RETRIES
+            and _budget_allows(attempt_est + scaling_reserve)
+        ):
+            retries += 1
+            again = run_extraction(
+                spark, corpus_dir, size_shuffle_by_bytes=True
+            )
+            if again["docs_per_sec"] > extraction["docs_per_sec"]:
+                extraction = again
+        extraction["floor_docs_per_sec"] = EXTRACTION_FLOOR
+        extraction["retries"] = retries
+        extraction["below_floor"] = (
+            extraction["docs_per_sec"] < EXTRACTION_FLOOR
+        )
+        artifact["extraction"] = extraction
+    except Exception as exc:
+        artifact["extraction_error"] = repr(exc)[:500]
+    try:
+        spark.stop()
+    except Exception:
+        pass  # a dead JVM must not cost the remaining phases
 
-    artifact["extraction"] = extraction
     artifact["phases"] = ["headline", "extraction"]
     _emit(artifact)  # snapshot 2: extraction done
 

@@ -303,7 +303,12 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
            {_WARC_FRAGS['warc_payload_len']} AS warc_payload_len,
            {_WARC_FRAGS['warc_extract_md5']} AS warc_extract_md5,
            {_WARC_FRAGS['warc_n_records']} AS warc_n_records,
-           {_WARC_FRAGS['warc_n_errors']} AS warc_n_errors
+           {_WARC_FRAGS['warc_n_errors']} AS warc_n_errors,
+           {_WARC_FRAGS['warc_title']} AS warc_title,
+           {_WARC_FRAGS['warc_lang']} AS warc_lang,
+           {_WARC_FRAGS['warc_canonical']} AS warc_canonical,
+           {_WARC_FRAGS['warc_n_links']} AS warc_n_links,
+           {_WARC_FRAGS['warc_first_href']} AS warc_first_href
     FROM pt
     """,
 )
@@ -341,7 +346,11 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     it with the real reader, and boilerplate-strips the HTML payload; the
     oracle pins status/URI/payload-length/extract-md5/record- and
     error-counts, so writer, member streamer, record parser, HTTP parser
-    and extractor are all value-gated."""
+    and extractor are all value-gated. r5b: the planted page also gates
+    the DOM heuristics — a class="comment" block the density rules alone
+    would keep must be weight-dropped (extract md5), and the one-pass
+    metadata parser's title/lang/canonical-resolution/link extraction
+    ride as warc_title/lang/canonical/n_links/first_href."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -464,6 +473,11 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_warc.warc_extract_md5").alias("warc_extract_md5"),
         F.col("_warc.warc_n_records").alias("warc_n_records"),
         F.col("_warc.warc_n_errors").alias("warc_n_errors"),
+        F.col("_warc.warc_title").alias("warc_title"),
+        F.col("_warc.warc_lang").alias("warc_lang"),
+        F.col("_warc.warc_canonical").alias("warc_canonical"),
+        F.col("_warc.warc_n_links").alias("warc_n_links"),
+        F.col("_warc.warc_first_href").alias("warc_first_href"),
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

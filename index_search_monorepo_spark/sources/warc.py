@@ -326,11 +326,15 @@ def warc_scan(spark: SparkSession, path: str) -> DataFrame:
     return binary.mapInPandas(gen, WARC_RECORD_SCHEMA)
 
 
-def warc_to_documents(warc_df: DataFrame) -> DataFrame:
+def warc_to_documents(
+    warc_df: DataFrame, dom_weights: bool = True
+) -> DataFrame:
     """Response records -> (doc_id, text): HTML payloads through the REAL
     boilerplate extractor (functions/html.py), doc_id = target URI. One
     Arrow stage on top of the scan, no shuffle; non-HTML and error rows
-    drop here (they remain visible in the scan frame for the error sink)."""
+    drop here (they remain visible in the scan frame for the error sink).
+    DOM class/id weights default ON for web pages (comment threads and
+    nav chrome are exactly what they exist for)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -342,7 +346,8 @@ def warc_to_documents(warc_df: DataFrame) -> DataFrame:
             ]
             texts = [
                 extract_main_content(
-                    bytes(p).decode("utf-8", "replace") if p is not None else ""
+                    bytes(p).decode("utf-8", "replace") if p is not None else "",
+                    dom_weights=dom_weights,
                 )
                 for p in keep["payload"]
             ]
@@ -368,10 +373,21 @@ def warc_roundtrip_udf():
     the writer, the member streamer, the record/HTTP parsers, or the
     boilerplate extractor flips a value the DuckDB oracle pins.
 
+    r5b: the same payload also runs the DOM-heuristic surfaces — the
+    Readability-style class/id weights (a planted class="comment" block
+    that the density rules ALONE would keep must be dropped, or the
+    extract md5 flips) and the one-pass metadata parser (title / lang /
+    canonical resolution / link extraction with urljoin against the
+    record's own target URI).
+
     Marked nondeterministic (CLAUDE.md lesson #9): callers project struct
     fields, and predicate pushdown below the Project would re-run the
     kernel."""
     from pyspark.sql.functions import pandas_udf
+
+    from index_search_monorepo_spark.functions.html import (
+        parse_html_metadata,
+    )
 
     schema = StructType(
         [
@@ -381,6 +397,11 @@ def warc_roundtrip_udf():
             StructField("warc_extract_md5", StringType()),
             StructField("warc_n_records", LongType()),
             StructField("warc_n_errors", LongType()),
+            StructField("warc_title", StringType()),
+            StructField("warc_lang", StringType()),
+            StructField("warc_canonical", StringType()),
+            StructField("warc_n_links", LongType()),
+            StructField("warc_first_href", StringType()),
         ]
     )
 
@@ -392,10 +413,17 @@ def warc_roundtrip_udf():
             )
         else:
             html = (
-                f"<html><head><title>doc{doc_id}</title></head><body>"
+                f'<html lang="en"><head><title>doc{doc_id}</title>'
+                f'<meta name="description" content="synthetic page {doc_id}">'
+                f'<link rel="canonical" href="/c/{doc_id}">'
+                "</head><body>"
                 f"<p>{text}</p>"
-                '<div><a href="/n">nav</a> <a href="/m">more nav links</a>'
-                "</div></body></html>"
+                '<div class="comment">This comment spam should never reach'
+                " the corpus.</div>"
+                '<div id="nav"><a href="/n">nav</a> <a href="/m">more nav'
+                " links</a>"
+                + (f'<a href="/x{doc_id}">x</a>' if doc_id % 3 == 0 else "")
+                + "</div></body></html>"
             )
             http = http_response_bytes(200, html.encode("utf-8"))
         records = [
@@ -423,11 +451,13 @@ def warc_roundtrip_udf():
         good = [r for r in parsed if r["error"] is None]
         errs = [r for r in parsed if r["error"] is not None]
         resp = next(r for r in good if r["warc_type"] == "response")
+        payload_text = (resp["payload"] or b"").decode("utf-8")
         if resp["http_status"] == 200 and resp["payload"] is not None:
-            extract = extract_main_content(resp["payload"].decode("utf-8"))
+            extract = extract_main_content(payload_text, dom_weights=True)
             md5 = hashlib.md5(extract.encode("utf-8")).hexdigest()
         else:
             md5 = None
+        meta = parse_html_metadata(payload_text, base_uri=resp["target_uri"])
         return {
             "warc_status": resp["http_status"],
             "warc_uri": resp["target_uri"],
@@ -435,6 +465,11 @@ def warc_roundtrip_udf():
             "warc_extract_md5": md5,
             "warc_n_records": len(good),
             "warc_n_errors": len(errs),
+            "warc_title": meta["title"],
+            "warc_lang": meta["lang"],
+            "warc_canonical": meta["canonical"],
+            "warc_n_links": len(meta["links"]),
+            "warc_first_href": meta["links"][0][0] if meta["links"] else None,
         }
 
     @pandas_udf(schema)
@@ -455,12 +490,21 @@ def oracle_warc_sql(id_expr: str, text_expr: str) -> dict[str, str]:
     short + link-dense), else ''."""
     norm = f"trim(regexp_replace({text_expr}, '\\s+', ' ', 'g'))"
     html = (
-        f"'<html><head><title>doc' || CAST({id_expr} AS VARCHAR)"
-        " || '</title></head><body><p>' || "
-        f"{text_expr}"
-        " || '</p><div><a href=\"/n\">nav</a> <a href=\"/m\">more nav links</a>"
-        "</div></body></html>'"
-    )
+        "'<html lang=\"en\"><head><title>doc' || CAST({i} AS VARCHAR)"
+        " || '</title>"
+        "<meta name=\"description\" content=\"synthetic page '"
+        " || CAST({i} AS VARCHAR) || '\">"
+        "<link rel=\"canonical\" href=\"/c/' || CAST({i} AS VARCHAR) || '\">"
+        "</head><body><p>' || {t} || '</p>"
+        "<div class=\"comment\">This comment spam should never reach"
+        " the corpus.</div>"
+        "<div id=\"nav\"><a href=\"/n\">nav</a> <a href=\"/m\">more nav"
+        " links</a>'"
+        " || CASE WHEN {i} % 3 = 0"
+        " THEN '<a href=\"/x' || CAST({i} AS VARCHAR) || '\">x</a>'"
+        " ELSE '' END"
+        " || '</div></body></html>'"
+    ).format(i=id_expr, t=text_expr)
     return {
         "warc_status": (
             f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(301 AS BIGINT)"
@@ -480,5 +524,26 @@ def oracle_warc_sql(id_expr: str, text_expr: str) -> dict[str, str]:
         "warc_n_errors": (
             f"CASE WHEN {id_expr} % 13 = 0 THEN CAST(1 AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END"
+        ),
+        "warc_title": (
+            f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(NULL AS VARCHAR)"
+            f" ELSE 'doc' || CAST({id_expr} AS VARCHAR) END"
+        ),
+        "warc_lang": (
+            f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(NULL AS VARCHAR)"
+            " ELSE 'en' END"
+        ),
+        "warc_canonical": (
+            f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(NULL AS VARCHAR)"
+            f" ELSE 'http://ex.org/c/' || CAST({id_expr} AS VARCHAR) END"
+        ),
+        "warc_n_links": (
+            f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(0 AS BIGINT)"
+            f" WHEN {id_expr} % 3 = 0 THEN CAST(3 AS BIGINT)"
+            " ELSE CAST(2 AS BIGINT) END"
+        ),
+        "warc_first_href": (
+            f"CASE WHEN {id_expr} % 7 = 0 THEN CAST(NULL AS VARCHAR)"
+            " ELSE 'http://ex.org/n' END"
         ),
     }

@@ -68,3 +68,121 @@ def test_whitespace_normalized():
     html = f"<p>Lots   of\n\nwhitespace   inside this long enough block here.</p>"
     want = " ".join(messy.split())
     assert extract_main_content(html) == want
+
+
+# --------------------------------------------------------- DOM weights (r5)
+
+
+def test_dom_weights_drop_negative_classes():
+    """A long, link-free comment block passes the density rules but must be
+    dropped by the class/id tri-state (opt-in)."""
+    html = (
+        "<p>the genuine article body text is long enough to keep</p>"
+        '<div class="comment">this comment thread text is also long enough'
+        " to keep by density rules alone</div>"
+    )
+    from index_search_monorepo_spark.functions.html import (
+        extract_main_content,
+    )
+
+    assert "comment thread" in extract_main_content(html)
+    out = extract_main_content(html, dom_weights=True)
+    assert "comment thread" not in out
+    assert "genuine article body" in out
+
+
+def test_dom_weights_negative_propagates_to_children():
+    html = (
+        '<div class="sidebar"><p>long enough nested sidebar paragraph text'
+        " here</p></div>"
+        "<p>real content paragraph stays in the output here</p>"
+    )
+    from index_search_monorepo_spark.functions.html import (
+        extract_main_content,
+    )
+
+    out = extract_main_content(html, dom_weights=True)
+    assert "sidebar" not in out
+    assert "real content paragraph" in out
+
+
+def test_dom_weights_positive_keeps_short_blocks():
+    from index_search_monorepo_spark.functions.html import (
+        extract_main_content,
+    )
+
+    html = '<p class="article-text">short but real</p>'
+    assert extract_main_content(html) == ""          # < MIN_BLOCK_CHARS
+    assert extract_main_content(html, dom_weights=True) == "short but real"
+
+
+def test_dom_weights_negative_wins_tie():
+    from index_search_monorepo_spark.functions.html import (
+        extract_main_content,
+    )
+
+    html = '<p class="main-footer">long enough text in an ambiguous box</p>'
+    assert extract_main_content(html, dom_weights=True) == ""
+
+
+def test_dom_weights_off_by_default_is_stable():
+    """The flag must not change the default path (existing span goldens)."""
+    from index_search_monorepo_spark.functions.html import (
+        extract_main_content,
+    )
+
+    html = '<div class="comment">long enough comment text to keep here</div>'
+    assert extract_main_content(html) == (
+        "long enough comment text to keep here"
+    )
+
+
+# ------------------------------------------------------- DOM metadata (r5)
+
+
+def test_parse_html_metadata_full():
+    from index_search_monorepo_spark.functions.html import (
+        parse_html_metadata,
+    )
+
+    html = (
+        '<html lang="de"><head><title> My  Title </title>'
+        '<meta name="description" content="a page">'
+        '<link rel="canonical" href="/canon">'
+        "</head><body>"
+        '<a href="/one">first</a>'
+        '<a href="two.html">second link</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a>no href</a>'
+        "<script>var a = '<a href=\"/fake\">x</a>';</script>"
+        "</body></html>"
+    )
+    m = parse_html_metadata(html, base_uri="http://ex.org/dir/page")
+    assert m["title"] == "My Title"
+    assert m["lang"] == "de"
+    assert m["description"] == "a page"
+    assert m["canonical"] == "http://ex.org/canon"
+    assert m["links"] == [
+        ("http://ex.org/one", "first"),
+        ("http://ex.org/dir/two.html", "second link"),
+    ]
+
+
+def test_parse_html_metadata_no_base_keeps_raw_hrefs():
+    from index_search_monorepo_spark.functions.html import (
+        parse_html_metadata,
+    )
+
+    m = parse_html_metadata('<a href="/rel">x</a>')
+    assert m["links"] == [("/rel", "x")]
+    assert m["title"] is None
+
+
+def test_parse_html_metadata_never_raises():
+    from index_search_monorepo_spark.functions.html import (
+        parse_html_metadata,
+    )
+
+    for junk in ("", None, "<<<>>>", "<a href='"):
+        m = parse_html_metadata(junk or "")
+        assert m["links"] == [] and m["title"] is None
