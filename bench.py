@@ -606,13 +606,16 @@ def main() -> None:
     }
     _emit(artifact)  # snapshot 1: headline done
 
-    # Headline-phase cached frames (dedup/LM entries persist intermediates
-    # on the cache-registry lifecycle) must not occupy the extraction
-    # phase's heap: at the 120k dress-rehearsal corpus the doc-meta shuffle
-    # join runs 32 concurrent fat-row reduce tasks right at the 16 GB
-    # JVM's margin, and leftover storage blocks tipped it into GC-overhead
-    # OOM (r5 sf1 run 1). Phases are separate jobs in production.
-    spark.catalog.clearCache()
+    # The extraction phase gets a FRESH JVM. The headline phase leaves ~270
+    # stages of state behind (cached frames, broadcast remnants, python
+    # workers, code cache); at the 120k dress-rehearsal corpus the doc-meta
+    # shuffle join then runs 32 concurrent fat-row tasks right at the 16 GB
+    # heap's margin and tips into GC-overhead OOM (r5 sf1 runs 1-2 —
+    # clearCache alone was not enough), while the SAME extraction in the
+    # scaling phase's fresh worker JVMs completes. Phases are separate
+    # spark-submit jobs in production; model that here.
+    spark.stop()
+    spark = get_spark(app_name="bench_extraction")
 
     # Gate-and-retry on extraction throughput (VERDICT r03 next #3), same
     # shape as the scaling-efficiency gate: keep the BEST reading (ambient

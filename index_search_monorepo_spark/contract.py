@@ -1146,6 +1146,15 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISMAX_TERMS = ["spark", "es"]
 
+# r5: integer-exact BM25 (Solr's default similarity) rides the same entry;
+# the fragments come from the engine module so the fixed-point spec lives
+# in ONE place (search/engine.bm25_e6_oracle_sql)
+from index_search_monorepo_spark.search.engine import (  # noqa: E402
+    bm25_e6_oracle_sql as _bm25_oracle,
+)
+
+_BM25_CTES, _BM25_SCORE = _bm25_oracle(_DISMAX_TERMS)
+
 
 def _dismax_term_sql(t: str) -> str:
     """score_x2 contribution of one term with qf=[(text,1),(lang,50)],
@@ -1161,7 +1170,12 @@ def _dismax_term_sql(t: str) -> str:
 @register(
     "search_dismax_topk",
     f"""
-    WITH scored AS (
+    WITH {_BM25_CTES},
+    bm25 AS (
+      SELECT doc_id, {_BM25_SCORE} AS bm25_e6
+      FROM bm25tok CROSS JOIN bm25stats
+    ),
+    scored AS (
       SELECT doc_id,
              CAST({" + ".join(_dismax_term_sql(t) for t in _DISMAX_TERMS)}
                   AS BIGINT) AS score_x2
@@ -1179,7 +1193,7 @@ def _dismax_term_sql(t: str) -> str:
       FROM documents
     )
     SELECT s.doc_id, s.score_x2, CAST(s.rnk AS BIGINT) AS rank,
-           e.export_ord, e.export_lang,
+           e.export_ord, e.export_lang, b.bm25_e6,
            (SELECT 'id:("' || string_agg(CAST(doc_id AS VARCHAR),
                                          '" OR "' ORDER BY rnk2) || '")'
             FROM (SELECT doc_id, row_number() OVER
@@ -1194,6 +1208,7 @@ def _dismax_term_sql(t: str) -> str:
     FROM (SELECT *, row_number() OVER (ORDER BY score_x2 DESC, doc_id) AS rnk
           FROM scored) s
     JOIN exp e ON CAST(s.doc_id AS VARCHAR) = e.id
+    JOIN bm25 b ON s.doc_id = b.doc_id
     WHERE s.rnk <= 25
     """,
 )
@@ -1270,9 +1285,20 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in topk.filter(F.col("rank") <= 5).orderBy("rank").collect()
     ]
     mq = manage_string_query(" ".join(_DISMAX_TERMS), "OR")
+    # r5: integer-exact BM25 over the same corpus/terms (one stats agg,
+    # broadcast back, pure projection; search/engine.with_bm25_score_e6)
+    from index_search_monorepo_spark.search.engine import with_bm25_score_e6
+
+    bm25 = with_bm25_score_e6(
+        docs.select("doc_id", "text"), _DISMAX_TERMS
+    ).select(F.col("doc_id").alias("b_id"), "bm25_e6")
     return (
         topk.join(exp_df, topk["doc_id"].cast("string") == exp_df["id"])
-        .select("doc_id", "score_x2", "rank", "export_ord", "export_lang")
+        .join(bm25, topk["doc_id"] == F.col("b_id"))
+        .select(
+            "doc_id", "score_x2", "rank", "export_ord", "export_lang",
+            "bm25_e6",
+        )
         .withColumn(
             "fq_ids", F.lit(query_filter_creator_string("id", top5_ids))
         )

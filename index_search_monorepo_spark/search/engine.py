@@ -199,3 +199,184 @@ def export_all(
         out = out.filter(F.col("rights").isin(query.rights))
     fl = [c for c in (query.fl or [id_col]) if c in df.columns]
     return out.select(*fl).orderBy(id_col)
+
+
+# --------------------------------------------------------------- BM25 (r5)
+#
+# Solr's default similarity since 6.0 is BM25 (the reference's edismax
+# boosts, config_query.yaml, combine ON TOP of the field similarity) — the
+# dismax plan above reproduced the boost algebra; this adds the similarity
+# itself. Two variants:
+#
+#  - with_bm25_score       : true Lucene BM25 (ln idf) in doubles — the
+#    library scoring path (pytest-pinned against a pure-Python reference).
+#  - with_bm25_score_e6    : the ORACLE-EXACT variant per the repo's
+#    integer-arithmetic convention (CLAUDE.md: cents/e4 sums, DIV,
+#    round-before-rank). ln is not IEEE-correctly-rounded, so a float idf
+#    can drift between engines at a rounding boundary; instead idf uses the
+#    same bit-length log2 surrogate as operators/lm.py's NLL
+#    (bitlen((2N+1) DIV (2 df+1)) = floor(log2((N+.5)/(df+.5))) + 1) and the
+#    tf part is an exact rational in e3/e6 fixed point:
+#        avgdl_e3   = (1000 T) DIV N
+#        den_e3     = 1000 tf + 300 + (900000 dl) DIV avgdl_e3
+#                     (k1=1.2, b=0.75: k1(1-b)=0.3, k1 b=0.9, k1+1=2.2)
+#        tfpart_e6  = (2_200_000_000 tf) DIV den_e3
+#        score_e6   = sum_t idf_sur(t) * tfpart_e6(t)
+#    Every intermediate fits a BIGINT for ANY corpus size (no T in a
+#    numerator: max term is 2.2e9 * tf).
+#
+# Scale shape: corpus stats (N, T, df per query term) are ONE map-side-
+# combined aggregation producing ONE row, broadcast back over the corpus;
+# scoring is a pure projection (zero shuffle); top-k is
+# TakeOrderedAndProject — identical to the dismax plan.
+
+
+def _term_eq(trm: str):
+    """Closure factory: a `lambda t, trm=trm:` would count as a TWO-arg
+    lambda and F.filter would bind the element INDEX to trm (CLAUDE.md
+    lesson #2)."""
+
+    def eq(t):
+        return t == F.lit(trm)
+
+    return eq
+
+
+def _bm25_stats(
+    df: DataFrame, terms: list[str], text_col: str
+) -> DataFrame:
+    toks = _field_tokens(df, text_col)
+    base = df.select(
+        F.size(toks).cast("long").alias("_dl"),
+        *[
+            (F.size(F.filter(toks, _term_eq(trm))) > 0)
+            .cast("long")
+            .alias(f"_has_{i}")
+            for i, trm in enumerate(terms)
+        ],
+    )
+    return base.agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_dl").cast("long").alias("_T"),
+        *[
+            F.sum(f"_has_{i}").cast("long").alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+
+def with_bm25_score_e6(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """df + bm25_e6 (BIGINT): integer-exact BM25 with the log2-bitlen idf
+    surrogate. One stats aggregation + broadcast, then pure projection."""
+    from index_search_monorepo_spark.operators.lm import bitlen_expr
+
+    stats = _bm25_stats(df, terms, text_col)
+    toks = _field_tokens(df, text_col)
+    bound = (
+        df.join(F.broadcast(stats))
+        .withColumn("_toks", toks)
+        .withColumn("_dl", F.size(F.col("_toks")).cast("long"))
+        .withColumn(
+            "_avgdl_e3",
+            F.greatest(F.expr("(1000 * _T) DIV _N"), F.lit(1).cast("long")),
+        )
+    )
+    for i, trm in enumerate(terms):
+        bound = bound.withColumn(
+            f"_tf_{i}",
+            F.size(
+                F.filter(F.col("_toks"), _term_eq(trm))
+            ).cast("long"),
+        )
+    score = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        idf_sur = bitlen_expr(
+            F.expr(f"(2 * _N + 1) DIV (2 * _df_{i} + 1)")
+        )
+        tfpart = F.expr(
+            f"(2200000000 * _tf_{i}) DIV"
+            f" (1000 * _tf_{i} + 300 + (900000 * _dl) DIV _avgdl_e3)"
+        )
+        score = score + idf_sur * tfpart
+    keep = [c for c in df.columns]
+    return bound.select(*keep, score.alias("bm25_e6"))
+
+
+def with_bm25_score(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """df + bm25 (DOUBLE): true Lucene BM25 —
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation with length
+    normalization. Same one-aggregation + broadcast plan; library scoring
+    path (cross-engine float ln is not oracle-stable; use
+    with_bm25_score_e6 for driver-gated values)."""
+    stats = _bm25_stats(df, terms, text_col)
+    toks = _field_tokens(df, text_col)
+    bound = (
+        df.join(F.broadcast(stats))
+        .withColumn("_toks", toks)
+        .withColumn("_dl", F.size(F.col("_toks")).cast("double"))
+        .withColumn("_avgdl", F.col("_T").cast("double") / F.col("_N"))
+    )
+    score = F.lit(0.0)
+    for i, trm in enumerate(terms):
+        tf = F.size(
+            F.filter(F.col("_toks"), _term_eq(trm))
+        ).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_N") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        score = score + idf * (
+            tf
+            * (1.0 + k1)
+            / (tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+        )
+    keep = [c for c in df.columns]
+    return bound.select(*keep, score.alias("bm25"))
+
+
+def bm25_e6_oracle_sql(
+    terms: list[str], table: str = "documents", text_col: str = "text"
+) -> tuple[str, str]:
+    """(cte_block, score_expr) DuckDB mirror of with_bm25_score_e6 — kept
+    next to the Spark exprs so the fixed-point spec cannot drift. The
+    score_expr references per-doc `toks` from the `bm25tok` CTE and the
+    one-row `bm25stats` CTE (cross join)."""
+    tok = (
+        f"bm25tok AS (SELECT *, list_filter(string_split(lower({text_col}),"
+        " ' '), x -> x <> '') AS toks FROM " + table + ")"
+    )
+    df_cols = ", ".join(
+        "CAST(sum(CASE WHEN len(list_filter(toks, x -> x = '{t}')) > 0"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}".format(t=t, i=i)
+        for i, t in enumerate(terms)
+    )
+    stats = (
+        "bm25stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(len(toks)) AS BIGINT) AS total_len, "
+        + df_cols
+        + " FROM bm25tok)"
+    )
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+        idf = (
+            "CAST(length(bin((2 * n_docs + 1) // (2 * df_{i} + 1)))"
+            " AS BIGINT)".format(i=i)
+        )
+        den = (
+            f"(1000 * {tf} + 300 + (900000 * CAST(len(toks) AS BIGINT))"
+            " // greatest((1000 * total_len) // n_docs, 1))"
+        )
+        parts.append(f"{idf} * ((2200000000 * {tf}) // {den})")
+    return tok + ",\n" + stats, "CAST(" + " + ".join(parts) + " AS BIGINT)"

@@ -189,3 +189,121 @@ def test_score_plan_is_codegen(corpus):
     df = with_dismax_score(corpus, _q(q="apple pie", operator="OR"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+# --- BM25 (r5) --------------------------------------------------------------
+
+
+class TestBm25:
+    DOCS = [
+        (0, "spark spark spark query engine"),
+        (1, "spark es es hybrid search stack here"),
+        (2, "nothing relevant in this document at all"),
+        (3, "es"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+
+    def test_true_bm25_matches_pure_python(self, spark):
+        """with_bm25_score == a from-first-principles Lucene BM25
+        (idf = ln(1 + (N-df+.5)/(df+.5)), k1=1.2, b=0.75)."""
+        import math
+
+        from index_search_monorepo_spark.search.engine import (
+            with_bm25_score,
+        )
+
+        terms = ["spark", "es"]
+        toks = {d: t.split() for d, t in self.DOCS}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        df_t = {
+            t: sum(1 for v in toks.values() if t in v) for t in terms
+        }
+
+        def ref(doc):
+            s = 0.0
+            for t in terms:
+                tf = toks[doc].count(t)
+                idf = math.log(1 + (n - df_t[t] + 0.5) / (df_t[t] + 0.5))
+                dl = len(toks[doc])
+                s += idf * (
+                    tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                )
+            return s
+
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in with_bm25_score(self._df(spark), terms).collect()
+        }
+        for d in toks:
+            assert abs(got[d] - ref(d)) < 1e-9, (d, got[d], ref(d))
+        # ranking sanity: both-terms doc 1 > one-term doc 0 > no-hit doc 2
+        assert got[1] > got[0] > got[2] == 0.0
+
+    def test_e6_variant_hand_math(self, spark):
+        """Integer spec check on one hand-computed document."""
+        from index_search_monorepo_spark.search.engine import (
+            with_bm25_score_e6,
+        )
+
+        terms = ["spark", "es"]
+        got = {
+            r["doc_id"]: r["bm25_e6"]
+            for r in with_bm25_score_e6(self._df(spark), terms).collect()
+        }
+        # corpus: N=4, T=5+7+7+1=20, avgdl_e3=5000
+        # doc 3: dl=1, tf(spark)=0, tf(es)=1
+        #   den_e3 = 1000 + 300 + (900000*1) DIV 5000 = 1480
+        #   tfpart_e6 = 2200000000 DIV 1480 = 1486486
+        #   idf(es): df=2 -> (2*4+1) DIV (2*2+1) = 1 -> bitlen=1
+        #   score = 1486486; spark term contributes 0
+        assert got[3] == 1486486, got
+        assert got[2] == 0
+        # df(spark)=2 as well; doc 0: dl=5, tf=3
+        #   den_e3 = 3000+300+(900000*5) DIV 5000 = 4200
+        #   tfpart = 6600000000 DIV 4200 = 1571428; idf=1
+        assert got[0] == 1571428, got
+
+    def test_e6_matches_duckdb_mirror(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from index_search_monorepo_spark.search.engine import (
+            bm25_e6_oracle_sql,
+            with_bm25_score_e6,
+        )
+
+        terms = ["spark", "es"]
+        got = {
+            r["doc_id"]: r["bm25_e6"]
+            for r in with_bm25_score_e6(self._df(spark), terms).collect()
+        }
+        ctes, score = bm25_e6_oracle_sql(terms, table="t")
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame(self.DOCS, columns=["doc_id", "text"])
+        )
+        want = dict(
+            con.execute(
+                f"WITH {ctes} SELECT doc_id, {score} AS s"
+                " FROM bm25tok CROSS JOIN bm25stats"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_plan_one_stats_agg_no_corpus_shuffle(self, spark):
+        """The only Exchange feeds the one-row stats aggregate; scoring is
+        a broadcast-joined projection."""
+        from index_search_monorepo_spark.search.engine import (
+            with_bm25_score_e6,
+        )
+
+        plan = (
+            with_bm25_score_e6(self._df(spark), ["spark"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
