@@ -547,3 +547,36 @@ def oracle_warc_sql(id_expr: str, text_expr: str) -> dict[str, str]:
             " ELSE 'http://ex.org/n' END"
         ),
     }
+
+
+def warc_stream_scan(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental crawl ingest: the SAME record parse as `warc_scan` over
+    a Structured Streaming binaryFile source — new WARC files landing in
+    `path` flow through as record rows (file = discovery unit, exactly
+    once per file via the stream's file-source checkpoint). Compose with
+    `warc_to_documents` + the streaming dedup/assembler stages unchanged
+    (mapInPandas is fully streaming-capable; no state here)."""
+    binary = (
+        spark.readStream.format("binaryFile")
+        # streaming sources take no schema inference; this is binaryFile's
+        # fixed schema
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = WARC_RECORD_SCHEMA.fieldNames()
+        for pdf in batches:
+            rows = []
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(blob)):
+                    rows.append({"warc_file": path_, **rec})
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return binary.mapInPandas(gen, WARC_RECORD_SCHEMA)

@@ -190,3 +190,35 @@ class TestGateKernel:
         row = sdf.select("_w.warc_extract_md5").collect()[0]
         norm = "spaced out text here ok thanks"
         assert row[0] == hashlib.md5(norm.encode()).hexdigest()
+
+
+class TestStreamScan:
+    def test_incremental_files_flow_through(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.warc.gz").write_bytes(W.build_warc(_sample_records()))
+        stream = W.warc_stream_scan(spark, str(src))
+        assert stream.isStreaming
+        docs = W.warc_to_documents(stream)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (
+                docs.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(out).count() == 1
+        # a second file lands -> ONLY the new one processes (file-source
+        # checkpoint = exactly once per file)
+        (src / "b.warc.gz").write_bytes(W.build_warc(_sample_records()))
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 2
+        assert got.select("text").distinct().count() == 1
