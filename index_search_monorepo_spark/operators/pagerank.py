@@ -1,0 +1,243 @@
+"""Integer-exact PageRank and inlink anchor aggregation over a link graph.
+
+The web-extraction tier emits an outlink feed (operators/weblinks.outlinks:
+one row per anchor, resolved against the document's own base URI); these
+operators are the graph-analytics layer on top of it: PageRank for
+crawl-frontier prioritization / quality weighting, and per-target anchor
+aggregation (the classic index-time anchor-text fold — inbound anchors
+describe a page better than its own boilerplate). The reference's engine
+has no graph operator; this extends the same family as weblinks.py under
+the north rule's web-scale extraction tier.
+
+Design decisions, in scale order:
+
+ - **Integer fixed point (1e-9 rank units), never floats.** Every
+   arithmetic step is BIGINT `div`/`%`: contributions are
+   `rank_e9 div out_degree`, damping is `85 * x div 100`. Integer sums
+   are associative and commutative, so results are bit-identical across
+   engines, partition counts, and shuffle orders — which is what lets a
+   DuckDB oracle replay the SAME iterations and value-hash-match
+   (`oracle_pagerank_ctes`, kept in this module so the two engines cannot
+   drift). Floor losses strictly shrink total mass (sum(rank) <= 1e9),
+   they never create it.
+ - **Multigraph semantics.** Parallel (src, dst) edges each carry mass
+   and out-degree counts edges, not distinct targets — dedup upstream if
+   single-edge semantics are wanted.
+ - **Dangling mass is redistributed uniformly each iteration** (the
+   standard correction): nodes with no outlinks would otherwise leak
+   their mass out of the system. The dangling sum is a ONE-ROW aggregate
+   broadcast back — never a driver collect.
+ - **Shuffle shape per iteration**: one src-keyed join (ranks+degree onto
+   edges), one groupBy(dst) partial-aggregated sum, one left join back to
+   nodes. Ranks and degrees are node-grain (small next to edges); the
+   edge table is scanned once per iteration, so callers running many
+   iterations should `persist()` (or bucket by src — see
+   operators/bucketing.py) the edge frame. Lineage grows linearly with
+   `iters`; for tens of iterations checkpoint every ~10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+E9 = 1_000_000_000
+
+
+def pagerank_e9(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank_e9) after `iters` synchronous PageRank iterations.
+
+    rank_e9 is the node's rank mass in 1e-9 units (BIGINT). Nodes are
+    `distinct(src) UNION distinct(dst)`. damping_pct is the classic d as
+    an integer percent (85 = 0.85); teleport mass per node is
+    `(100-d) * (1e9 div n) div 100`.
+    """
+    teleport_pct = 100 - int(damping_pct)
+    e = edges.select(F.col(src).alias("pr_src"), F.col(dst).alias("pr_dst"))
+    nodes = (
+        e.select(F.col("pr_src").alias("node"))
+        .union(e.select(F.col("pr_dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").cast("long").alias("pr_n"))
+    deg = e.groupBy(F.col("pr_src").alias("node")).agg(
+        F.count("*").cast("long").alias("pr_deg")
+    )
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", F.expr(f"{E9} div pr_n").alias("rank_e9"))
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("pr_src"), "rank_e9"
+                ).join(
+                    deg.select(F.col("node").alias("pr_src"), "pr_deg"),
+                    "pr_src",
+                ),
+                "pr_src",
+            )
+            .select(
+                F.col("pr_dst").alias("node"),
+                F.expr("rank_e9 div pr_deg").alias("pr_part"),
+            )
+            .groupBy("node")
+            .agg(F.sum("pr_part").cast("long").alias("pr_c"))
+        )
+        dang = ranks.join(deg, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank_e9"), F.lit(0))
+            .cast("long")
+            .alias("pr_dang")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({teleport_pct} * ({E9} div pr_n)) div 100"
+                    f" + ({int(damping_pct)} * (coalesce(pr_c,"
+                    " CAST(0 AS BIGINT)) + pr_dang div pr_n)) div 100"
+                ).alias("rank_e9"),
+            )
+        )
+    return ranks
+
+
+def oracle_pagerank_ctes(
+    edges: str,
+    iters: int = 3,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[str, str]:
+    """(cte_block, final_ranks_name) — DuckDB CTE chain replaying the SAME
+    integer iterations as `pagerank_e9` over an `edges` CTE/table with
+    `src`/`dst` columns. Kept next to the operator so the two engines
+    cannot drift. DuckDB's `//` is floor division and every operand here
+    is non-negative, matching Spark's `div`; aggregates are CAST back to
+    BIGINT (DuckDB widens SUM to HUGEINT)."""
+    t = 100 - int(damping_pct)
+    d = int(damping_pct)
+    parts = [
+        f"""prnodes AS (
+  SELECT {src} AS node FROM {edges}
+  UNION SELECT {dst} AS node FROM {edges}
+),
+prn AS (SELECT CAST(count(*) AS BIGINT) AS pr_n FROM prnodes),
+prdeg AS (
+  SELECT {src} AS node, CAST(count(*) AS BIGINT) AS pr_deg
+  FROM {edges} GROUP BY {src}
+),
+prrank0 AS (
+  SELECT node, CAST({E9} // pr_n AS BIGINT) AS rank_e9
+  FROM prnodes CROSS JOIN prn
+)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        prev = f"prrank{i - 1}"
+        parts.append(
+            f"""prcontrib{i} AS (
+  SELECT e.{dst} AS node,
+         CAST(sum(r.rank_e9 // g.pr_deg) AS BIGINT) AS pr_c
+  FROM {edges} e
+  JOIN {prev} r ON e.{src} = r.node
+  JOIN prdeg g ON e.{src} = g.node
+  GROUP BY e.{dst}
+),
+prdang{i} AS (
+  SELECT CAST(coalesce(sum(r.rank_e9), 0) AS BIGINT) AS pr_dang
+  FROM {prev} r LEFT JOIN prdeg g ON r.node = g.node
+  WHERE g.node IS NULL
+),
+prrank{i} AS (
+  SELECT p.node,
+         CAST(({t} * ({E9} // pr_n)) // 100
+              + ({d} * (coalesce(c.pr_c, 0) + pr_dang // pr_n)) // 100
+           AS BIGINT) AS rank_e9
+  FROM prnodes p
+  CROSS JOIN prn
+  CROSS JOIN prdang{i}
+  LEFT JOIN prcontrib{i} c ON p.node = c.node
+)"""
+        )
+    return ",\n".join(parts), f"prrank{iters}"
+
+
+def inlink_anchors(
+    links: DataFrame,
+    src: str = "doc_id",
+    dst: str = "href",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Per-target inlink evidence: (node, n_inlinks, n_sources,
+    top_anchor) — the index-time anchor-text fold. top_anchor is the most
+    frequent inbound anchor string with a deterministic lexicographic
+    tie-break (count DESC, anchor ASC), so the result is exact, not
+    order-of-arrival.
+
+    Shuffle shape: one groupBy(dst, anchor) partial-aggregated count,
+    then a window + final aggregate both keyed by dst — the (dst, anchor)
+    counts table is tiny next to the link feed, and the corpus text never
+    moves."""
+    per_anchor = (
+        links.groupBy(
+            F.col(dst).alias("node"), F.col(anchor).alias("_anchor")
+        )
+        .agg(
+            F.count("*").cast("long").alias("_cnt"),
+            F.countDistinct(F.col(src)).cast("long").alias("_srcs"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.desc("_cnt"), F.asc("_anchor")
+    )
+    return (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .groupBy("node")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_inlinks"),
+            F.sum("_srcs").cast("long").alias("n_source_anchor_pairs"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_anchor"))).alias(
+                "top_anchor"
+            ),
+        )
+    )
+
+
+def oracle_inlink_anchors_sql(
+    edges: str,
+    src: str = "src",
+    dst: str = "dst",
+    anchor: str = "anchor",
+) -> str:
+    """DuckDB mirror of `inlink_anchors` as one CTE body (SELECT ...):
+    same grouping, same deterministic tie-break."""
+    return f"""
+  SELECT node,
+         CAST(sum(_cnt) AS BIGINT) AS n_inlinks,
+         CAST(sum(_srcs) AS BIGINT) AS n_source_anchor_pairs,
+         max(CASE WHEN _rn = 1 THEN _anchor END) AS top_anchor
+  FROM (
+    SELECT node, _anchor, _cnt, _srcs,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY _cnt DESC, _anchor ASC) AS _rn
+    FROM (
+      SELECT {dst} AS node, {anchor} AS _anchor,
+             CAST(count(*) AS BIGINT) AS _cnt,
+             CAST(count(DISTINCT {src}) AS BIGINT) AS _srcs
+      FROM {edges}
+      GROUP BY {dst}, {anchor}
+    )
+  )
+  GROUP BY node"""

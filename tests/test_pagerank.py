@@ -1,0 +1,152 @@
+"""Integer-exact PageRank + inlink anchor aggregation
+(operators/pagerank.py).
+
+The exactness claim is the whole point: both operators must produce
+bit-identical values in Spark and DuckDB regardless of partitioning, so
+the tests run the SAME synthetic graph through both engines and compare
+row-for-row, and re-run Spark under a different partition count to pin
+order-independence."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import pagerank as PR
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _spark_ranks(spark, rows, **kw):
+    out = PR.pagerank_e9(_edges(spark, rows), **kw)
+    return {r["node"]: r["rank_e9"] for r in out.collect()}
+
+
+def _duck_ranks(rows, **kw):
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    ctes, final = PR.oracle_pagerank_ctes("edges", **kw)
+    q = (
+        f"WITH edges(src, dst) AS (VALUES {vals}),\n{ctes}\n"
+        f"SELECT node, rank_e9 FROM {final}"
+    )
+    return {n: r for n, r in con.sql(q).fetchall()}
+
+
+# a small web: 'hub' is pointed at by everyone, 'dang' has no outlinks,
+# 'b'->'hub' twice (multigraph), self-loop on 'c'
+WEB = [
+    ("a", "hub"),
+    ("b", "hub"),
+    ("b", "hub"),
+    ("c", "hub"),
+    ("c", "c"),
+    ("hub", "dang"),
+    ("a", "b"),
+]
+
+
+class TestPagerank:
+    def test_mass_conserved_within_floor_loss(self, spark):
+        ranks = _spark_ranks(spark, WEB, iters=3)
+        total = sum(ranks.values())
+        n = len(ranks)
+        # floor losses only ever shrink mass; each iteration loses < 1
+        # unit per node per div (teleport, damp, contrib, dangling)
+        assert total <= PR.E9
+        assert total >= PR.E9 - 4 * n * 3 - n
+        assert set(ranks) == {"a", "b", "c", "hub", "dang"}
+        assert all(v > 0 for v in ranks.values())
+
+    def test_hub_outranks_leaves_and_dangling_gets_hub_mass(self, spark):
+        ranks = _spark_ranks(spark, WEB, iters=3)
+        # everyone points at hub; hub only points at dang
+        assert ranks["hub"] > ranks["a"]
+        assert ranks["hub"] > ranks["b"]
+        # dang receives hub's whole (damped) mass, so it beats the leaves
+        assert ranks["dang"] > ranks["a"]
+
+    def test_partitioning_invariance(self, spark):
+        e = _edges(spark, WEB)
+        one = {
+            r["node"]: r["rank_e9"]
+            for r in PR.pagerank_e9(e.coalesce(1), iters=3).collect()
+        }
+        many = {
+            r["node"]: r["rank_e9"]
+            for r in PR.pagerank_e9(e.repartition(7), iters=3).collect()
+        }
+        assert one == many
+
+    @pytest.mark.parametrize("iters", [1, 3])
+    def test_duckdb_oracle_exact(self, spark, iters):
+        assert _spark_ranks(spark, WEB, iters=iters) == _duck_ranks(
+            WEB, iters=iters
+        )
+
+    def test_duckdb_oracle_exact_on_generated_graph(self, spark):
+        # a denser deterministic graph: 40 nodes, f(i) edges, some dangling
+        rows = []
+        for i in range(40):
+            if i % 7 == 3:
+                continue  # dangling
+            rows.append((f"n{i}", f"n{(i * 13 + 1) % 40}"))
+            rows.append((f"n{i}", f"n{(i * 5 + 2) % 40}"))
+            if i % 3 == 0:
+                rows.append((f"n{i}", f"n{(i + 1) % 40}"))
+        assert _spark_ranks(spark, rows, iters=3) == _duck_ranks(
+            rows, iters=3
+        )
+
+    def test_damping_100_pure_flow(self, spark):
+        # d=100: no teleport — a pure sink chain accumulates everything
+        chain = [("a", "b"), ("b", "c")]
+        ranks = _spark_ranks(spark, chain, iters=8, damping_pct=100)
+        assert ranks == _duck_ranks(chain, iters=8, damping_pct=100)
+
+
+LINKS = [
+    # (src, dst, anchor): t1 gets 'click' twice + 'here' twice -> tie on
+    # count, 'click' < 'here' lexicographically
+    ("s1", "t1", "click"),
+    ("s2", "t1", "click"),
+    ("s1", "t1", "here"),
+    ("s3", "t1", "here"),
+    ("s1", "t2", "zzz"),
+]
+
+
+class TestInlinkAnchors:
+    def test_counts_and_deterministic_tiebreak(self, spark):
+        links = spark.createDataFrame(
+            LINKS, "doc_id string, href string, anchor string"
+        )
+        out = {
+            r["node"]: r for r in PR.inlink_anchors(links).collect()
+        }
+        assert out["t1"]["n_inlinks"] == 4
+        assert out["t1"]["top_anchor"] == "click"  # tie -> lexicographic
+        assert out["t2"]["n_inlinks"] == 1
+        assert out["t2"]["top_anchor"] == "zzz"
+
+    def test_duckdb_mirror(self, spark):
+        links = spark.createDataFrame(
+            LINKS, "doc_id string, href string, anchor string"
+        )
+        got = {
+            (r["node"], r["n_inlinks"], r["n_source_anchor_pairs"],
+             r["top_anchor"])
+            for r in PR.inlink_anchors(links).collect()
+        }
+        vals = ", ".join(f"('{s}', '{d}', '{a}')" for s, d, a in LINKS)
+        q = (
+            f"WITH edges(src, dst, anchor) AS (VALUES {vals})\n"
+            + PR.oracle_inlink_anchors_sql("edges")
+        )
+        con = duckdb.connect()  # keep alive: a temp conn can be GC'd
+        want = set(con.sql(q).fetchall())
+        assert got == want
