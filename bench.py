@@ -219,94 +219,123 @@ def _corpus_bytes(corpus_dir: Path) -> int:
     return sum(f.stat().st_size for f in corpus_dir.rglob("*") if f.is_file())
 
 
-def run_extraction(
-    spark, corpus_dir: Path, runs: int = 3, size_shuffle_by_bytes: bool = False
-) -> dict:
-    from index_search_monorepo_spark.plans.pipeline import (
-        extract_documents,
-        load_corpus,
-    )
-
-    if size_shuffle_by_bytes:
-        # Spill-aware shuffle sizing (found by the 120k-doc dress
-        # rehearsal): the doc-meta shuffle join moves the FAT side, so
-        # initial shuffle partitions must scale with input bytes, not core
-        # count — 32 partitions over ~15 GB of multi-MB rows is ~470 MB
-        # per partition across 32 concurrent tasks, an OOM in a 16 GB
-        # local JVM (the same mistake at 100 TB would need ~10^6
-        # partitions, not 32). Target ~128 MB per partition; AQE coalesces
-        # back down when the corpus is small. main() only — the scaling
-        # workers keep shuffle=cores (fixed 12k corpus, known-safe, and
-        # their numbers stay comparable round over round).
-        raw = _corpus_bytes(corpus_dir) * 3  # zstd parquet ~3x on decode
-        cores = int(spark.sparkContext.defaultParallelism)
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(cores, raw // (128 << 20))),
-        )
-        # and keep scan tasks' decoded working set bounded too: the worker
-        # wave formula (~TASK_WAVES waves per core), capped at 64 MB
-        # compressed ≈ ~190 MB raw per task — 32 concurrent fat-row scan
-        # tasks at the default 128 MB splits is ~12 GB of row churn
-        split = min(
-            64 << 20,
-            max(4 << 20, _corpus_bytes(corpus_dir) // (TASK_WAVES * cores)),
-        )
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
-    tables = load_corpus(spark, str(corpus_dir))
-    n_docs = tables["documents_spans"].count()
-    docs, _errors = extract_documents(
-        spark, tables, doc_meta_join=DOC_META_JOIN or None
-    )
-    elapsed = _time_min(docs, runs)
-    return {
-        "n_docs": n_docs,
-        "sec": round(elapsed, 3),
-        "docs_per_sec": round(n_docs / elapsed, 2),
-    }
+# ---------------------------------------------------------- bench workers ---
 
 
-# ------------------------------------------------------ scaling (workers) ---
+def worker_serve_main(
+    cores: int, corpus_dir: str, mode: str = "scaling"
+) -> None:
+    """Persistent bench worker: one JVM per (core count, mode) for a whole
+    phase (r5; VERDICT r04 next #2 — fresh JVMs per round made the bench
+    worst case tens of minutes). Builds the extraction plan once, warms up
+    once (JIT + python workers + parquet footers), then serves RUN commands
+    from stdin, one BENCH_WORKER_RESULT line per answer.
 
-
-def worker_serve_main(cores: int, corpus_dir: str) -> None:
-    """Persistent scaling worker: one JVM per core count for the whole
-    scaling phase (r5; VERDICT r04 next #2 — fresh JVMs per round made the
-    bench worst case tens of minutes). Builds the extraction plan once,
-    warms up once (JIT + python workers + parquet footers), then serves RUN
-    commands from stdin: one timed materialization per RUN, one
-    BENCH_WORKER_RESULT line per answer."""
+    mode="scaling": one timed materialization per RUN, memory-bounded
+    sizing tuned for comparable round-over-round numbers at the 12k corpus.
+    mode="extract": the throughput phase — each RUN is a full gate attempt
+    (warmup + best-of-3 timed, run_extraction semantics) under main()'s
+    byte-scaled ~128 MB sizing rule. Running extraction in its own worker
+    JVM models production (phases are separate spark-submit jobs), lets the
+    heap scale with the corpus, and makes floor retries nearly free (the
+    JVM and plan stay warm)."""
     from index_search_monorepo_spark.session import get_spark
 
     # size scan splits to the parallelism: ~TASK_WAVES waves of tasks per
     # core (min 4 MB splits). openCostInBytes is lowered in step so packing
     # granularity follows real bytes, not the 4 MB-per-file padding.
     total = _corpus_bytes(Path(corpus_dir))
-    split_bytes = max(4 << 20, total // (TASK_WAVES * cores))
-    # Shuffle partitions: memory-bounded, not throughput-tuned. The
-    # constraint is that `cores` concurrent tasks must hold their decoded
-    # shuffle partitions in heap at once, i.e. decoded/partitions <=
-    # heap_budget/cores -> partitions >= decoded*cores/heap_budget (8 GB
-    # working-set budget of the 16 GB JVM). A 2-core worker over the 120k
-    # corpus would otherwise push ~11 GB of decoded rows per partition
-    # (the sf1-rehearsal OOM class); at the 12k corpus the bound resolves
-    # below core count for every config, so round-over-round numbers are
-    # untouched. Deliberately NOT main()'s ~128 MB throughput rule here:
-    # interleaved A/B at 12k/local[2] measured 17 partitions ~18% slower
-    # than 2 (30.8 -> 36.3 s best-of-4) — more waves of tiny tasks, no
-    # memory need — and a depressed 2-core denominator would also inflate
-    # the 2->8 efficiency headline, which must stay honest.
     decoded = total * 3  # zstd parquet ~3x on decode
-    heap_budget = 8 << 30
-    shuffle_parts = max(cores, (decoded * cores) // heap_budget)
+    big = decoded > (8 << 30)  # rehearsal-scale corpus, beyond bench scale
+    extra: dict[str, str] = {}
+    if mode == "extract":
+        # main()'s throughput rule (the 120k dress-rehearsal lesson): the
+        # fat side of the doc-meta shuffle join must scale partitions with
+        # input bytes, not core count — target ~128 MB decoded per
+        # partition (AQE coalesces back down when the corpus is small),
+        # and cap scan splits at 64 MB compressed ≈ ~190 MB raw per task
+        # AND by a 4 GB concurrent-scan decode budget (binds only at
+        # rehearsal scale).
+        shuffle_parts = max(cores, decoded // (128 << 20))
+        split_bytes = min(
+            64 << 20,
+            max(4 << 20, total // (TASK_WAVES * cores)),
+            max(4 << 20, (4 << 30) // (3 * cores)),
+        )
+    else:
+        # Scan splits: ~TASK_WAVES waves of tasks per core, but ALSO
+        # capped so `cores` concurrent tasks' decoded scan partitions fit
+        # a 4 GB budget (compressed cap = budget / 3x-decode / cores). At
+        # the 12k bench corpus the wave formula sits under the cap for
+        # every config, so round-over-round numbers are untouched; at the
+        # 120k rehearsal the cap binds (32 cores: 58 MB -> 42 MB splits).
+        scan_budget = 4 << 30
+        split_bytes = min(
+            max(4 << 20, total // (TASK_WAVES * cores)),
+            max(4 << 20, scan_budget // (3 * cores)),
+        )
+        # Shuffle partitions: memory-bounded, not throughput-tuned. The
+        # constraint is that `cores` concurrent tasks must hold their
+        # decoded shuffle partitions in heap at once, i.e.
+        # decoded/partitions <= heap_budget/cores -> partitions >=
+        # ceil(decoded*cores/heap_budget). The budget is 4 GB of the
+        # heap — NOT all of it, because the shuffle working set shares
+        # heap with scan decode, shuffle-hash join build relations, and
+        # sort buffers: the r5 sf1 rehearsal OOMed the local[32] worker
+        # at an 8 GB figure (heap-space OOM in the dim-cache stage over
+        # the 120k corpus). A 2-core worker over the 120k corpus would,
+        # unbounded, push ~11 GB of decoded rows per partition. At the
+        # 12k corpus the bound resolves below core count for every
+        # config, so round-over-round numbers are untouched. Deliberately
+        # NOT the ~128 MB throughput rule here: interleaved A/B at
+        # 12k/local[2] measured 17 partitions ~18% slower than 2
+        # (30.8 -> 36.3 s best-of-4) — more waves of tiny tasks, no
+        # memory need — and a depressed 2-core denominator would also
+        # inflate the 2->8 efficiency headline, which must stay honest.
+        heap_budget = 4 << 30
+        shuffle_parts = max(cores, -((-decoded * cores) // heap_budget))
+    if big:
+        # AQE's partition coalescing targets IN-FLIGHT shuffle bytes
+        # (serialized + lz4, ~3x smaller than decoded for this text), so
+        # the default 64 MB advisory quietly re-fattens the byte-scaled
+        # partitions to ~380 MB decoded — 32 concurrent interpreted-concat
+        # fold tasks at that size GC-thrashed a 24 GB heap (r5c rehearsal,
+        # worker_extract_32: GC overhead limit in stage 49's
+        # ArrayTransform/Concat). 32 MB in-flight keeps post-coalesce
+        # partitions ~128 MB decoded. Gated on `big` so 12k bench numbers
+        # stay comparable round-over-round.
+        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
+            32 << 20
+        )
+    # Heap scales with the corpus (16 GB default, +1 GB per decoded GB
+    # past it): the 120k rehearsal showed the fixed 16 GB figure has no
+    # headroom once dim caches + 32 concurrent fat-row scan batches +
+    # shuffle buffers stack up. At the 12k corpus this resolves to the
+    # same 16 GB as before. The extract worker runs ALONE (cap 48 GB,
+    # +8 GB headroom — its fold stage churns 2-3x its input in transient
+    # interpreted-concat allocations); scaling workers run three at once
+    # (2+8+32 cores), so they stay on the tighter +2/cap-32 rule.
+    if mode == "extract":
+        heap_gb = min(48, max(16, decoded // (1 << 30) + 8))
+    else:
+        heap_gb = min(32, max(16, decoded // (1 << 30) + 2))
     spark = get_spark(
-        app_name=f"bench_worker_{cores}",
+        app_name=f"bench_worker_{mode}_{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=shuffle_parts,
         extra_conf={
+            **extra,
             "spark.sql.files.maxPartitionBytes": str(split_bytes),
             "spark.sql.files.openCostInBytes": str(1 << 20),
+            "spark.driver.memory": f"{heap_gb}g",
+            # Fat rows make the vectorized parquet reader's on-heap
+            # column vectors the dominant UNTRACKED heap term (the memory
+            # manager never sees them): the default 4096-row batch over
+            # multi-MB span rows is a multi-GB vector per concurrent
+            # task. The synthetic corpora write 16-row row groups (a
+            # batch never crosses a row group), so 16 here changes
+            # nothing at bench scale while bounding any corpus.
+            "spark.sql.parquet.columnarReaderBatchSize": "16",
         },
     )
     try:
@@ -329,9 +358,14 @@ def worker_serve_main(cores: int, corpus_dir: str) -> None:
         for line in sys.stdin:
             cmd = line.strip()
             if cmd == "RUN":
-                t0 = time.time()
-                _materialize(docs)
-                sec = time.time() - t0
+                if mode == "extract":
+                    # one full gate attempt: warmup + best-of-3 timed
+                    # (run_extraction semantics)
+                    sec = _time_min(docs, runs=3)
+                else:
+                    t0 = time.time()
+                    _materialize(docs)
+                    sec = time.time() - t0
                 print(
                     "BENCH_WORKER_RESULT "
                     + json.dumps(
@@ -351,15 +385,30 @@ def worker_serve_main(cores: int, corpus_dir: str) -> None:
 
 
 class _Worker:
-    """Handle on a persistent --worker-serve subprocess."""
+    """Handle on a persistent --worker-serve subprocess. A watchdog armed
+    at the global budget deadline kills the child if it hangs (a dead child
+    surfaces as EOF -> RuntimeError in _read_tagged; a HUNG one would
+    otherwise block readline past the driver timeout — the r4 failure
+    mode)."""
 
-    def __init__(self, cores: int, corpus_dir: Path):
+    def __init__(self, cores: int, corpus_dir: Path, mode: str = "scaling"):
+        import threading
+
         self.cores = cores
         log_dir = REPO / ".bench"
         log_dir.mkdir(parents=True, exist_ok=True)
-        self._stderr = open(log_dir / f"worker_{cores}.stderr.log", "w")
+        self._stderr = open(
+            log_dir / f"worker_{mode}_{cores}.stderr.log", "w"
+        )
         self.proc = subprocess.Popen(
-            [sys.executable, __file__, "--worker-serve", str(cores), str(corpus_dir)],
+            [
+                sys.executable,
+                __file__,
+                "--worker-serve",
+                str(cores),
+                str(corpus_dir),
+                mode,
+            ],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=self._stderr,
@@ -367,6 +416,11 @@ class _Worker:
             cwd=str(REPO),
         )
         self.n_docs: int | None = None
+        self._watchdog = threading.Timer(
+            max(1.0, _remaining() - 5.0), self.proc.kill
+        )
+        self._watchdog.daemon = True
+        self._watchdog.start()
 
     def _read_tagged(self, tag: str) -> dict:
         assert self.proc.stdout is not None
@@ -396,6 +450,7 @@ class _Worker:
         except Exception:
             self.proc.kill()
         finally:
+            self._watchdog.cancel()
             self._stderr.close()
 
 
@@ -521,12 +576,21 @@ def scaling_run(corpus_dir: Path) -> dict | None:
     rounds: dict[int, list[dict]] = {2: [], 8: [], 32: []}
     budget_stopped = False
     try:
-        # Start all three concurrently: warmups contend but are untimed, and
-        # concurrent startup halves the serial fixed cost.
+        # At the 12k bench corpus, start all three concurrently: warmups
+        # contend but are untimed, and concurrent startup halves the
+        # serial fixed cost. At rehearsal-scale corpora (decoded > 8 GB)
+        # warm SEQUENTIALLY instead: three concurrent 120k warmups
+        # contend for memory bandwidth hard enough to trip executor
+        # heartbeat timeouts in the 2-core worker (r5 rehearsal,
+        # worker_2 stderr) — and the budget there is hours, not minutes.
+        big = _corpus_bytes(corpus_dir) * 3 > (8 << 30)
         for cores in (2, 8, 32):
             workers[cores] = _Worker(cores, corpus_dir)
-        for w in workers.values():
-            w.wait_ready()
+            if big:
+                workers[cores].wait_ready()
+        if not big:
+            for w in workers.values():
+                w.wait_ready()
         n_docs = workers[32].n_docs or 0
 
         def one_round() -> None:
@@ -606,41 +670,54 @@ def main() -> None:
     }
     _emit(artifact)  # snapshot 1: headline done
 
-    # The extraction phase gets a FRESH JVM. The headline phase leaves ~270
-    # stages of state behind (cached frames, broadcast remnants, python
-    # workers, code cache); at the 120k dress-rehearsal corpus the doc-meta
-    # shuffle join then runs 32 concurrent fat-row tasks right at the 16 GB
-    # heap's margin and tips into GC-overhead OOM (r5 sf1 runs 1-2 —
-    # clearCache alone was not enough), while the SAME extraction in the
-    # scaling phase's fresh worker JVMs completes. Phases are separate
-    # spark-submit jobs in production; model that here.
+    # The extraction phase runs in its OWN worker JVM (mode="extract"). The
+    # headline phase leaves ~270 stages of state behind (cached frames,
+    # broadcast remnants, python workers, code cache); at the 120k
+    # dress-rehearsal corpus the doc-meta shuffle join then runs 32
+    # concurrent fat-row tasks right at the 16 GB heap's margin and tips
+    # into GC-overhead OOM (r5 sf1 runs 1-2 — clearCache alone was not
+    # enough, and a fresh SparkContext in the SAME JVM still shares its
+    # heap ceiling). A subprocess models production (phases are separate
+    # spark-submit jobs), lets the worker size its heap to the corpus, and
+    # makes floor retries nearly free: the JVM and plan stay warm across
+    # RUNs.
     spark.stop()
-    spark = get_spark(app_name="bench_extraction")
 
     # Gate-and-retry on extraction throughput (VERDICT r03 next #3), same
     # shape as the scaling-efficiency gate: keep the BEST reading (ambient
     # load only subtracts), bounded retries, depth recorded in the artifact
-    # — now also capped by the global budget, reserving room for scaling.
-    # A phase failure (OOM class) records extraction_error and falls
-    # through to scaling: a partial artifact beats an absent one.
+    # — capped by the global budget, reserving room for scaling. A phase
+    # failure (OOM class) records extraction_error and falls through to
+    # scaling: a partial artifact beats an absent one.
     scaling_reserve = 100.0 + 45.0 * SCALING_ROUNDS if do_scaling else 0.0
     try:
-        extraction = run_extraction(
-            spark, corpus_dir, size_shuffle_by_bytes=True
-        )
-        attempt_est = 4.0 * extraction["sec"] + 2.0  # warmup + 3 timed runs
-        retries = 0
-        while (
-            extraction["docs_per_sec"] < EXTRACTION_FLOOR
-            and retries < EXTRACTION_MAX_RETRIES
-            and _budget_allows(attempt_est + scaling_reserve)
-        ):
-            retries += 1
-            again = run_extraction(
-                spark, corpus_dir, size_shuffle_by_bytes=True
-            )
-            if again["docs_per_sec"] > extraction["docs_per_sec"]:
-                extraction = again
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        ew = _Worker(cores, corpus_dir, mode="extract")
+        try:
+            ew.wait_ready()
+            res = ew.run_round()
+            extraction = {
+                "n_docs": res["n_docs"],
+                "sec": res["sec"],
+                "docs_per_sec": res["docs_per_sec"],
+            }
+            attempt_est = 4.0 * extraction["sec"] + 2.0  # warmup + 3 timed
+            retries = 0
+            while (
+                extraction["docs_per_sec"] < EXTRACTION_FLOOR
+                and retries < EXTRACTION_MAX_RETRIES
+                and _budget_allows(attempt_est + scaling_reserve)
+            ):
+                retries += 1
+                res = ew.run_round()
+                if res["docs_per_sec"] > extraction["docs_per_sec"]:
+                    extraction = {
+                        "n_docs": res["n_docs"],
+                        "sec": res["sec"],
+                        "docs_per_sec": res["docs_per_sec"],
+                    }
+        finally:
+            ew.close()
         extraction["floor_docs_per_sec"] = EXTRACTION_FLOOR
         extraction["retries"] = retries
         extraction["below_floor"] = (
@@ -649,10 +726,6 @@ def main() -> None:
         artifact["extraction"] = extraction
     except Exception as exc:
         artifact["extraction_error"] = repr(exc)[:500]
-    try:
-        spark.stop()
-    except Exception:
-        pass  # a dead JVM must not cost the remaining phases
 
     artifact["phases"] = ["headline", "extraction"]
     _emit(artifact)  # snapshot 2: extraction done
@@ -669,6 +742,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--worker-serve":
-        worker_serve_main(int(sys.argv[2]), sys.argv[3])
+        worker_serve_main(
+            int(sys.argv[2]),
+            sys.argv[3],
+            sys.argv[4] if len(sys.argv) > 4 else "scaling",
+        )
     else:
         main()

@@ -42,8 +42,12 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(arrow_max_records_per_batch),
         )
-        # fat string rows: keep broadcast threshold default (10 MB) for dims,
-        # cap in-memory columnar batch size
+        # fat string rows: keep broadcast threshold default (10 MB) for
+        # dims. Fat-row parquet scans should ALSO cap the vectorized
+        # reader's batch (spark.sql.parquet.columnarReaderBatchSize — its
+        # on-heap column vectors are invisible to the memory manager);
+        # that is per-corpus, so callers set it via extra_conf (bench
+        # workers use 16, matching the synthetic corpora's row groups).
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
