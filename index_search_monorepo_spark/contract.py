@@ -39,6 +39,7 @@ from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import packing as PK
+from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import textstats as TS
@@ -257,6 +258,24 @@ _URL_FRAGS = UF.oracle_url_sql(_URL_PLANT_SQL, blocked=_URL_BLOCKED)
 # parses it with the real reader, and extracts main content from the HTML
 # payload; these fragments predict the results (sources/warc.oracle_warc_sql)
 _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
+# Link-graph gate (r5): a deterministic planted multigraph over node space
+# n0..n999 — src n(doc_id%1000); non-dangling docs (doc_id%7 != 3) emit a
+# 13x+1 edge with anchor a(doc_id%5), every third also a 5x+2 edge with
+# anchor b(doc_id%4). The REAL pagerank_e9 (2 iterations) and
+# inlink_anchors run over it; DuckDB replays the SAME integer iterations
+# via the module's own oracle generators (operators/pagerank.py).
+_PR_CTES, _PR_FINAL = PR.oracle_pagerank_ctes("predges", iters=2)
+_PR_EDGES_SQL = """predges AS (
+      SELECT 'n' || CAST(doc_id % 1000 AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 1) % 1000 AS VARCHAR) AS dst,
+             'a' || CAST(doc_id % 5 AS VARCHAR) AS anchor
+      FROM documents WHERE doc_id % 7 <> 3
+      UNION ALL
+      SELECT 'n' || CAST(doc_id % 1000 AS VARCHAR),
+             'n' || CAST((doc_id * 5 + 2) % 1000 AS VARCHAR),
+             'b' || CAST(doc_id % 4 AS VARCHAR)
+      FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 3 = 0
+    )"""
 
 
 @register(
@@ -266,7 +285,10 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
       SELECT doc_id, text,
              translate({_PT_RAW_SQL}, './:', ',=+') AS pt_clean
       FROM documents
-    )
+    ),
+    {_PR_EDGES_SQL},
+    {_PR_CTES},
+    pranchors AS ({PR.oracle_inlink_anchors_sql('predges')})
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
            {xmlesc_sql(spike_text_sql('text'))} AS escaped,
@@ -308,8 +330,15 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
            {_WARC_FRAGS['warc_lang']} AS warc_lang,
            {_WARC_FRAGS['warc_canonical']} AS warc_canonical,
            {_WARC_FRAGS['warc_n_links']} AS warc_n_links,
-           {_WARC_FRAGS['warc_first_href']} AS warc_first_href
+           {_WARC_FRAGS['warc_first_href']} AS warc_first_href,
+           prr.rank_e9 AS pr_rank_e9,
+           pra.n_inlinks AS pr_n_inlinks,
+           pra.top_anchor AS pr_top_anchor
     FROM pt
+    LEFT JOIN {_PR_FINAL} prr
+           ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
+    LEFT JOIN pranchors pra
+           ON pra.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     """,
 )
 def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +379,14 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DOM heuristics — a class="comment" block the density rules alone
     would keep must be weight-dropped (extract md5), and the one-pass
     metadata parser's title/lang/canonical-resolution/link extraction
-    ride as warc_title/lang/canonical/n_links/first_href."""
+    ride as warc_title/lang/canonical/n_links/first_href.
+
+    r5c: the link-graph analytics layer (operators/pagerank.py) rides as
+    pr_rank_e9 / pr_n_inlinks / pr_top_anchor — the REAL integer-exact
+    PageRank (2 iterations, dangling redistribution, multigraph) and the
+    index-time inlink anchor fold run over a deterministic planted graph,
+    value-hash-matched against DuckDB replaying the SAME iterations via
+    the module's own oracle CTE generators."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -478,6 +514,55 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_warc.warc_canonical").alias("warc_canonical"),
         F.col("_warc.warc_n_links").alias("warc_n_links"),
         F.col("_warc.warc_first_href").alias("warc_first_href"),
+    )
+    # r5c link-graph ride: deterministic planted multigraph (node space
+    # n0..n999), the REAL integer PageRank (2 iterations) + inlink anchor
+    # fold (operators/pagerank.py); per-doc rank/inlink columns join back
+    # on the doc's own node. Ranks and anchors are node-grain (<= 1000
+    # rows — at production scale the rank table is tiny next to the
+    # corpus and broadcasts), docs with an absent node get NULLs in both
+    # engines.
+    n1000 = F.concat(F.lit("n"), F.pmod(d, F.lit(1000)).cast("string"))
+    e1 = docs.where(F.pmod(d, F.lit(7)) != 3).select(
+        n1000.alias("src"),
+        F.concat(
+            F.lit("n"), F.pmod(d * 13 + 1, F.lit(1000)).cast("string")
+        ).alias("dst"),
+        F.concat(F.lit("a"), F.pmod(d, F.lit(5)).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    e2 = docs.where(
+        (F.pmod(d, F.lit(7)) != 3) & (F.pmod(d, F.lit(3)) == 0)
+    ).select(
+        n1000.alias("src"),
+        F.concat(
+            F.lit("n"), F.pmod(d * 5 + 2, F.lit(1000)).cast("string")
+        ).alias("dst"),
+        F.concat(F.lit("b"), F.pmod(d, F.lit(4)).cast("string")).alias(
+            "anchor"
+        ),
+    )
+    edges = e1.unionByName(e2)
+    ranks = PR.pagerank_e9(edges, iters=2).withColumnRenamed(
+        "node", "_prnode"
+    )
+    anch = PR.inlink_anchors(
+        edges, src="src", dst="dst", anchor="anchor"
+    ).withColumnRenamed("node", "_prnode")
+    doc_graph = (
+        docs.select(d.cast("string").alias("g_id"), n1000.alias("_prnode"))
+        .join(ranks, "_prnode", "left")
+        .join(anch, "_prnode", "left")
+        .select(
+            "g_id",
+            F.col("rank_e9").alias("pr_rank_e9"),
+            F.col("n_inlinks").alias("pr_n_inlinks"),
+            F.col("top_anchor").alias("pr_top_anchor"),
+        )
+    )
+    out = out.join(doc_graph, out["doc_id"] == doc_graph["g_id"]).drop(
+        "g_id"
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"
