@@ -265,6 +265,7 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
 # inlink_anchors run over it; DuckDB replays the SAME integer iterations
 # via the module's own oracle generators (operators/pagerank.py).
 _PR_CTES, _PR_FINAL = PR.oracle_pagerank_ctes("predges", iters=2)
+_HITS_CTES, _HITS_FINAL = PR.oracle_hits_ctes("predges", iters=2)
 _PR_EDGES_SQL = """predges AS (
       SELECT 'n' || CAST(doc_id % 1000 AS VARCHAR) AS src,
              'n' || CAST((doc_id * 13 + 1) % 1000 AS VARCHAR) AS dst,
@@ -288,6 +289,7 @@ _PR_EDGES_SQL = """predges AS (
     ),
     {_PR_EDGES_SQL},
     {_PR_CTES},
+    {_HITS_CTES},
     pranchors AS ({PR.oracle_inlink_anchors_sql('predges')})
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
@@ -333,12 +335,16 @@ _PR_EDGES_SQL = """predges AS (
            {_WARC_FRAGS['warc_first_href']} AS warc_first_href,
            prr.rank_e9 AS pr_rank_e9,
            pra.n_inlinks AS pr_n_inlinks,
-           pra.top_anchor AS pr_top_anchor
+           pra.top_anchor AS pr_top_anchor,
+           prh.hub_e6 AS hits_hub_e6,
+           prh.auth_e6 AS hits_auth_e6
     FROM pt
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN pranchors pra
            ON pra.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
+    LEFT JOIN {_HITS_FINAL} prh
+           ON prh.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     """,
 )
 def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,11 +388,13 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride as warc_title/lang/canonical/n_links/first_href.
 
     r5c: the link-graph analytics layer (operators/pagerank.py) rides as
-    pr_rank_e9 / pr_n_inlinks / pr_top_anchor — the REAL integer-exact
-    PageRank (2 iterations, dangling redistribution, multigraph) and the
-    index-time inlink anchor fold run over a deterministic planted graph,
-    value-hash-matched against DuckDB replaying the SAME iterations via
-    the module's own oracle CTE generators."""
+    pr_rank_e9 / pr_n_inlinks / pr_top_anchor / hits_hub_e6 /
+    hits_auth_e6 — the REAL integer-exact PageRank (2 iterations,
+    dangling redistribution, multigraph), the index-time inlink anchor
+    fold, and Kleinberg HITS (divide-first integer normalization) run
+    over a deterministic planted graph, value-hash-matched against DuckDB
+    replaying the SAME iterations via the module's own oracle CTE
+    generators."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -550,15 +558,19 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = PR.inlink_anchors(
         edges, src="src", dst="dst", anchor="anchor"
     ).withColumnRenamed("node", "_prnode")
+    hits = PR.hits_e6(edges, iters=2).withColumnRenamed("node", "_prnode")
     doc_graph = (
         docs.select(d.cast("string").alias("g_id"), n1000.alias("_prnode"))
         .join(ranks, "_prnode", "left")
         .join(anch, "_prnode", "left")
+        .join(hits, "_prnode", "left")
         .select(
             "g_id",
             F.col("rank_e9").alias("pr_rank_e9"),
             F.col("n_inlinks").alias("pr_n_inlinks"),
             F.col("top_anchor").alias("pr_top_anchor"),
+            F.col("hub_e6").alias("hits_hub_e6"),
+            F.col("auth_e6").alias("hits_auth_e6"),
         )
     )
     out = out.join(doc_graph, out["doc_id"] == doc_graph["g_id"]).drop(

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 E9 = 1_000_000_000
+E6 = 1_000_000
 
 
 def pagerank_e9(
@@ -241,3 +242,151 @@ def oracle_inlink_anchors_sql(
     )
   )
   GROUP BY node"""
+
+
+def hits_e6(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hub_e6, auth_e6) after `iters` synchronous HITS iterations
+    (Kleinberg hubs-and-authorities) in integer 1e-6 units.
+
+    The normalization is the part that needs care in integer arithmetic:
+    the classic per-step rescale is `x_i * scale div sum(x)`, but
+    `auth_raw` is bounded by E * 1e6 (E = edge count), so the multiply
+    overflows BIGINT past ~9e12 edges. Dividing FIRST bounds every
+    intermediate by the raw sums themselves: each step computes
+    `denom = greatest(sum(raw) div 1e6, 1)` (a one-row broadcast
+    aggregate) and then `x_i = raw_i div denom` — a COARSE L1
+    normalization: the floored denom lets total mass wobble within
+    [~1e6/2, 2e6) instead of pinning it, which is fine because HITS
+    scores are scale-free (only relative order matters) and what must be
+    exact is cross-engine bit-equality — every operand order is fixed,
+    so Spark and DuckDB agree bit-for-bit at any partitioning.
+    Overflow-safe to ~9e12 edges. Hubs start uniform at 1e6 (the first
+    auth step normalizes scale away). Nodes with no inbound edges get
+    auth 0; no outbound, hub 0 — never NULL.
+
+    Shuffle shape per iteration: one src-keyed join + groupBy(dst) sum
+    (auth step), one dst-keyed join + groupBy(src) sum (hub step); the
+    node-grain score frames are small next to edges, and both one-row
+    denominators are broadcast, never collected.
+    """
+    e = edges.select(F.col(src).alias("h_src"), F.col(dst).alias("h_dst"))
+    nodes = (
+        e.select(F.col("h_src").alias("node"))
+        .union(e.select(F.col("h_dst").alias("node")))
+        .distinct()
+    )
+    hubs = nodes.select("node", F.lit(E6).cast("long").alias("hub_e6"))
+    auths = None
+    for _ in range(int(iters)):
+        araw = (
+            e.join(
+                hubs.select(F.col("node").alias("h_src"), "hub_e6"),
+                "h_src",
+            )
+            .groupBy(F.col("h_dst").alias("node"))
+            .agg(F.sum("hub_e6").cast("long").alias("a_raw"))
+        )
+        adenom = araw.agg(
+            F.greatest(
+                F.expr(f"sum(a_raw) div {E6}"), F.lit(1)
+            ).cast("long").alias("a_den")
+        )
+        auths = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(adenom))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(a_raw, CAST(0 AS BIGINT)) div a_den"
+                ).alias("auth_e6"),
+            )
+        )
+        hraw = (
+            e.join(
+                auths.select(F.col("node").alias("h_dst"), "auth_e6"),
+                "h_dst",
+            )
+            .groupBy(F.col("h_src").alias("node"))
+            .agg(F.sum("auth_e6").cast("long").alias("h_raw"))
+        )
+        hdenom = hraw.agg(
+            F.greatest(
+                F.expr(f"sum(h_raw) div {E6}"), F.lit(1)
+            ).cast("long").alias("h_den")
+        )
+        hubs = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hdenom))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(h_raw, CAST(0 AS BIGINT)) div h_den"
+                ).alias("hub_e6"),
+            )
+        )
+    return hubs.join(auths, "node")
+
+
+def oracle_hits_ctes(
+    edges: str,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[str, str]:
+    """(cte_block, final_name) — DuckDB CTE chain replaying the SAME
+    integer HITS iterations as `hits_e6` over an `edges` CTE/table.
+    All operands non-negative, so DuckDB's `//` matches Spark's `div`;
+    SUMs are CAST back to BIGINT (DuckDB widens to HUGEINT)."""
+    parts = [
+        f"""hnodes AS (
+  SELECT {src} AS node FROM {edges}
+  UNION SELECT {dst} AS node FROM {edges}
+),
+hhub0 AS (SELECT node, CAST({E6} AS BIGINT) AS hub_e6 FROM hnodes)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        prev = f"hhub{i - 1}"
+        parts.append(
+            f"""haraw{i} AS (
+  SELECT e.{dst} AS node, CAST(sum(h.hub_e6) AS BIGINT) AS a_raw
+  FROM {edges} e JOIN {prev} h ON e.{src} = h.node
+  GROUP BY e.{dst}
+),
+haden{i} AS (
+  SELECT greatest(CAST(sum(a_raw) AS BIGINT) // {E6}, 1) AS a_den
+  FROM haraw{i}
+),
+hauth{i} AS (
+  SELECT n.node,
+         CAST(coalesce(r.a_raw, 0) // a_den AS BIGINT) AS auth_e6
+  FROM hnodes n CROSS JOIN haden{i}
+  LEFT JOIN haraw{i} r ON n.node = r.node
+),
+hhraw{i} AS (
+  SELECT e.{src} AS node, CAST(sum(a.auth_e6) AS BIGINT) AS h_raw
+  FROM {edges} e JOIN hauth{i} a ON e.{dst} = a.node
+  GROUP BY e.{src}
+),
+hhden{i} AS (
+  SELECT greatest(CAST(sum(h_raw) AS BIGINT) // {E6}, 1) AS h_den
+  FROM hhraw{i}
+),
+hhub{i} AS (
+  SELECT n.node,
+         CAST(coalesce(r.h_raw, 0) // h_den AS BIGINT) AS hub_e6
+  FROM hnodes n CROSS JOIN hhden{i}
+  LEFT JOIN hhraw{i} r ON n.node = r.node
+)"""
+        )
+    parts.append(
+        f"""hitsfinal AS (
+  SELECT h.node, h.hub_e6, a.auth_e6
+  FROM hhub{iters} h JOIN hauth{iters} a ON h.node = a.node
+)"""
+    )
+    return ",\n".join(parts), "hitsfinal"

@@ -150,3 +150,81 @@ class TestInlinkAnchors:
         con = duckdb.connect()  # keep alive: a temp conn can be GC'd
         want = set(con.sql(q).fetchall())
         assert got == want
+
+
+def _duck_hits(rows, **kw):
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    ctes, final = PR.oracle_hits_ctes("edges", **kw)
+    q = (
+        f"WITH edges(src, dst) AS (VALUES {vals}),\n{ctes}\n"
+        f"SELECT node, hub_e6, auth_e6 FROM {final}"
+    )
+    return {n: (h, a) for n, h, a in con.sql(q).fetchall()}
+
+
+def _spark_hits(spark, rows, **kw):
+    out = PR.hits_e6(_edges(spark, rows), **kw)
+    return {
+        r["node"]: (r["hub_e6"], r["auth_e6"]) for r in out.collect()
+    }
+
+
+class TestHits:
+    def test_hub_and_authority_separation(self, spark):
+        # 'hub' links to every leaf; every leaf links to 'auth'
+        rows = [("hub", f"l{i}") for i in range(4)] + [
+            (f"l{i}", "auth") for i in range(4)
+        ]
+        got = _spark_hits(spark, rows, iters=3)
+        # hub has the top hub score, auth the top authority score
+        assert got["hub"][0] == max(v[0] for v in got.values())
+        assert got["auth"][1] == max(v[1] for v in got.values())
+        # and the roles don't bleed: hub receives no links, auth emits none
+        assert got["hub"][1] == 0
+        assert got["auth"][0] == 0
+
+    @pytest.mark.parametrize("iters", [1, 3])
+    def test_duckdb_oracle_exact(self, spark, iters):
+        assert _spark_hits(spark, WEB, iters=iters) == _duck_hits(
+            WEB, iters=iters
+        )
+
+    def test_duckdb_oracle_exact_on_generated_graph(self, spark):
+        rows = []
+        for i in range(40):
+            if i % 7 == 3:
+                continue
+            rows.append((f"n{i}", f"n{(i * 13 + 1) % 40}"))
+            rows.append((f"n{i}", f"n{(i * 5 + 2) % 40}"))
+            if i % 3 == 0:
+                rows.append((f"n{i}", f"n{(i + 1) % 40}"))
+        assert _spark_hits(spark, rows, iters=2) == _duck_hits(
+            rows, iters=2
+        )
+
+    def test_partitioning_invariance(self, spark):
+        e = _edges(spark, WEB)
+        one = {
+            r["node"]: (r["hub_e6"], r["auth_e6"])
+            for r in PR.hits_e6(e.coalesce(1), iters=2).collect()
+        }
+        many = {
+            r["node"]: (r["hub_e6"], r["auth_e6"])
+            for r in PR.hits_e6(e.repartition(7), iters=2).collect()
+        }
+        assert one == many
+
+    def test_l1_mass_bounded(self, spark):
+        got = _spark_hits(spark, WEB, iters=3)
+        n = len(got)
+        # the divide-first normalization's den is FLOORED (sum div 1e6),
+        # so the post-div total lands in [1e6 - n, 2e6): sum < (den+1)*1e6
+        # implies total <= sum/den < 1e6*(den+1)/den <= 2e6. HITS is
+        # scale-free — the bound pins "bounded, never runaway", while the
+        # oracle tests pin the exact values.
+        assert sum(v[0] for v in got.values()) < 2 * PR.E6
+        assert sum(v[1] for v in got.values()) < 2 * PR.E6
+        assert sum(v[1] for v in got.values()) > PR.E6 // 2
+        assert sum(v[0] for v in got.values()) > PR.E6 // 2
+        assert n == 5
