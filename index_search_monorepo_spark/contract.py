@@ -266,6 +266,35 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
 # via the module's own oracle generators (operators/pagerank.py).
 _PR_CTES, _PR_FINAL = PR.oracle_pagerank_ctes("predges", iters=2)
 _HITS_CTES, _HITS_FINAL = PR.oracle_hits_ctes("predges", iters=2)
+# Crawl-admission gate (r5c): one robots.txt body exercising every RFC 9309
+# semantic the engine implements — group selection (specific beats *, no
+# merge), longest-match, allow-tie-wins, '$' anchor, mid-'*' — against
+# per-doc planted paths; every 5th doc's host has NO robots.txt (the
+# 404-allowed branch through the left join). Expected decisions are
+# hand-derived per class (the plant is designed to be hand-checkable, the
+# WARC-gate pattern).
+_ROBOTS_BODY = (
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "Disallow: /*.pdf$\n"
+    "Disallow: /tmp\n"
+    "Allow: /tmp/keep*html\n"
+    "Crawl-delay: 2\n"
+    "\n"
+    "User-agent: graftbot\n"
+    "Disallow: /bot-only/\n"
+)
+_ROBOTS_PATHS = [
+    "/public/page",      # 0: no rule -> allowed
+    "/private/doc",      # 1: Disallow /private/
+    "/private/okay",     # 2: Allow /private/ok outlengths the Disallow
+    "/file.pdf",         # 3: /*.pdf$ anchored
+    "/file.pdfx",        # 4: $ anchor must NOT match
+    "/tmp/keep1.html",   # 5: Allow /tmp/keep*html outlengths /tmp
+    "/tmp/other",        # 6: Disallow /tmp
+    "/bot-only/x",       # 7: * group has no rule; graftbot group denies
+]
 _PR_EDGES_SQL = """predges AS (
       SELECT 'n' || CAST(doc_id % 1000 AS VARCHAR) AS src,
              'n' || CAST((doc_id * 13 + 1) % 1000 AS VARCHAR) AS dst,
@@ -337,7 +366,38 @@ _PR_EDGES_SQL = """predges AS (
            pra.n_inlinks AS pr_n_inlinks,
            pra.top_anchor AS pr_top_anchor,
            prh.hub_e6 AS hits_hub_e6,
-           prh.auth_e6 AS hits_auth_e6
+           prh.auth_e6 AS hits_auth_e6,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 1
+                     WHEN doc_id % 8 IN (1, 3, 6) THEN 0
+                     ELSE 1 END AS BIGINT) AS robots_allowed,
+           CASE WHEN doc_id % 5 = 4 THEN NULL
+                WHEN doc_id % 8 = 1 THEN '/private/'
+                WHEN doc_id % 8 = 2 THEN '/private/ok'
+                WHEN doc_id % 8 = 3 THEN '/*.pdf$'
+                WHEN doc_id % 8 = 5 THEN '/tmp/keep*html'
+                WHEN doc_id % 8 = 6 THEN '/tmp'
+           END AS robots_pattern,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN 1
+                     WHEN doc_id % 8 = 7 THEN 0
+                     ELSE 1 END AS BIGINT) AS robots_bot_allowed,
+           CASE WHEN doc_id % 11 = 10 THEN NULL
+                WHEN doc_id % 13 = 6 THEN 'sitemapindex'
+                ELSE 'urlset' END AS sm_kind,
+           CAST(CASE WHEN doc_id % 11 = 10 THEN 0
+                     WHEN doc_id % 13 = 6 THEN 1
+                     ELSE 2 END AS BIGINT) AS sm_n_locs,
+           CASE WHEN doc_id % 11 = 10 THEN NULL
+                WHEN doc_id % 13 = 6
+                THEN 'https://sm.com/i/' || CAST(doc_id AS VARCHAR)
+                     || '.xml'
+                ELSE 'https://sm.com/p/' || CAST(doc_id AS VARCHAR)
+           END AS sm_first_loc,
+           CAST(CASE WHEN doc_id % 11 = 10 THEN NULL
+                     WHEN doc_id % 13 = 6 THEN NULL
+                     ELSE (doc_id % 10) * 100 END AS BIGINT)
+             AS sm_prio_milli,
+           CAST(CASE WHEN doc_id % 11 = 10 THEN 1 ELSE 0 END AS BIGINT)
+             AS sm_has_err
     FROM pt
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
@@ -394,7 +454,18 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold, and Kleinberg HITS (divide-first integer normalization) run
     over a deterministic planted graph, value-hash-matched against DuckDB
     replaying the SAME iterations via the module's own oracle CTE
-    generators."""
+    generators.
+
+    r5d: the crawl-admission tier rides too — the REAL robots.txt engine
+    (operators/robots.py, RFC 9309: group selection with specific-beats-*
+    -and-no-merge via TWO agents, longest-match, allow-tie-wins, '$'
+    anchor, mid-'*', 404-allowed for hosts without robots) as
+    robots_allowed / robots_pattern / robots_bot_allowed, and the REAL
+    sitemap parser (sources/sitemap.py: urlset + sitemapindex +
+    malformed-XML error envelope, integer-exact priority_milli) as
+    sm_kind / sm_n_locs / sm_first_loc / sm_prio_milli / sm_has_err. The
+    planted classes are hand-derivable, so the oracle pins decisions the
+    engine cannot have produced trivially."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -576,6 +647,100 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(doc_graph, out["doc_id"] == doc_graph["g_id"]).drop(
         "g_id"
     )
+    # r5c crawl-admission ride: the REAL robots.txt engine
+    # (operators/robots.py — parse-once-per-host broadcast rules +
+    # vectorized longest-match decisions) over per-doc planted paths,
+    # TWO agents so group selection (specific beats *, no merge) is under
+    # the gate; every 5th doc's host has no robots.txt (404-allowed).
+    from index_search_monorepo_spark.operators import robots as RB
+    from index_search_monorepo_spark.sources import sitemap as SMAP
+
+    hosts = spark.createDataFrame(
+        [("rb.com", _ROBOTS_BODY)], "host string, robots_body string"
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(F.pmod(d, F.lit(5)) == 4, F.lit("nr.com"))
+        .otherwise(F.lit("rb.com"))
+        .alias("host"),
+        F.try_element_at(
+            F.array(*[F.lit(p) for p in _ROBOTS_PATHS]),
+            F.pmod(d, F.lit(8)).cast("int") + 1,
+        ).alias("path"),
+    )
+    star = RB.with_robots_allowed(
+        urls, RB.host_rules(hosts, agent="zcrawler")
+    ).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("allowed").alias("robots_allowed"),
+        F.col("matched_pattern").alias("robots_pattern"),
+    )
+    bot = RB.with_robots_allowed(
+        urls, RB.host_rules(hosts, agent="graftbot")
+    ).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("allowed").alias("robots_bot_allowed"),
+    )
+    crawl = star.join(bot, star["c_id"] == bot["b_id"]).drop("b_id")
+    # r5c sitemap ride: the REAL sitemaps.org parser (sources/sitemap.py)
+    # over per-doc planted XML — urlset (2 urls, integer-exact
+    # priority_milli), sitemapindex (every 13th), malformed -> error ROW
+    # (every 11th) — re-aggregated to doc grain for the gate.
+    sm_xml = (
+        F.when(F.pmod(d, F.lit(11)) == 10, F.lit("<urlset><url>"))
+        .when(
+            F.pmod(d, F.lit(13)) == 6,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://sm.com/i/"),
+                d.cast("string"),
+                F.lit(
+                    ".xml</loc><lastmod>2026-03-01</lastmod></sitemap>"
+                    "</sitemapindex>"
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                    'sitemap/0.9"><url><loc>https://sm.com/p/'
+                ),
+                d.cast("string"),
+                F.lit(
+                    "</loc><lastmod>2026-01-15</lastmod>"
+                    "<changefreq>daily</changefreq><priority>0."
+                ),
+                F.pmod(d, F.lit(10)).cast("string"),
+                F.lit("</priority></url><url><loc>https://sm.com/q/"),
+                d.cast("string"),
+                F.lit("</loc></url></urlset>"),
+            )
+        )
+    )
+    sm_entries = SMAP.sitemap_entries(
+        docs.select(
+            F.concat(F.lit("sm"), d.cast("string")).alias("sm_host"),
+            sm_xml.alias("sitemap_xml"),
+        ),
+        host_col="sm_host",
+    )
+    sm_agg = sm_entries.groupBy(
+        F.col("host").alias("sm_host")
+    ).agg(
+        F.max("kind").alias("sm_kind"),
+        F.count("loc").cast("long").alias("sm_n_locs"),
+        F.min("loc").alias("sm_first_loc"),
+        F.max("priority_milli").cast("long").alias("sm_prio_milli"),
+        F.max(F.col("error").isNotNull().cast("long")).alias("sm_has_err"),
+    )
+    crawl = crawl.join(
+        sm_agg,
+        F.concat(F.lit("sm"), crawl["c_id"].cast("string"))
+        == sm_agg["sm_host"],
+    ).drop("sm_host")
+    out = out.join(
+        crawl, out["doc_id"] == crawl["c_id"].cast("string")
+    ).drop("c_id")
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"
     )
