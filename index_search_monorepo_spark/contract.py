@@ -39,6 +39,7 @@ from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import packing as PK
+from index_search_monorepo_spark.operators import frontier as FRO
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
@@ -295,6 +296,27 @@ _ROBOTS_PATHS = [
     "/tmp/other",        # 6: Disallow /tmp
     "/bot-only/x",       # 7: * group has no rule; graftbot group denies
 ]
+_FR_PATH_CASE = (
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_ROBOTS_PATHS))
+    + " END"
+)
+# frontier-schedule gate CTEs (r5d): the same planted URL feed run through
+# the REAL frontier scheduler — md5 host sharding to 4 fetchers, per-host
+# politeness waves, per-(fetcher, wave) dispatch order, priority doc_id%7;
+# the url embeds doc_id so the sort is a total order in both engines.
+_FR_URLS_SQL = f"""frurls AS (
+      SELECT doc_id, host,
+             'https://' || host || path || '?d='
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 4 THEN 'nr.com'
+                    ELSE 'rb.com' END AS host,
+               {_FR_PATH_CASE} AS path
+        FROM documents
+      )
+    )"""
 _PR_EDGES_SQL = """predges AS (
       SELECT 'n' || CAST(doc_id % 1000 AS VARCHAR) AS src,
              'n' || CAST((doc_id * 13 + 1) % 1000 AS VARCHAR) AS dst,
@@ -319,7 +341,12 @@ _PR_EDGES_SQL = """predges AS (
     {_PR_EDGES_SQL},
     {_PR_CTES},
     {_HITS_CTES},
-    pranchors AS ({PR.oracle_inlink_anchors_sql('predges')})
+    pranchors AS ({PR.oracle_inlink_anchors_sql('predges')}),
+    {_FR_URLS_SQL},
+    frsched AS (SELECT doc_id AS fr_doc, fetcher, wave, queue_pos
+                FROM ({FRO.oracle_frontier_sql(
+                    'frurls', n_fetchers=4, priority_sql='doc_id % 7',
+                    extra_cols=('doc_id',))}))
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
            {xmlesc_sql(spike_text_sql('text'))} AS escaped,
@@ -397,7 +424,10 @@ _PR_EDGES_SQL = """predges AS (
                      ELSE (doc_id % 10) * 100 END AS BIGINT)
              AS sm_prio_milli,
            CAST(CASE WHEN doc_id % 11 = 10 THEN 1 ELSE 0 END AS BIGINT)
-             AS sm_has_err
+             AS sm_has_err,
+           frs.fetcher AS fr_fetcher,
+           frs.wave AS fr_wave,
+           frs.queue_pos AS fr_queue_pos
     FROM pt
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
@@ -405,6 +435,7 @@ _PR_EDGES_SQL = """predges AS (
            ON pra.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN {_HITS_FINAL} prh
            ON prh.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
+    JOIN frsched frs ON frs.fr_doc = pt.doc_id
     """,
 )
 def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,6 +772,34 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.join(
         crawl, out["doc_id"] == crawl["c_id"].cast("string")
     ).drop("c_id")
+    # r5d frontier ride: the same planted (host, path) feed becomes a URL
+    # frontier (url embeds doc_id -> unique, so the schedule's sort is a
+    # total order) and the REAL scheduler (operators/frontier.py) assigns
+    # fetcher/wave/queue_pos — md5 host sharding to 4 fetchers, per-host
+    # politeness waves, priority doc_id % 7 — joined back per doc.
+    fr_urls = urls.select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.lit("?d="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("long").alias("_frprio"),
+    )
+    sched = FRO.frontier_schedule(
+        fr_urls, n_fetchers=4, priority_col="_frprio"
+    ).select(
+        F.col("doc_id").alias("f_id"),
+        F.col("fetcher").alias("fr_fetcher"),
+        F.col("wave").alias("fr_wave"),
+        F.col("queue_pos").alias("fr_queue_pos"),
+    )
+    out = out.join(sched, out["doc_id"] == sched["f_id"].cast("string")).drop(
+        "f_id"
+    )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"
     )
