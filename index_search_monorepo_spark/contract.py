@@ -40,6 +40,7 @@ from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import frontier as FRO
+from index_search_monorepo_spark.operators import urlnorm as UN
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
@@ -343,9 +344,11 @@ _PR_EDGES_SQL = """predges AS (
     {_HITS_CTES},
     pranchors AS ({PR.oracle_inlink_anchors_sql('predges')}),
     {_FR_URLS_SQL},
-    frsched AS (SELECT doc_id AS fr_doc, fetcher, wave, queue_pos
+    frsched AS (SELECT doc_id AS fr_doc, fetcher, wave, queue_pos,
+                       not_before_sec
                 FROM ({FRO.oracle_frontier_sql(
                     'frurls', n_fetchers=4, priority_sql='doc_id % 7',
+                    delay_sql="CASE WHEN host = 'nr.com' THEN 1 ELSE 2 END",
                     extra_cols=('doc_id',))}))
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
@@ -427,7 +430,19 @@ _PR_EDGES_SQL = """predges AS (
              AS sm_has_err,
            frs.fetcher AS fr_fetcher,
            frs.wave AS fr_wave,
-           frs.queue_pos AS fr_queue_pos
+           frs.queue_pos AS fr_queue_pos,
+           frs.not_before_sec AS fr_not_before,
+           CASE doc_id % 5
+             WHEN 0 THEN 'http://www.exa.com/d' || CAST(doc_id AS VARCHAR)
+                         || '/cz/?a=' || CAST(doc_id AS VARCHAR) || '&b=2'
+             WHEN 1 THEN 'https://ex.com/A%2F/' || CAST(doc_id AS VARCHAR)
+                         || '?x'
+             WHEN 2 THEN 'https://ex' || CAST(doc_id AS VARCHAR)
+                         || '.com/a./'
+             WHEN 3 THEN 'http://u:p@ex.com:8080/p/'
+                         || CAST(doc_id AS VARCHAR)
+             ELSE 'https://ex' || CAST(doc_id AS VARCHAR) || '.com/'
+           END AS canon_url
     FROM pt
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
@@ -496,7 +511,24 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed-XML error envelope, integer-exact priority_milli) as
     sm_kind / sm_n_locs / sm_first_loc / sm_prio_milli / sm_has_err. The
     planted classes are hand-derivable, so the oracle pins decisions the
-    engine cannot have produced trivially."""
+    engine cannot have produced trivially.
+
+    r5d2: the crawl-frontier scheduler (operators/frontier.py) rides as
+    fr_fetcher / fr_wave / fr_queue_pos / fr_not_before — the planted
+    (host, path) feed becomes a URL frontier and the REAL scheduler
+    assigns md5-host-sharded fetchers, per-host politeness waves and the
+    dispatch order, with the wave spacing driven by the REAL parsed
+    robots Crawl-delay (rb.com's * group: 2 s; nr.com 404 -> default
+    1 s); DuckDB replays the identical fold + windows via
+    frontier.oracle_frontier_sql.
+
+    r5e: RFC 3986 URL canonicalization (operators/urlnorm.py) rides as
+    canon_url — five planted messy-URL classes (scheme/host case +
+    default port + dot segments + tracking/query cleanup; reserved vs
+    unreserved percent escapes; '..' at root and decoded %2e non-dot;
+    userinfo + host root-dot + non-default port; empty path) through the
+    REAL pure-codegen canonicalizer; the oracle pins hand-derived
+    expected strings per class."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -592,6 +624,51 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.withColumn(
         "_warc", WARC.warc_roundtrip_udf()(F.col("doc_id"), F.col("text"))
     )
+    # r5e canonicalization ride: five planted messy-URL classes (case +
+    # default port, unreserved/reserved percent escapes, dot segments at
+    # and below root, userinfo + host root-dot, empty path) through the
+    # REAL RFC 3986 canonicalizer (operators/urlnorm.py); the oracle pins
+    # hand-derived expected strings per class.
+    messy = (
+        F.when(
+            F.pmod(d, F.lit(5)) == 0,
+            F.concat(
+                F.lit("HTTP://WWW.ExA.COM:80/d"),
+                d.cast("string"),
+                F.lit("/./b/../c%7a/?b=2&a="),
+                d.cast("string"),
+                F.lit("&utm_source=x#frag"),
+            ),
+        )
+        .when(
+            F.pmod(d, F.lit(5)) == 1,
+            F.concat(
+                F.lit("https://Ex.COM:443/%41%2f/"),
+                d.cast("string"),
+                F.lit("?x&gclid=1"),
+            ),
+        )
+        .when(
+            F.pmod(d, F.lit(5)) == 2,
+            F.concat(
+                F.lit("https://ex"), d.cast("string"), F.lit(".com/../a%2e/")
+            ),
+        )
+        .when(
+            F.pmod(d, F.lit(5)) == 3,
+            F.concat(
+                F.lit("http://u:p@Ex.COM.:8080/p/"),
+                d.cast("string"),
+                F.lit("#f"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://ex"), d.cast("string"), F.lit(".com"))
+        )
+    )
+    base = UN.with_canonical_url(
+        base.withColumn("_messy", messy), url_col="_messy", out_col="canon_url"
+    )
     out = base.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         string_preparation_expr(F.col("_spiked")).alias("prepared"),
@@ -624,6 +701,7 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_warc.warc_canonical").alias("warc_canonical"),
         F.col("_warc.warc_n_links").alias("warc_n_links"),
         F.col("_warc.warc_first_href").alias("warc_first_href"),
+        F.col("canon_url"),
     )
     # r5c link-graph ride: deterministic planted multigraph (node space
     # n0..n999), the REAL integer PageRank (2 iterations) + inlink anchor
@@ -699,9 +777,8 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(d, F.lit(8)).cast("int") + 1,
         ).alias("path"),
     )
-    star = RB.with_robots_allowed(
-        urls, RB.host_rules(hosts, agent="zcrawler")
-    ).select(
+    star_rules = RB.host_rules(hosts, agent="zcrawler")
+    star = RB.with_robots_allowed(urls, star_rules).select(
         F.col("doc_id").alias("c_id"),
         F.col("allowed").alias("robots_allowed"),
         F.col("matched_pattern").alias("robots_pattern"),
@@ -776,26 +853,37 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frontier (url embeds doc_id -> unique, so the schedule's sort is a
     # total order) and the REAL scheduler (operators/frontier.py) assigns
     # fetcher/wave/queue_pos — md5 host sharding to 4 fetchers, per-host
-    # politeness waves, priority doc_id % 7 — joined back per doc.
-    fr_urls = urls.select(
-        "doc_id",
-        "host",
-        F.concat(
-            F.lit("https://"),
-            F.col("host"),
-            F.col("path"),
-            F.lit("?d="),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.pmod(F.col("doc_id"), F.lit(7)).cast("long").alias("_frprio"),
+    # politeness waves, priority doc_id % 7 — joined back per doc. The
+    # politeness spacing comes from the REAL parsed robots Crawl-delay
+    # (rb.com's * group says 2; nr.com has no robots -> default 1), so
+    # fr_not_before gates robots parse -> frontier spacing end-to-end.
+    fr_urls = (
+        urls.select(
+            "doc_id",
+            "host",
+            F.concat(
+                F.lit("https://"),
+                F.col("host"),
+                F.col("path"),
+                F.lit("?d="),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("long").alias("_frprio"),
+        )
+        .join(star_rules.select("host", "crawl_delay"), "host", "left")
+        .withColumn(
+            "_frdelay",
+            F.coalesce(F.col("crawl_delay"), F.lit(1)).cast("long"),
+        )
     )
     sched = FRO.frontier_schedule(
-        fr_urls, n_fetchers=4, priority_col="_frprio"
+        fr_urls, n_fetchers=4, priority_col="_frprio", delay_col="_frdelay"
     ).select(
         F.col("doc_id").alias("f_id"),
         F.col("fetcher").alias("fr_fetcher"),
         F.col("wave").alias("fr_wave"),
         F.col("queue_pos").alias("fr_queue_pos"),
+        F.col("not_before_sec").alias("fr_not_before"),
     )
     out = out.join(sched, out["doc_id"] == sched["f_id"].cast("string")).drop(
         "f_id"

@@ -52,10 +52,19 @@ def frontier_schedule(
     host_col: str = "host",
     url_col: str = "url",
     priority_col: str | None = None,
+    delay_col: str | None = None,
 ) -> DataFrame:
     """URL feed -> feed + (fetcher, wave, queue_pos). Higher priority
     fetches earlier; without a priority column the order is pure
-    url-lexicographic FIFO."""
+    url-lexicographic FIFO.
+
+    With `delay_col` (per-row host crawl-delay in seconds, e.g. the
+    robots.txt Crawl-delay surfaced by robots.host_rules) the schedule
+    also emits `not_before_sec` = (wave - 1) * delay: the earliest
+    fetch offset that honors the host's requested spacing, since the
+    host's wave-k URL fetches k-1 politeness intervals after its first.
+    Fetchers dispatching (wave, queue_pos) order and honoring
+    not_before_sec satisfy every host's Crawl-delay by construction."""
     prio = (
         F.col(priority_col) if priority_col else F.lit(0).cast("long")
     )
@@ -75,9 +84,15 @@ def frontier_schedule(
     pos_w = Window.partitionBy("fetcher", "wave").orderBy(
         F.desc("_prio"), F.asc(url_col)
     )
-    return with_wave.withColumn(
+    out = with_wave.withColumn(
         "queue_pos", F.row_number().over(pos_w).cast("long")
     ).drop("_prio")
+    if delay_col is not None:
+        out = out.withColumn(
+            "not_before_sec",
+            ((F.col("wave") - 1) * F.col(delay_col)).cast("long"),
+        )
+    return out
 
 
 def oracle_frontier_sql(
@@ -86,23 +101,35 @@ def oracle_frontier_sql(
     host_col: str = "host",
     url_col: str = "url",
     priority_sql: str = "0",
+    delay_sql: str | None = None,
     extra_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB mirror of `frontier_schedule` as one SELECT body over a
     `urls` CTE/table — same md5 fetcher fold, same total-order windows.
     `extra_cols` pass through untouched (e.g. a doc_id for joining the
-    schedule back to a gate row)."""
+    schedule back to a gate row); `delay_sql` (seconds, evaluated
+    against the urls relation) mirrors `delay_col`."""
     f = f"({hash_key_sql(host_col, salt=FETCHER_SALT)}) % {int(n_fetchers)}"
     passthru = "".join(f"{c}, " for c in extra_cols)
+    nb = (
+        f",\n         CAST((wave - 1) * _delay AS BIGINT) AS not_before_sec"
+        if delay_sql is not None
+        else ""
+    )
+    delay_inner = (
+        f",\n           CAST({delay_sql} AS BIGINT) AS _delay"
+        if delay_sql is not None
+        else ""
+    )
     return f"""
   SELECT {passthru}{host_col}, {url_col}, fetcher, wave,
          CAST(row_number() OVER (
              PARTITION BY fetcher, wave
-             ORDER BY _prio DESC, {url_col} ASC) AS BIGINT) AS queue_pos
+             ORDER BY _prio DESC, {url_col} ASC) AS BIGINT) AS queue_pos{nb}
   FROM (
     SELECT {passthru}{host_col}, {url_col},
            CAST({f} AS BIGINT) AS fetcher,
-           CAST({priority_sql} AS BIGINT) AS _prio,
+           CAST({priority_sql} AS BIGINT) AS _prio{delay_inner},
            CAST(row_number() OVER (
                PARTITION BY {host_col}
                ORDER BY {priority_sql} DESC, {url_col} ASC) AS BIGINT)

@@ -79,6 +79,21 @@ class TestFrontier:
     def test_duckdb_schedule_bit_equal(self, spark):
         assert _spark_sched(spark) == _duck_sched()
 
+    def test_crawl_delay_spacing(self, spark):
+        df = spark.createDataFrame(
+            [(h, u, p, 2 if h == "a.com" else 5) for h, u, p in URLS],
+            "host string, url string, prio long, delay long",
+        )
+        out = FR.frontier_schedule(
+            df, n_fetchers=4, priority_col="prio", delay_col="delay"
+        )
+        got = {r["url"]: (r["wave"], r["not_before_sec"]) for r in out.collect()}
+        # not_before = (wave-1) * host delay: a.com's 3 urls at 0/2/4s,
+        # b.com's 2 at 0/5s, singleton at 0
+        assert all(nb == (w - 1) * (2 if "a.com" in u else 5)
+                   for u, (w, nb) in got.items())
+        assert sorted(nb for u, (_w, nb) in got.items() if "a.com" in u) == [0, 2, 4]
+
     def test_queue_pos_total_order_within_fetcher_wave(self, spark):
         got = _spark_sched(spark, n_fetchers=1)
         # one fetcher: each wave's queue positions are 1..k dense
