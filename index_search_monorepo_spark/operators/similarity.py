@@ -652,3 +652,69 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim_e6") >= threshold_e6)
         .dropDuplicates(["vec_a", "vec_b"])
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    init_ids: list[int],
+    iters: int = 2,
+    threshold_e6: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDedup (Abbas et al. 2023 shape): embedding-space near-duplicate
+    removal with k-means cells as the SEMANTIC blocking — train a
+    codebook, assign every vector to its nearest cell (zero corpus
+    shuffle), find cosine pairs above `threshold_e6`/1e6 WITHIN each
+    cell, collapse pairs to connected components, keep one canonical
+    vector per component. Returns (kept, clusters): `kept` = the input
+    frame minus non-canonical members, `clusters` = (doc_id, cluster_id,
+    is_canonical) for every vector that appeared in a pair.
+
+    Why cells instead of sign-LSH banding: semantic duplicates
+    (paraphrases, re-encodes) concentrate inside k-means cells by
+    construction, so recall tracks the clustering rather than hash
+    collisions; pairs straddling a cell boundary are missed — the
+    documented SemDedup trade (the paper sizes k so cells stay small and
+    accepts boundary loss).
+
+    Scale shape: the trainer is `iters` single-pass map-side-combined
+    jobs; assignment is a broadcast argmax projection; the pair join is
+    an equality self-join on the cell id whose fan-out is quadratic PER
+    CELL — so the cell-occupancy guard raises (rather than silently
+    launching a near-cartesian) when any cell exceeds `max_cell_rows`;
+    fix k (more cells) rather than raising the cap. Components and the
+    anti-join ride the dedup.py machinery (pair rows only, never
+    vectors).
+    """
+    from index_search_monorepo_spark.operators.dedup import (
+        drop_duplicates_by_cluster,
+        duplicate_clusters,
+    )
+
+    cb = kmeans_codebook(emb, init_ids, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, cb, id_col=id_col, vec_col=vec_col)
+    hot = (
+        assigned.groupBy("cell")
+        .count()
+        .filter(F.col("count") > max_cell_rows)
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        raise ValueError(
+            f"semantic_dedup: cell {hot[0]['cell']} holds {hot[0]['count']}"
+            f" > max_cell_rows={max_cell_rows} vectors; the in-cell pair"
+            " join would be near-quadratic — increase k (more init_ids)"
+        )
+    pairs = cosine_near_dup_pairs(
+        assigned,
+        threshold_e6=threshold_e6,
+        block_col="cell",
+        id_col="vid",
+        vec_col="vec",
+    )
+    clusters = duplicate_clusters(pairs, "vec_a", "vec_b")
+    kept = drop_duplicates_by_cluster(emb, clusters, doc_id_col=id_col)
+    return kept, clusters

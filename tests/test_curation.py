@@ -859,3 +859,48 @@ class TestKmeansTrainer:
         assert len(rows) == 8
         assert sum(r["km_n_vecs"] for r in rows) == emb.count()
         assert all(len(r["c_md5"]) == 32 for r in rows)
+
+
+class TestSemanticDedup:
+    """SemDedup composition (similarity.semantic_dedup): k-means cells as
+    semantic blocking -> in-cell cosine pairs -> components -> keep one."""
+
+    EMB = [
+        # group A near [1,0,0,0]: 1~2 are near-dups, 3 is distinct
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9995, 0.0316, 0.0, 0.0]),
+        (3, [0.8, 0.6, 0.0, 0.0]),
+        # group B near [0,1,0,0]: 10~11 near-dups
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0316, 0.9995, 0.0, 0.0]),
+        (12, [0.0, 0.7, 0.7, 0.0]),
+    ]
+
+    def _emb(self, spark):
+        return spark.createDataFrame(
+            self.EMB, "vec_id long, embedding array<double>"
+        )
+
+    def test_keeps_one_per_semantic_cluster(self, spark):
+        from index_search_monorepo_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        kept, clusters = semantic_dedup(
+            self._emb(spark), init_ids=[1, 10], iters=2, threshold_e6=990000
+        )
+        assert sorted(r["vec_id"] for r in kept.collect()) == [1, 3, 10, 12]
+        cl = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+        assert cl == {1: 1, 2: 1, 10: 10, 11: 10}
+
+    def test_cell_fanout_guard(self, spark):
+        import pytest as _pytest
+
+        from index_search_monorepo_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        with _pytest.raises(ValueError, match="max_cell_rows"):
+            semantic_dedup(
+                self._emb(spark), init_ids=[1, 10], max_cell_rows=2
+            )
