@@ -109,6 +109,7 @@ def with_mixture_sampling(
     rate_cap_pmille: int = 8000,
     salt: str = "mix",
     key_col: str = "doc_id",
+    registry: list | None = None,
 ) -> DataFrame:
     """Temperature-based mixture reweighting (alpha = 0.5, the multilingual
     sampling rule of XLM-R / mBERT): strata (languages, domains, sources)
@@ -145,8 +146,22 @@ def with_mixture_sampling(
             f"with_mixture_sampling would overwrite column(s) "
             f"{sorted(clash)}; rename them first"
         )
-    counts = df.groupBy(stratum_col).agg(
-        F.count("*").cast("long").alias("_n_s")
+    # The stratum rollup is stratum-grain (tiny) but its LINEAGE is a full
+    # pass over df — and it is read by THREE consumers (totals, rates, and
+    # transitively the output join's broadcast build). Unpersisted, a
+    # narrow upstream pipeline (no Exchange for AQE to reuse) is
+    # re-evaluated once per consumer: measured 3 full corpus passes and a
+    # 10x wall hit when df carries expensive derived columns (lang_id's
+    # trigram profile, r5). Persisting the slim rollup caps the upstream
+    # cost at ONE pruned pass regardless of fan-out; `registry` is the
+    # standard cache-lifecycle hook (operators/dedup.py convention).
+    from index_search_monorepo_spark.operators.dedup import _persist
+
+    counts = _persist(
+        df.groupBy(stratum_col).agg(
+            F.count("*").cast("long").alias("_n_s")
+        ),
+        registry,
     )
     weights = counts.withColumn(
         "_w_s", isqrt_cols(F.col("_n_s") * F.lit(1_000_000))
@@ -171,10 +186,34 @@ def with_mixture_sampling(
             ).alias("mix_rate_pmille"),
         )
     )
-    # inner join on the stratum: a NULL stratum matches nothing in either
-    # engine (SQL NULL equality), so callers must bucket nulls into a
-    # sentinel stratum first — lang-ID guesses here are never null
-    out = df.join(F.broadcast(rates), stratum_col)
+    # The rate table rides back as a ONE-ROW broadcast map (the dedup
+    # strip-set convention), NOT an equi-join on the stratum column. A
+    # BroadcastHashJoin keyed on a derived column substitutes the key
+    # expression into the join operator, bypassing the CollapseProject
+    # non-cheap-used-twice guard — when the stratum is an expensive
+    # derived column (lang_id's trigram argmax) the measured cost was
+    # 5 s vs 0.7 s for the same rows at sf0.1 (r5 plan audit). With the
+    # map lookup the stratum attribute is referenced twice in ONE
+    # downstream Project (passthrough + lookup), which is exactly the
+    # shape CollapseProject refuses to inline — single evaluation.
+    # A NULL stratum is excluded from the map (it would be an illegal
+    # map key) and looks up to a NULL rate — callers must bucket nulls
+    # into a sentinel stratum first; lang-ID guesses here are never null.
+    rate_map = rates.filter(F.col(stratum_col).isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col(stratum_col), F.col("mix_rate_pmille"))
+            )
+        ).alias("_mix_rates")
+    )
+    out = (
+        df.crossJoin(F.broadcast(rate_map))
+        .withColumn(
+            "mix_rate_pmille",
+            F.try_element_at(F.col("_mix_rates"), F.col(stratum_col)),
+        )
+        .drop("_mix_rates")
+    )
     frac_pick = (
         hash_key_expr(F.col(key_col), salt) % 1000
         < F.col("mix_rate_pmille") % 1000

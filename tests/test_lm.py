@@ -207,6 +207,21 @@ class TestMixture:
             (r["doc_id"], r["mix_copies"]) for r in got
         )
 
+    def test_rate_ride_is_one_row_map_not_stratum_keyed_join(self, spark):
+        # CLAUDE.md lesson #10: a BroadcastHashJoin KEYED on a derived
+        # stratum column substitutes the key expression into the join,
+        # re-evaluating it (5.1 s vs 0.7 s on lang_id's trigram argmax).
+        # The rate table must ride back as a ONE-ROW broadcast map
+        # (BroadcastNestedLoopJoin), never a stratum-keyed hash join.
+        df = spark.createDataFrame(
+            [(i, "x" if i % 2 == 0 else "y") for i in range(20)],
+            "doc_id long, stratum string",
+        )
+        out = P.with_mixture_sampling(df, "stratum")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+
     def test_rate_cap(self, spark):
         rows = [(i, "big" if i < 999 else "tiny") for i in range(1000)]
         df = spark.createDataFrame(rows, "doc_id long, stratum string")
