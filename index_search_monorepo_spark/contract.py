@@ -35,6 +35,7 @@ from index_search_monorepo_spark.functions.text import (
     xmlesc_expr,
 )
 from index_search_monorepo_spark.operators import bpe as BPE
+from index_search_monorepo_spark.operators import classifier as CLFR
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
@@ -2627,7 +2628,12 @@ _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
              CAST(len(regexp_extract_all(c4_text, '[.!?]')) AS BIGINT)
                AS c4_n_sentences
       FROM c4t
-    )
+    ),
+    {CLFR.classifier_oracle_sql(
+        label_sql="doc_id % 3 <> 0", train_pmille=500, top_k=32,
+        bigram_buckets=16,
+        hash_sql=PK.hash_key_sql("doc_id", "clftrain"),
+    ).lstrip()}
     SELECT doc_id, n_tokens, n_unique_tokens, n_short_tokens,
            diversity_pmille,
            CASE WHEN diversity_pmille >= 300 THEN 'high'
@@ -2644,8 +2650,11 @@ _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
            c4_has_brace, c4_has_lorem, c4_has_bad_word,
            CAST(c4_n_sentences >= 3 AND c4_has_brace = 0
                 AND c4_has_lorem = 0 AND c4_has_bad_word = 0 AS BIGINT)
-             AS c4_keep
+             AS c4_keep,
+           clf_tokens, clf_oov, clf_score_bits, clf_score_mean_e3,
+           clf_pred
     FROM pm JOIN pii USING (doc_id) JOIN c4 USING (doc_id)
+         JOIN clf_out USING (doc_id)
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,7 +2677,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lorem/brace/bad-word lines) runs the REAL with_c4_rules line filter +
     page flags + keep verdict, chained through the same keep= passthrough;
     still one scan, zero joins, and the oracle recomputes the kept lines
-    and flags byte-for-byte."""
+    and flags byte-for-byte.
+
+    NEW r5: the fastText/DCLM-shape seed-trained quality classifier
+    (operators/classifier.py) rides the same row — TRAINED inside the
+    entry on a deterministic 50% hash slice (salt 'clftrain', planted
+    boolean seed label doc_id % 3 <> 0), unigram + hashed-bigram-bucket
+    features (16 buckets so the hashing trick's collisions are
+    themselves under the gate), vocabulary capped to 32 (total-count
+    DESC / feat ASC), integer bit-length NB weights, signed scores with
+    magnitude-only mean division; the oracle replays train -> bucket ->
+    cap -> weigh -> score from scratch in SQL. The classifier join is
+    broadcast-only (top_k-bounded weight table); the corpus text still
+    never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -2728,7 +2749,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = TS.with_quality(pii, keep=pii_names + c4_names)
     for c in ("c4_has_brace", "c4_has_lorem", "c4_has_bad_word", "c4_keep"):
         out = out.withColumn(c, F.col(c).cast("long"))
-    return out
+    labeled = docs.withColumn("clf_lab", F.pmod(d, F.lit(3)) != 0)
+    clf_counts = CLFR.train_ngram_classifier(
+        labeled, "clf_lab", train_pmille=500, top_k=32, bigram_buckets=16
+    )
+    clf_priors = CLFR.train_doc_priors(labeled, "clf_lab", train_pmille=500)
+    clf = CLFR.with_classifier_score(
+        labeled, clf_counts, clf_priors, bigram_buckets=16
+    )
+    return out.join(clf, "doc_id")
 
 
 @register(
