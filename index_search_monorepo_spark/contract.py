@@ -3434,9 +3434,16 @@ _GATE_MERGES = [
                 THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary
     FROM cums
     ),
-    {BPE.bpe_oracle_sql(_GATE_MERGES).lstrip()}
-    SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym
+    {BPE.bpe_oracle_sql(_GATE_MERGES).lstrip()},
+    {LMOD.sb_oracle_sql(
+        train_pmille=500, top_k_uni=16, top_k_bi=24,
+        hash_sql=PK.hash_key_sql("doc_id", "lmtrain"),
+    ).lstrip()}
+    SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym,
+           s.sb_tokens, s.sb_bigram_hits, s.sb_backoffs,
+           s.sb_score_e6, s.sb_mean_e6
     FROM pk_out p JOIN bpe_out b USING (doc_id)
+         JOIN sb_out s USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3469,7 +3476,18 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest merged symbol, with the oracle refolding every distinct
     pre-token through the same rank-ordered greedy merges via
     list_reduce (bpe.bpe_oracle_sql). The trainer that produces such merge
-    lists is golden-pinned in tests/test_bpe.py."""
+    lists is golden-pinned in tests/test_bpe.py.
+
+    ALSO r5: the stupid-backoff bigram LM (lm.train_bigram_counts +
+    with_stupid_backoff, Brants et al. 2007) rides the same row —
+    trained inside the entry on the 50% 'lmtrain' slice with top-16
+    unigram / top-24 bigram caps (so vocabulary pruning of bigram
+    histories and real backoff traffic are both under the gate); every
+    token scores through seen-bigram ratio vs alpha*unigram with
+    integer e6 arithmetic, and the oracle replays
+    train->cap->prune->score from scratch (lm.sb_oracle_sql). Both
+    model joins broadcast; the exploded (token, history) rows are the
+    only addition to the entry's shuffle traffic."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -3495,8 +3513,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = TS.with_token_stats(goph, keep=rep_names + C4._G_PRODUCED)
     packed = PK.pack_sequences(tok, budget=512, n_shards=8)
     bpe = BPE.with_bpe_tokens(docs, _GATE_MERGES)
-    return packed.withColumn("g_keep", F.col("g_keep").cast("long")).join(
-        bpe, "doc_id"
+    sb_uni = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
+    sb_bi = LMOD.train_bigram_counts(docs, train_pmille=500, top_k=24)
+    sb = LMOD.with_stupid_backoff(docs, sb_uni, sb_bi)
+    return (
+        packed.withColumn("g_keep", F.col("g_keep").cast("long"))
+        .join(bpe, "doc_id")
+        .join(sb, "doc_id")
     )
 
 

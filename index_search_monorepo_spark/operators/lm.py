@@ -40,6 +40,15 @@ Pipeline shape (and why it scales):
    SparkContext-broadcast python dict — zero shuffle, for callers composing
    onto already-fat rows; same columns bit-for-bit (pinned by test).
 
+The module also carries the bigram upgrade of the same slot: stupid
+backoff (Brants et al. 2007, "Large Language Models in Machine
+Translation" — the LM family designed FOR distributed count tables;
+scores are unnormalized ratios, which is exactly what makes them
+integer-expressible). `train_bigram_counts` + `with_stupid_backoff`
+score every token through a seen-bigram ratio, backing off to
+alpha * unigram when the history is unseen — one slim explode, two
+broadcast joins, corpus never shuffles.
+
 No reference counterpart: hathitrust/index_search_monorepo indexes OCR
 without model-based quality filtering; this extends the curation family
 (operators/c4rules.py, operators/textstats.py) per the build brief.
@@ -56,6 +65,7 @@ from index_search_monorepo_spark.operators.packing import hash_sample_pmille
 from index_search_monorepo_spark.operators.textstats import (
     _check_keep,
     tokens_expr,
+    word_ngrams_from_tokens,
 )
 
 DEFAULT_TOP_K = 65536
@@ -268,6 +278,296 @@ def _score_udf(df: DataFrame, counts: DataFrame, text_col: str) -> DataFrame:
     # follow the documented keep/compose contract)
     tmp = df.select("doc_id", score(F.col(text_col)).alias("_lm"))
     return tmp.select("doc_id", "_lm.*")
+
+
+def train_bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    train_pmille: int = 1000,
+    salt: str = "lmtrain",
+    top_k: int | None = DEFAULT_TOP_K,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(big, cnt) over the same deterministic training slice as
+    train_unigram_counts, where `big` is the space-joined word bigram;
+    capped to the top_k most frequent (count DESC, bigram ASC — total
+    order). Pair with train_unigram_counts(same slice) for
+    with_stupid_backoff."""
+    src = df
+    if train_pmille < 1000:
+        src = df.filter(hash_sample_pmille(F.col(key_col), train_pmille, salt))
+    counts = (
+        src.withColumn("_toks", tokens_expr(F.col(text_col)))
+        .select(
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), 2)).alias(
+                "big"
+            )
+        )
+        .groupBy("big")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if top_k is not None:
+        counts = counts.orderBy(F.desc("cnt"), F.asc("big")).limit(top_k)
+    return counts
+
+
+def _sb_tables(
+    uni_counts: DataFrame, bi_counts: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two broadcastable scoring tables of the stupid-backoff
+    model (Brants et al. 2007, §4 — the distributed-LM scoring rule
+    S(w|w') = c(w'w)/c(w') when seen, else alpha * S(w)):
+
+      uni : (token, uni_e6)  with uni_e6 = (1e6 * c) DIV N
+      bi  : (big, bi_e6)     with bi_e6  = (1e6 * c_bi) DIV c_w1,
+            kept only when w1 is in the capped unigram vocabulary (the
+            denominator must come from the model artifact, not the
+            corpus — a bigram whose history fell off the cap is pruned,
+            the standard vocabulary-consistency rule)
+
+    All integer DIV on non-negatives — bit-identical across engines."""
+    totals = uni_counts.agg(F.sum("cnt").cast("long").alias("_N"))
+    uni = (
+        uni_counts.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            F.expr("(1000000 * cnt) DIV _N").cast("long").alias("uni_e6"),
+        )
+    )
+    w1 = bi_counts.withColumn(
+        "_w1", F.substring_index(F.col("big"), " ", 1)
+    )
+    bi = (
+        w1.join(
+            F.broadcast(
+                uni_counts.select(
+                    F.col("token").alias("_w1"),
+                    F.col("cnt").alias("_c_w1"),
+                )
+            ),
+            "_w1",
+        )
+        .select(
+            "big",
+            F.expr("(1000000 * cnt) DIV _c_w1").cast("long").alias("bi_e6"),
+        )
+    )
+    return uni, bi
+
+
+_SB_PRODUCED = (
+    "sb_tokens",
+    "sb_bigram_hits",
+    "sb_backoffs",
+    "sb_score_e6",
+    "sb_mean_e6",
+)
+
+
+def with_stupid_backoff(
+    df: DataFrame,
+    uni_counts: DataFrame,
+    bi_counts: DataFrame,
+    text_col: str = "text",
+    alpha_e3: int = 400,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score each document with the stupid-backoff bigram LM (Brants et
+    al. 2007 — the LM family built FOR distributed count tables; CCNet's
+    KenLM slot re-expressed with integer-exact arithmetic). Adds, at doc
+    grain (every input row kept):
+
+      sb_tokens      : tokens scored
+      sb_bigram_hits : tokens scored through a seen bigram
+      sb_backoffs    : tokens at position >= 2 that backed off (alpha)
+      sb_score_e6    : sum of per-token scores in 1e-6 units — bigram
+                       ratio when seen; else alpha_e3/1000 * unigram
+                       score ((1e6*c) DIV N, OOV = 1e6 DIV (N+V)); the
+                       document's FIRST token takes the unigram path
+                       without alpha (no history to back off from)
+      sb_mean_e6     : sb_score_e6 DIV sb_tokens (0 for empty docs)
+
+    Plan shape: ONE slim explode of (w, history-pair) structs built from
+    the bound token array (the array itself never rides the exploded
+    rows), two BROADCAST joins against the top_k-bounded model tables,
+    one re-aggregation on doc_id carrying partial sums. Document text
+    never shuffles. Reference: no counterpart (see module docstring)."""
+    _check_keep(keep, ("doc_id", *_SB_PRODUCED))
+    from index_search_monorepo_spark.operators.extraction import (
+        explode_noinline,
+    )
+
+    uni, bi = _sb_tables(uni_counts, bi_counts)
+    nv = uni_counts.agg(
+        F.expr(
+            "CAST(1000000 DIV (sum(cnt) + count(*)) AS BIGINT)"
+        ).alias("_oov_e6")
+    )
+    toks = F.col("_toks")
+    pairs = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.try_element_at(toks, i).alias("w"),
+                F.when(
+                    i > 1,
+                    F.concat_ws(
+                        " ",
+                        F.try_element_at(toks, i - F.lit(1)),
+                        F.try_element_at(toks, i),
+                    ),
+                ).alias("p"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w:string,p:string>>")
+    )
+    exploded = (
+        df.withColumn("_toks", tokens_expr(F.col(text_col)))
+        .withColumn("_pairs", pairs)
+        .select("doc_id", explode_noinline("_pairs").alias("s"))
+        .select("doc_id", "s.w", "s.p")
+    )
+    scored = (
+        exploded.join(F.broadcast(bi), exploded["p"] == bi["big"], "left")
+        .join(F.broadcast(uni), exploded["w"] == uni["token"], "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    base = F.coalesce(F.col("uni_e6"), F.col("_oov_e6"))
+    scored = scored.withColumn("_base", base).withColumn(
+        "_tok_e6",
+        F.when(F.col("bi_e6").isNotNull(), F.col("bi_e6"))
+        .when(F.col("p").isNull(), F.col("_base"))
+        .otherwise(F.expr(f"({alpha_e3} * _base) DIV 1000"))
+        .cast("long"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("sb_tokens"),
+        F.sum(F.when(F.col("bi_e6").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("sb_bigram_hits"),
+        F.sum(
+            F.when(
+                F.col("p").isNotNull() & F.col("bi_e6").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sb_backoffs"),
+        F.sum("_tok_e6").cast("long").alias("sb_score_e6"),
+    )
+    out = df.select("doc_id", *keep).join(agg, "doc_id", "left")
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "doc_id",
+        *keep,
+        F.coalesce("sb_tokens", zero).alias("sb_tokens"),
+        F.coalesce("sb_bigram_hits", zero).alias("sb_bigram_hits"),
+        F.coalesce("sb_backoffs", zero).alias("sb_backoffs"),
+        F.coalesce("sb_score_e6", zero).alias("sb_score_e6"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(sb_tokens, 0) > 0"
+            " THEN sb_score_e6 DIV sb_tokens ELSE 0 END AS BIGINT)"
+        ).alias("sb_mean_e6"),
+    )
+
+
+def sb_oracle_sql(
+    source_cte: str = "documents",
+    text_sql: str = "text",
+    train_pmille: int = 1000,
+    salt: str = "lmtrain",
+    top_k_uni: int = DEFAULT_TOP_K,
+    top_k_bi: int = DEFAULT_TOP_K,
+    alpha_e3: int = 400,
+    hash_sql: str | None = None,
+) -> str:
+    """DuckDB CTE chain mirroring train_unigram_counts +
+    train_bigram_counts + with_stupid_backoff from scratch; final CTE
+    `sb_out` yields (doc_id, sb_tokens, sb_bigram_hits, sb_backoffs,
+    sb_score_e6, sb_mean_e6) from `source_cte`."""
+    toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    where = ""
+    if train_pmille < 1000:
+        assert hash_sql is not None
+        where = f"WHERE ({hash_sql}) % 1000 < {train_pmille}"
+    return f"""
+    sb_src AS (
+      SELECT doc_id, {toks} AS tk FROM {source_cte}
+    ),
+    sb_utrain AS (
+      SELECT unnest(tk) AS token FROM sb_src {where}
+    ),
+    sb_ucnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM sb_utrain
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_k_uni}
+    ),
+    sb_btrain AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS big
+      FROM sb_src {where}
+    ),
+    sb_bcnt AS (
+      SELECT big, CAST(count(*) AS BIGINT) AS cnt FROM sb_btrain
+      GROUP BY big ORDER BY cnt DESC, big ASC LIMIT {top_k_bi}
+    ),
+    sb_tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
+             CAST(count(*) AS BIGINT) AS v_tot FROM sb_ucnt
+    ),
+    sb_uni AS (
+      SELECT token,
+             CAST((1000000 * cnt) // (SELECT n_tot FROM sb_tot)
+               AS BIGINT) AS uni_e6
+      FROM sb_ucnt
+    ),
+    sb_bi AS (
+      SELECT b.big,
+             CAST((1000000 * b.cnt) // u.cnt AS BIGINT) AS bi_e6
+      FROM sb_bcnt b
+      JOIN sb_ucnt u ON u.token = split_part(b.big, ' ', 1)
+    ),
+    sb_doc AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk) + 1),
+               i -> {{'w': tk[i],
+                     'p': CASE WHEN i > 1
+                          THEN tk[i-1] || ' ' || tk[i] END}})) AS s
+      FROM sb_src
+    ),
+    sb_scored AS (
+      SELECT d.doc_id, d.s.w AS w, d.s.p AS p, b.bi_e6,
+             coalesce(u.uni_e6,
+               (SELECT CAST(1000000 // (n_tot + v_tot) AS BIGINT)
+                FROM sb_tot)) AS base
+      FROM sb_doc d
+      LEFT JOIN sb_bi b ON b.big = d.s.p
+      LEFT JOIN sb_uni u ON u.token = d.s.w
+    ),
+    sb_agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS sb_tokens,
+             CAST(sum(CASE WHEN bi_e6 IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS sb_bigram_hits,
+             CAST(sum(CASE WHEN p IS NOT NULL AND bi_e6 IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS sb_backoffs,
+             CAST(sum(CASE WHEN bi_e6 IS NOT NULL THEN bi_e6
+                      WHEN p IS NULL THEN base
+                      ELSE ({alpha_e3} * base) // 1000 END)
+               AS BIGINT) AS sb_score_e6
+      FROM sb_scored GROUP BY doc_id
+    ),
+    sb_out AS (
+      SELECT s.doc_id,
+             coalesce(a.sb_tokens, 0) AS sb_tokens,
+             coalesce(a.sb_bigram_hits, 0) AS sb_bigram_hits,
+             coalesce(a.sb_backoffs, 0) AS sb_backoffs,
+             coalesce(a.sb_score_e6, 0) AS sb_score_e6,
+             CAST(CASE WHEN coalesce(a.sb_tokens, 0) > 0
+                  THEN a.sb_score_e6 // a.sb_tokens
+                  ELSE 0 END AS BIGINT) AS sb_mean_e6
+      FROM {source_cte} s LEFT JOIN sb_agg a USING (doc_id)
+    )"""
 
 
 def lm_oracle_sql(

@@ -279,3 +279,113 @@ class TestMixture:
         )
         with pytest.raises(ValueError):
             P.with_mixture_sampling(df, "stratum")
+
+
+class TestStupidBackoff:
+    def test_hand_exact(self, spark):
+        # uni: a=3 b=2 c=1, N=6 V=3; bi: "a b"=2 "b a"=1 "a c"=1
+        # uni_e6: a=500000 b=333333 c=166666; oov=1e6//9=111111
+        # bi_e6: "a b"=666666 "b a"=500000 "a c"=333333
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c"), (3, "")],
+            "doc_id long, text string",
+        )
+        uni = LM.train_unigram_counts(df, top_k=None)
+        bi = LM.train_bigram_counts(df, top_k=None)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in LM.with_stupid_backoff(df, uni, bi).collect()
+        }
+        assert out[1]["sb_tokens"] == 4
+        assert out[1]["sb_bigram_hits"] == 3
+        assert out[1]["sb_backoffs"] == 0
+        assert out[1]["sb_score_e6"] == 500000 + 666666 + 500000 + 666666
+        assert out[1]["sb_mean_e6"] == out[1]["sb_score_e6"] // 4
+        assert out[2]["sb_score_e6"] == 500000 + 333333
+        assert out[2]["sb_bigram_hits"] == 1
+        # empty doc: preserved, all zeros
+        assert out[3]["sb_tokens"] == 0
+        assert out[3]["sb_score_e6"] == 0
+
+    def test_backoff_and_first_token_paths(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c"), (3, "")],
+            "doc_id long, text string",
+        )
+        uni = LM.train_unigram_counts(df, top_k=None)
+        bi = LM.train_bigram_counts(df, top_k=None)
+        held = spark.createDataFrame(
+            [(9, "c d")], "doc_id long, text string"
+        )
+        (row,) = LM.with_stupid_backoff(held, uni, bi).collect()
+        # first token c: unigram NO alpha = 166666; "c d" unseen ->
+        # alpha * oov = (400 * 111111) // 1000 = 44444
+        assert row["sb_bigram_hits"] == 0
+        assert row["sb_backoffs"] == 1
+        assert row["sb_score_e6"] == 166666 + 44444
+
+    def test_bigram_history_pruned_to_vocab(self, spark):
+        # cap the unigram vocab so a bigram's history can fall off it:
+        # bigram "z z" exists but z is outside the top-2 vocabulary ->
+        # the bigram is pruned and its tokens take the backoff path
+        df = spark.createDataFrame(
+            [(1, "a a a b b z z")], "doc_id long, text string"
+        )
+        uni = LM.train_unigram_counts(df, top_k=2)  # keeps a(3), b(2)
+        bi = LM.train_bigram_counts(df, top_k=None)
+        (row,) = LM.with_stupid_backoff(df, uni, bi).collect()
+        # pairs: "a a"x2 hit, "a b" hit, "b b" hit, "b z" pruned? no —
+        # "b z": history b IS in vocab, so it scores as a bigram; only
+        # "z z" (history z, off-vocab) is pruned -> exactly 1 backoff
+        assert row["sb_backoffs"] == 1
+        assert row["sb_bigram_hits"] == 5
+
+    def test_duckdb_oracle_parity(self, spark):
+        docs = _docs(spark)
+        uni = LM.train_unigram_counts(docs, train_pmille=500, top_k=16)
+        bi = LM.train_bigram_counts(docs, train_pmille=500, top_k=24)
+        got = sorted(
+            map(
+                tuple,
+                LM.with_stupid_backoff(docs, uni, bi)
+                .select("doc_id", *LM._SB_PRODUCED)
+                .collect(),
+            )
+        )
+        cte = LM.sb_oracle_sql(
+            train_pmille=500,
+            top_k_uni=16,
+            top_k_bi=24,
+            hash_sql=P.hash_key_sql("doc_id", "lmtrain"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"WITH {cte.lstrip()} SELECT doc_id, sb_tokens,"
+                    " sb_bigram_hits, sb_backoffs, sb_score_e6,"
+                    " sb_mean_e6 FROM sb_out"
+                ).fetchall(),
+            )
+        )
+        assert got == want
+
+    def test_model_joins_broadcast_and_text_never_shuffles(self, spark):
+        docs = _docs(spark)
+        uni = LM.train_unigram_counts(docs, top_k=16)
+        bi = LM.train_bigram_counts(docs, top_k=24)
+        plan = (
+            LM.with_stupid_backoff(docs, uni, bi)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text column shuffled: {line}")
