@@ -45,6 +45,7 @@ from index_search_monorepo_spark.operators import urlnorm as UN
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import similarity as SIM
+from index_search_monorepo_spark.operators import sketches as SKCH
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators import urlfilter as UF
 from index_search_monorepo_spark.operators import c4rules as C4
@@ -4205,6 +4206,20 @@ _LR_IS3 = "(doc_id % 7 = 0)"
       SELECT doc_id, {_LR_RIGHTS} AS rights,
              {_LR_C8HIT} AS c8, {_LR_GEM} AS gem, {_LR_IS3} AS is3
       FROM documents
+    ),
+    hll_tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS tok
+      FROM documents
+    ),
+    {SKCH.hll_oracle_sql('hll_tok', 'tok', p=6).lstrip()},
+    hll_sum AS (
+      SELECT CAST(count(*) AS BIGINT) AS hll_nonzero,
+             CAST(sum(r) AS BIGINT) AS hll_reg_sum,
+             md5(string_agg(CAST(bucket AS VARCHAR) || ':'
+                            || CAST(r AS VARCHAR), ',' ORDER BY bucket))
+               AS hll_reg_md5
+      FROM hll_out
     )
     SELECT 'rec' || CAST(doc_id AS VARCHAR) AS record_id,
            'T' || CAST(doc_id AS VARCHAR) || ' sub' AS title,
@@ -4230,8 +4245,9 @@ _LR_IS3 = "(doc_id % 7 = 0)"
              ]), ' | '), '') AS field_041,
            CASE WHEN c8 OR gem THEN 'Text in English' ELSE '' END
              AS field_546,
-           rights AS rights_code
-    FROM m
+           rights AS rights_code,
+           hs.hll_nonzero, hs.hll_reg_sum, hs.hll_reg_md5
+    FROM m, hll_sum hs
     WHERE rights <> '' AND (c8 OR gem OR is3)
     """,
 )
@@ -4243,7 +4259,16 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard, per-041 ISO 639-5 membership, ind2=7 + $2=iso639-3 set-2
     fields, set-1-gated 546, and the OCoLC-then-bare-digits 035 fallback —
     and the REAL language_report operator runs against a DuckDB mirror
-    computed directly from the source columns."""
+    computed directly from the source columns.
+
+    NEW r5: the HyperLogLog vocabulary sketch (operators/sketches.py,
+    Flajolet et al. 2007) rides the same row as three corpus-constant
+    columns — nonzero-register count, register sum, and the md5 of the
+    canonical bucket:r serialization of the FULL register vector (p=6,
+    sketched over the exploded token stream). The registers are
+    md5-fold-deterministic, so the oracle recomputes the entire vector
+    from scratch; the float estimate is pytest-only
+    (tests/test_sketches.py) by design."""
     from index_search_monorepo_spark.operators.language_report import (
         language_report,
     )
@@ -4344,7 +4369,32 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("fields"),
     )
-    return language_report(docs)
+    raw = _t(spark, sf_dir, "documents")
+    sk = SKCH.hll_sketch(
+        raw.select(F.explode(TS.tokens_expr(F.col("text"))).alias("tok")),
+        "tok",
+        p=6,
+    )
+    summary = sk.agg(
+        F.count("*").cast("long").alias("hll_nonzero"),
+        F.sum("r").cast("long").alias("hll_reg_sum"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "r"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["bucket"].cast("string"),
+                        s["r"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("hll_reg_md5"),
+    )
+    return language_report(docs).crossJoin(F.broadcast(summary))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+
+Counting distinct keys exactly at 100 TB means shuffling every key to its
+reducer — the one thing a well-shaped pipeline avoids. The HLL sketch
+replaces that with a CONSTANT-size register vector (2^p BIGINTs) that is
+(a) built map-side with partial aggregation (groupBy(bucket).max(rho)
+collapses per-partition duplicates before the exchange — the shuffle
+carries at most 2^p rows per partition, never the keys), and (b)
+mergeable across shards/days/tables by pointwise max — the property that
+makes it a lakehouse staple (Spark's own approx_count_distinct is a
+HLL++ under the hood; this module is the open-register variant whose
+STATE is a first-class DataFrame you can store, union, and oracle-check).
+
+Determinism contract: the hash is the repo's md5 hex-prefix fold
+(operators/packing.py convention) widened to 12 hex digits = 48 bits
+(16^12 = 2^48, safely inside exact BIGINT arithmetic in both engines):
+
+    h      = fold(md5(salt || key)[:12])          # 48 bits
+    bucket = h DIV 2^(48-p)                        # top p bits
+    w      = h % 2^(48-p)                          # remaining bits
+    rho    = (48-p) - bitlen(w) + 1, or (48-p)+1 when w = 0
+
+bitlen via length(bin(x)) (operators/lm.py) — every register value is
+integer-exact and bit-identical in Spark and DuckDB, so the full
+register VECTOR rides the driver's value-hash gate. Only the final
+estimate (alpha_m * m^2 / sum 2^-r, with the small/large-range
+corrections of the paper) is float — it is pytest-checked against an
+independent Python mirror and against true distinct counts, never
+hash-gated.
+
+Reference: no counterpart in hathitrust/index_search_monorepo (Solr
+owns its own cardinality estimates); built per the brief's custom-
+operator category ("a novel sketch").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.lm import bitlen_expr, bitlen_sql
+
+HLL_HEX_DIGITS = 12  # 48 hash bits; BIGINT-exact in both engines
+HLL_BITS = 4 * HLL_HEX_DIGITS
+DEFAULT_P = 12
+
+
+def _hash48_expr(key: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), key.cast("string"))),
+            1,
+            HLL_HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _hash48_sql(key_sql: str, salt: str) -> str:
+    h = f"md5('{salt}' || CAST({key_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (HLL_HEX_DIGITS - 1 - i)}"
+        for i in range(HLL_HEX_DIGITS)
+    )
+    return f"({terms})"
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = DEFAULT_P,
+    salt: str = "hll",
+) -> DataFrame:
+    """(bucket, r) register vector over the distinct values of `key_col`
+    — only buckets with at least one hit appear (absent bucket = r 0).
+    One map-side-combined aggregation; the exchange carries at most 2^p
+    rows per upstream partition regardless of input size."""
+    if not 2 <= p <= 16:
+        raise ValueError(f"p must be in [2, 16], got {p}")
+    wbits = HLL_BITS - p
+    h = _hash48_expr(F.col(key_col), salt)
+    bound = df.select(h.alias("_h"))
+    wexp = F.col("_h") % F.lit(2**wbits)
+    rho = F.when(
+        wexp == 0, F.lit(wbits + 1)
+    ).otherwise(F.lit(wbits) - bitlen_expr(wexp) + F.lit(1))
+    return (
+        bound.select(
+            F.expr(f"_h DIV {2 ** wbits}").cast("long").alias("bucket"),
+            rho.cast("long").alias("_rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("long").alias("r"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register vectors by pointwise max — the mergeability that
+    lets shard/daily sketches roll up without touching raw keys."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").cast("long").alias("r"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = DEFAULT_P) -> float:
+    """Cardinality estimate from a register DataFrame (Flajolet et al.
+    2007 §4 with the standard small-range linear-counting and 48-bit
+    large-range corrections). Drives a bounded collect (≤ 2^p rows) —
+    the sketch is a constant-size artifact, never corpus-sized."""
+    regs = {int(r["bucket"]): int(r["r"]) for r in sketch.collect()}
+    return _estimate_py(regs, p)
+
+
+def _estimate_py(regs: dict[int, int], p: int) -> float:
+    m = 2**p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -regs.get(i, 0) for i in range(m))
+    e = alpha * m * m / s
+    if e <= 2.5 * m:
+        zeros = m - len([v for v in regs.values() if v > 0])
+        if zeros:
+            return m * math.log(m / zeros)
+        return e
+    two48 = float(1 << HLL_BITS)
+    if e > two48 / 30.0:
+        return -two48 * math.log(1.0 - e / two48)
+    return e
+
+
+def hll_sketch_py(values, p: int = DEFAULT_P, salt: str = "hll") -> dict:
+    """Independent Python mirror of hll_sketch (tests + small-data
+    callers)."""
+    wbits = HLL_BITS - p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(
+            hashlib.md5((salt + str(v)).encode()).hexdigest()[
+                :HLL_HEX_DIGITS
+            ],
+            16,
+        )
+        bucket = h >> wbits
+        w = h % (1 << wbits)
+        rho = wbits + 1 if w == 0 else wbits - w.bit_length() + 1
+        if regs.get(bucket, 0) < rho:
+            regs[bucket] = rho
+    return regs
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    key_sql: str,
+    p: int = DEFAULT_P,
+    salt: str = "hll",
+) -> str:
+    """DuckDB CTE chain mirroring hll_sketch; final CTE `hll_out` yields
+    (bucket, r). `source_sql` is a table/CTE name, `key_sql` the key
+    expression."""
+    wbits = HLL_BITS - p
+    h = _hash48_sql(key_sql, salt)
+    return f"""
+    hll_h AS (
+      SELECT {h} AS h FROM {source_sql}
+    ),
+    hll_rho AS (
+      SELECT CAST(h // {2 ** wbits} AS BIGINT) AS bucket,
+             CAST(CASE WHEN h % {2 ** wbits} = 0 THEN {wbits + 1}
+                  ELSE {wbits} - {bitlen_sql(f"h % {2 ** wbits}")} + 1
+                  END AS BIGINT) AS rho
+      FROM hll_h
+    ),
+    hll_out AS (
+      SELECT bucket, CAST(max(rho) AS BIGINT) AS r
+      FROM hll_rho GROUP BY bucket
+    )"""
