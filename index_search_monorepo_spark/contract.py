@@ -2634,6 +2634,10 @@ _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
         label_sql="doc_id % 3 <> 0", train_pmille=500, top_k=32,
         bigram_buckets=16,
         hash_sql=PK.hash_key_sql("doc_id", "clftrain"),
+    ).lstrip()},
+    {LMOD.ml_oracle_sql(
+        in_hash_sql=PK.hash_key_sql("doc_id", "mlin"),
+        gen_hash_sql=PK.hash_key_sql("doc_id", "mlgen"),
     ).lstrip()}
     SELECT doc_id, n_tokens, n_unique_tokens, n_short_tokens,
            diversity_pmille,
@@ -2653,9 +2657,10 @@ _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
                 AND c4_has_lorem = 0 AND c4_has_bad_word = 0 AS BIGINT)
              AS c4_keep,
            clf_tokens, clf_oov, clf_score_bits, clf_score_mean_e3,
-           clf_pred
+           clf_pred,
+           ml_tokens, ml_in_mean_e3, ml_gen_mean_e3, ml_delta_e3, ml_keep
     FROM pm JOIN pii USING (doc_id) JOIN c4 USING (doc_id)
-         JOIN clf_out USING (doc_id)
+         JOIN clf_out USING (doc_id) JOIN ml_out USING (doc_id)
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2690,7 +2695,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude-only mean division; the oracle replays train -> bucket ->
     cap -> weigh -> score from scratch in SQL. The classifier join is
     broadcast-only (top_k-bounded weight table); the corpus text still
-    never shuffles."""
+    never shuffles.
+
+    ALSO r5: Moore-Lewis cross-entropy selection (lm.with_moore_lewis,
+    Moore & Lewis 2010) rides the same row — an in-domain model (30%
+    'mlin' slice, top-12 cap) and a general model (50% 'mlgen' slice,
+    top-20 cap) are both trained inside the entry; per-doc
+    H_in - H_gen deltas (exact integer subtraction of the bit-length
+    means) and the threshold-0 keep verdict are value-hashed, with the
+    oracle replaying BOTH train->cap->score chains plus the delta
+    (lm.ml_oracle_sql's prefixed CTE chains)."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -2758,7 +2772,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     clf = CLFR.with_classifier_score(
         labeled, clf_counts, clf_priors, bigram_buckets=16
     )
-    return out.join(clf, "doc_id")
+    ml_in = LMOD.train_unigram_counts(
+        docs, train_pmille=300, salt="mlin", top_k=12
+    )
+    ml_gen = LMOD.train_unigram_counts(
+        docs, train_pmille=500, salt="mlgen", top_k=20
+    )
+    ml = LMOD.with_moore_lewis(docs, ml_in, ml_gen)
+    return out.join(clf, "doc_id").join(ml, "doc_id")
 
 
 @register(

@@ -280,6 +280,122 @@ def _score_udf(df: DataFrame, counts: DataFrame, text_col: str) -> DataFrame:
     return tmp.select("doc_id", "_lm.*")
 
 
+_ML_PRODUCED = (
+    "ml_tokens",
+    "ml_in_mean_e3",
+    "ml_gen_mean_e3",
+    "ml_delta_e3",
+    "ml_keep",
+)
+
+
+def with_moore_lewis(
+    df: DataFrame,
+    in_counts: DataFrame,
+    gen_counts: DataFrame,
+    text_col: str = "text",
+    threshold_e3: int = 0,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-entropy data selection (Moore & Lewis 2010, "Intelligent
+    Selection of Language Model Training Data"): score every document by
+    H_in(doc) - H_gen(doc) — the per-token cross-entropy under a model
+    trained on the IN-DOMAIN seed minus the same under a GENERAL-corpus
+    model — and keep documents below a threshold. A document that looks
+    more like the target domain than like the background gets a negative
+    delta; generic boilerplate scores near zero; out-of-domain noise
+    scores positive. The deltas here are differences of the integer
+    bit-length means (exact subtraction, no division), so the whole
+    selection is oracle-checkable. Adds, at doc grain:
+
+      ml_tokens      : tokens scored (same tokenizer both models)
+      ml_in_mean_e3  : per-token mean NLL under the in-domain model
+      ml_gen_mean_e3 : per-token mean NLL under the general model
+      ml_delta_e3    : ml_in_mean_e3 - ml_gen_mean_e3 (signed)
+      ml_keep        : 1 when ml_delta_e3 <= threshold_e3
+
+    Plan shape: two broadcast-scored LM passes (see with_lm_nll) joined
+    back on doc_id — the model tables are top_k-bounded; corpus text
+    never shuffles."""
+    _check_keep(keep, ("doc_id", *_ML_PRODUCED))
+    a = with_lm_nll(df, in_counts, text_col).select(
+        "doc_id",
+        F.col("lm_tokens").alias("ml_tokens"),
+        F.col("lm_nll_mean_e3").alias("ml_in_mean_e3"),
+    )
+    b = with_lm_nll(df, gen_counts, text_col).select(
+        "doc_id",
+        F.col("lm_nll_mean_e3").alias("ml_gen_mean_e3"),
+    )
+    out = df.select("doc_id", *keep).join(a, "doc_id").join(b, "doc_id")
+    return out.select(
+        "doc_id",
+        *keep,
+        "ml_tokens",
+        "ml_in_mean_e3",
+        "ml_gen_mean_e3",
+        (F.col("ml_in_mean_e3") - F.col("ml_gen_mean_e3"))
+        .cast("long")
+        .alias("ml_delta_e3"),
+        (
+            (F.col("ml_in_mean_e3") - F.col("ml_gen_mean_e3"))
+            <= F.lit(threshold_e3)
+        )
+        .cast("long")
+        .alias("ml_keep"),
+    )
+
+
+def ml_oracle_sql(
+    source_cte: str = "documents",
+    text_sql: str = "text",
+    in_pmille: int = 300,
+    in_salt: str = "mlin",
+    in_top_k: int = 12,
+    gen_pmille: int = 500,
+    gen_salt: str = "mlgen",
+    gen_top_k: int = 20,
+    threshold_e3: int = 0,
+    in_hash_sql: str | None = None,
+    gen_hash_sql: str | None = None,
+) -> str:
+    """DuckDB mirror of train(in) + train(gen) + with_moore_lewis; final
+    CTE `ml_out` yields (doc_id, ml_tokens, ml_in_mean_e3,
+    ml_gen_mean_e3, ml_delta_e3, ml_keep)."""
+    chain_in = lm_oracle_sql(
+        source_cte,
+        text_sql,
+        train_pmille=in_pmille,
+        salt=in_salt,
+        top_k=in_top_k,
+        hash_sql=in_hash_sql,
+        prefix="mlin",
+    )
+    chain_gen = lm_oracle_sql(
+        source_cte,
+        text_sql,
+        train_pmille=gen_pmille,
+        salt=gen_salt,
+        top_k=gen_top_k,
+        hash_sql=gen_hash_sql,
+        prefix="mlgen",
+    )
+    return f"""
+    {chain_in.lstrip()},
+    {chain_gen.lstrip()},
+    ml_out AS (
+      SELECT i.doc_id,
+             i.mlin_tokens AS ml_tokens,
+             i.mlin_nll_mean_e3 AS ml_in_mean_e3,
+             g.mlgen_nll_mean_e3 AS ml_gen_mean_e3,
+             CAST(i.mlin_nll_mean_e3 - g.mlgen_nll_mean_e3 AS BIGINT)
+               AS ml_delta_e3,
+             CAST(i.mlin_nll_mean_e3 - g.mlgen_nll_mean_e3
+                  <= {threshold_e3} AS BIGINT) AS ml_keep
+      FROM mlin_out i JOIN mlgen_out g USING (doc_id)
+    )"""
+
+
 def train_bigram_counts(
     df: DataFrame,
     text_col: str = "text",
@@ -577,11 +693,14 @@ def lm_oracle_sql(
     salt: str = "lmtrain",
     top_k: int = DEFAULT_TOP_K,
     hash_sql: str | None = None,
+    prefix: str = "lm",
 ) -> str:
     """DuckDB CTE chain mirroring train_unigram_counts + with_lm_nll
     (join strategy) from scratch: returns SQL whose final SELECT yields
     (doc_id, lm_tokens, lm_oov, lm_nll_bits, lm_nll_mean_e3) from
-    `source_cte`. `hash_sql` must be packing.hash_key_sql('doc_id', salt)
+    `source_cte` (columns renamed {prefix}_* when a prefix is given, so
+    two chains — e.g. Moore-Lewis's in-domain and general models — can
+    coexist in one oracle). `hash_sql` must be packing.hash_key_sql('doc_id', salt)
     when train_pmille < 1000 (kept a caller-supplied fragment so this
     module never imports SQL-generation helpers it does not own)."""
     toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
@@ -590,44 +709,44 @@ def lm_oracle_sql(
         assert hash_sql is not None
         where = f"WHERE ({hash_sql}) % 1000 < {train_pmille}"
     return f"""
-    lm_train AS (
+    {prefix}_train AS (
       SELECT unnest({toks}) AS token FROM {source_cte} {where}
     ),
-    lm_cnt AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM lm_train
+    {prefix}_cnt AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM {prefix}_train
       GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {top_k}
     ),
-    lm_tot AS (
+    {prefix}_tot AS (
       SELECT CAST(sum(cnt) AS BIGINT) AS n_tot,
-             CAST(count(*) AS BIGINT) AS v_tot FROM lm_cnt
+             CAST(count(*) AS BIGINT) AS v_tot FROM {prefix}_cnt
     ),
-    lm_nll AS (
+    {prefix}_nll AS (
       SELECT token,
              {bitlen_sql('n_tot + v_tot')} - {bitlen_sql('cnt + 1')} AS nll,
              {bitlen_sql('n_tot + v_tot')} - 1 AS oov_nll
-      FROM lm_cnt, lm_tot
+      FROM {prefix}_cnt, {prefix}_tot
     ),
-    lm_doc_tok AS (
+    {prefix}_doc_tok AS (
       SELECT doc_id, unnest({toks}) AS token FROM {source_cte}
     ),
-    lm_scored AS (
+    {prefix}_scored AS (
       SELECT d.doc_id,
-             CAST(count(*) AS BIGINT) AS lm_tokens,
+             CAST(count(*) AS BIGINT) AS {prefix}_tokens,
              CAST(sum(CASE WHEN v.nll IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS lm_oov,
+               AS {prefix}_oov,
              CAST(sum(coalesce(v.nll,
-               (SELECT {bitlen_sql('n_tot + v_tot')} - 1 FROM lm_tot)))
-               AS BIGINT) AS lm_nll_bits
-      FROM lm_doc_tok d LEFT JOIN lm_nll v USING (token)
+               (SELECT {bitlen_sql('n_tot + v_tot')} - 1 FROM {prefix}_tot)))
+               AS BIGINT) AS {prefix}_nll_bits
+      FROM {prefix}_doc_tok d LEFT JOIN {prefix}_nll v USING (token)
       GROUP BY d.doc_id
     ),
-    lm_out AS (
+    {prefix}_out AS (
       SELECT s.doc_id,
-             coalesce(l.lm_tokens, 0) AS lm_tokens,
-             coalesce(l.lm_oov, 0) AS lm_oov,
-             coalesce(l.lm_nll_bits, 0) AS lm_nll_bits,
-             CAST(CASE WHEN coalesce(l.lm_tokens, 0) > 0
-                  THEN (1000 * l.lm_nll_bits) // l.lm_tokens
-                  ELSE 0 END AS BIGINT) AS lm_nll_mean_e3
-      FROM {source_cte} s LEFT JOIN lm_scored l USING (doc_id)
+             coalesce(l.{prefix}_tokens, 0) AS {prefix}_tokens,
+             coalesce(l.{prefix}_oov, 0) AS {prefix}_oov,
+             coalesce(l.{prefix}_nll_bits, 0) AS {prefix}_nll_bits,
+             CAST(CASE WHEN coalesce(l.{prefix}_tokens, 0) > 0
+                  THEN (1000 * l.{prefix}_nll_bits) // l.{prefix}_tokens
+                  ELSE 0 END AS BIGINT) AS {prefix}_nll_mean_e3
+      FROM {source_cte} s LEFT JOIN {prefix}_scored l USING (doc_id)
     )"""

@@ -389,3 +389,68 @@ class TestStupidBackoff:
         for line in plan.splitlines():
             if "Exchange" in line and "text" in line:
                 raise AssertionError(f"text column shuffled: {line}")
+
+
+class TestMooreLewis:
+    def test_delta_arithmetic_matches_components(self, spark):
+        docs = _docs(spark)
+        in_c = LM.train_unigram_counts(
+            docs, train_pmille=300, salt="mlin", top_k=12
+        )
+        gen_c = LM.train_unigram_counts(
+            docs, train_pmille=500, salt="mlgen", top_k=20
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in LM.with_moore_lewis(docs, in_c, gen_c).collect()
+        }
+        a = {
+            r["doc_id"]: r["lm_nll_mean_e3"]
+            for r in LM.with_lm_nll(docs, in_c).collect()
+        }
+        b = {
+            r["doc_id"]: r["lm_nll_mean_e3"]
+            for r in LM.with_lm_nll(docs, gen_c).collect()
+        }
+        for d, row in out.items():
+            assert row["ml_delta_e3"] == a[d] - b[d]
+            assert row["ml_keep"] == (1 if row["ml_delta_e3"] <= 0 else 0)
+        # asymmetric models -> both outcomes occur on real text
+        assert {r["ml_keep"] for r in out.values()} == {0, 1}
+
+    def test_duckdb_oracle_parity(self, spark):
+        docs = _docs(spark)
+        in_c = LM.train_unigram_counts(
+            docs, train_pmille=300, salt="mlin", top_k=12
+        )
+        gen_c = LM.train_unigram_counts(
+            docs, train_pmille=500, salt="mlgen", top_k=20
+        )
+        got = sorted(
+            map(
+                tuple,
+                LM.with_moore_lewis(docs, in_c, gen_c)
+                .select("doc_id", *LM._ML_PRODUCED)
+                .collect(),
+            )
+        )
+        cte = LM.ml_oracle_sql(
+            in_hash_sql=P.hash_key_sql("doc_id", "mlin"),
+            gen_hash_sql=P.hash_key_sql("doc_id", "mlgen"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            map(
+                tuple,
+                con.execute(
+                    f"WITH {cte.lstrip()} SELECT doc_id, ml_tokens,"
+                    " ml_in_mean_e3, ml_gen_mean_e3, ml_delta_e3,"
+                    " ml_keep FROM ml_out"
+                ).fetchall(),
+            )
+        )
+        assert got == want
