@@ -4225,7 +4225,9 @@ _LR_IS3 = "(doc_id % 7 = 0)"
     f"""
     WITH m AS (
       SELECT doc_id, {_LR_RIGHTS} AS rights,
-             {_LR_C8HIT} AS c8, {_LR_GEM} AS gem, {_LR_IS3} AS is3
+             {_LR_C8HIT} AS c8, {_LR_GEM} AS gem, {_LR_IS3} AS is3,
+             list_filter(string_split(text, ' '), x -> x <> '')[1]
+               AS ftok
       FROM documents
     ),
     hll_tok AS (
@@ -4234,6 +4236,7 @@ _LR_IS3 = "(doc_id % 7 = 0)"
       FROM documents
     ),
     {SKCH.hll_oracle_sql('hll_tok', 'tok', p=6).lstrip()},
+    {SKCH.cms_oracle_sql('hll_tok', 'tok', d=3, w=32).lstrip()},
     hll_sum AS (
       SELECT CAST(count(*) AS BIGINT) AS hll_nonzero,
              CAST(sum(r) AS BIGINT) AS hll_reg_sum,
@@ -4267,7 +4270,9 @@ _LR_IS3 = "(doc_id % 7 = 0)"
            CASE WHEN c8 OR gem THEN 'Text in English' ELSE '' END
              AS field_546,
            rights AS rights_code,
-           hs.hll_nonzero, hs.hll_reg_sum, hs.hll_reg_md5
+           hs.hll_nonzero, hs.hll_reg_sum, hs.hll_reg_md5,
+           CAST({SKCH.cms_point_oracle_sql('ftok', d=3, w=32)} AS BIGINT)
+             AS cms_first_tok_est
     FROM m, hll_sum hs
     WHERE rights <> '' AND (c8 OR gem OR is3)
     """,
@@ -4289,7 +4294,12 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketched over the exploded token stream). The registers are
     md5-fold-deterministic, so the oracle recomputes the entire vector
     from scratch; the float estimate is pytest-only
-    (tests/test_sketches.py) by design."""
+    (tests/test_sketches.py) by design. The count-min sketch rides too:
+    a (d=3, w=32) counter matrix over the same token stream, point-
+    queried per record for the document's FIRST token — the broadcast
+    query path (slim d-way explode, min-over-rows) with the oracle
+    rebuilding the matrix and replaying the least()-of-lookups from
+    scratch (sketches.cms_oracle_sql + cms_point_oracle_sql)."""
     from index_search_monorepo_spark.operators.language_report import (
         language_report,
     )
@@ -4415,7 +4425,31 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hll_reg_md5"),
     )
-    return language_report(docs).crossJoin(F.broadcast(summary))
+    cms = SKCH.cms_sketch(
+        raw.select(F.explode(TS.tokens_expr(F.col("text"))).alias("tok")),
+        "tok",
+        d=3,
+        w=32,
+    )
+    q = raw.select(
+        "doc_id",
+        F.try_element_at(TS.tokens_expr(F.col("text")), F.lit(1)).alias(
+            "ftok"
+        ),
+    )
+    per_rec = SKCH.cms_query(
+        cms, q, "ftok", d=3, w=32, out_col="cms_first_tok_est"
+    ).select(
+        F.concat(F.lit("rec"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        "cms_first_tok_est",
+    )
+    return (
+        language_report(docs)
+        .crossJoin(F.broadcast(summary))
+        .join(per_rec, "record_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+"""Distributed sketches: HyperLogLog (Flajolet et al. 2007) cardinality
+and Count-Min (Cormode & Muthukrishnan 2005) frequency estimation.
 
 Counting distinct keys exactly at 100 TB means shuffling every key to its
 reducer — the one thing a well-shaped pipeline avoids. The HLL sketch
@@ -153,6 +154,208 @@ def hll_sketch_py(values, p: int = DEFAULT_P, salt: str = "hll") -> dict:
         if regs.get(bucket, 0) < rho:
             regs[bucket] = rho
     return regs
+
+
+DEFAULT_CMS_D = 4
+DEFAULT_CMS_W = 64
+
+
+def _cms_col_expr(key: Column, j: int, w: int, salt: str) -> Column:
+    """Row-j column index: md5 hex-prefix fold of the j-salted key,
+    mod w. Same fold family as packing.hash_key_expr; the 'j|' salt
+    prefix makes the d rows pairwise-independent-enough in the standard
+    CMS sense while staying engine-portable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}{j}|"), key.cast("string"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(w)
+    )
+
+
+def _cms_col_sql(key_sql: str, j: int, w: int, salt: str) -> str:
+    h = f"md5('{salt}{j}|' || CAST({key_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"(({terms}) % {w})"
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): (row, col, c)
+    counter matrix over the MULTISET of `key_col` values — d salted
+    hash rows x w counters, each occurrence increments one counter per
+    row. Estimates are biased HIGH only (min over rows), the property
+    heavy-hitter screens rely on. Mergeable by pointwise SUM
+    (cms_merge) — shard/day sketches roll up without raw keys; the
+    exchange carries at most d*w rows per partition (map-side combine),
+    never the keys."""
+    if d < 1 or w < 1:
+        raise ValueError(f"need d >= 1 and w >= 1, got d={d} w={w}")
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                _cms_col_expr(key, j, w, salt).alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("s"))
+        .groupBy(F.col("s.row").alias("row"), F.col("s.col").alias("col"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Pointwise-sum union of counter matrices (same d/w/salt)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query every row of `df`: adds `out_col` = min over the d
+    rows of the addressed counters (0 when a cell was never touched).
+    The sketch is broadcast (≤ d*w rows); the input gains one slim
+    d-way explode and re-aggregation — no corpus shuffle."""
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                _cms_col_expr(key, j, w, salt).alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+    exploded = df.select(key_col, F.explode(cells).alias("s")).select(
+        key_col,
+        F.col("s.row").alias("row"),
+        F.col("s.col").alias("col"),
+    )
+    got = (
+        exploded.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias(out_col)
+        )
+    )
+    return df.join(got, key_col, "left")
+
+
+def cms_query_py(
+    regs: dict[tuple[int, int], int],
+    value,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+) -> int:
+    """Independent Python mirror of one point query."""
+    est = None
+    for j in range(d):
+        h = int(
+            hashlib.md5(f"{salt}{j}|{value}".encode()).hexdigest()[:6], 16
+        )
+        c = regs.get((j, h % w), 0)
+        est = c if est is None else min(est, c)
+    return est or 0
+
+
+def cms_sketch_py(
+    values,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+) -> dict:
+    """Independent Python mirror of cms_sketch."""
+    regs: dict[tuple[int, int], int] = {}
+    for v in values:
+        for j in range(d):
+            h = int(
+                hashlib.md5(f"{salt}{j}|{v}".encode()).hexdigest()[:6],
+                16,
+            )
+            cell = (j, h % w)
+            regs[cell] = regs.get(cell, 0) + 1
+    return regs
+
+
+def cms_oracle_sql(
+    source_sql: str,
+    key_sql: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+) -> str:
+    """DuckDB CTE chain mirroring cms_sketch; final CTE `cms_out`
+    yields (row, col, c)."""
+    arms = " UNION ALL ".join(
+        f"SELECT {j} AS row, {_cms_col_sql('k', j, w, salt)} AS col"
+        f" FROM cms_keys"
+        for j in range(d)
+    )
+    return f"""
+    cms_keys AS (
+      SELECT {key_sql} AS k FROM {source_sql}
+    ),
+    cms_cells AS (
+      {arms}
+    ),
+    cms_out AS (
+      SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+             CAST(count(*) AS BIGINT) AS c
+      FROM cms_cells GROUP BY row, col
+    )"""
+
+
+def cms_point_oracle_sql(
+    key_sql: str,
+    d: int = DEFAULT_CMS_D,
+    w: int = DEFAULT_CMS_W,
+    salt: str = "cms",
+) -> str:
+    """Scalar SQL fragment: the min-over-rows point query of `key_sql`
+    against the cms_out CTE (compose after cms_oracle_sql)."""
+    lookups = ", ".join(
+        "coalesce((SELECT c FROM cms_out WHERE row = "
+        f"{j} AND col = {_cms_col_sql(key_sql, j, w, salt)}), 0)"
+        for j in range(d)
+    )
+    return f"least({lookups})"
 
 
 def hll_oracle_sql(

@@ -119,3 +119,122 @@ class TestMergeAndEstimate:
         for line in plan.splitlines():
             if "Exchange" in line and "text" in line:
                 raise AssertionError(f"raw keys shuffled: {line}")
+
+
+class TestCountMin:
+    def test_matches_python_mirror(self, spark):
+        vals = [f"k{i % 60}" for i in range(400)]
+        df = spark.createDataFrame([(v,) for v in vals], "k string")
+        got = {
+            (r["row"], r["col"]): r["c"]
+            for r in SK.cms_sketch(df, "k", d=3, w=32).collect()
+        }
+        assert got == SK.cms_sketch_py(vals, d=3, w=32)
+
+    def test_duckdb_oracle_parity(self, spark):
+        docs = _docs(spark)
+        got = sorted(
+            map(tuple, SK.cms_sketch(docs, "doc_id", d=3, w=32).collect())
+        )
+        cte = SK.cms_oracle_sql("documents", "doc_id", d=3, w=32)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT row, col, c FROM cms_out"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        a = spark.createDataFrame(
+            [(f"a{i % 20}",) for i in range(200)], "k string"
+        )
+        b = spark.createDataFrame(
+            [(f"b{i % 20}",) for i in range(100)], "k string"
+        )
+        merged = sorted(
+            map(
+                tuple,
+                SK.cms_merge(
+                    SK.cms_sketch(a, "k", d=3, w=32),
+                    SK.cms_sketch(b, "k", d=3, w=32),
+                ).collect(),
+            )
+        )
+        whole = sorted(
+            map(
+                tuple,
+                SK.cms_sketch(a.unionByName(b), "k", d=3, w=32).collect(),
+            )
+        )
+        assert merged == whole
+
+    def test_point_query_overestimates_only(self, spark):
+        # zipf-ish multiset; estimate >= true count for EVERY key, and
+        # wide sketches are exact for the heavy hitters
+        vals = []
+        for i in range(50):
+            vals.extend([f"k{i}"] * (1 + 200 // (i + 1)))
+        df = spark.createDataFrame([(v,) for v in vals], "k string")
+        sk = SK.cms_sketch(df, "k", d=4, w=64)
+        keys = spark.createDataFrame(
+            [(f"k{i}",) for i in range(50)], "k string"
+        )
+        est = {
+            r["k"]: r["cms_est"]
+            for r in SK.cms_query(sk, keys, "k", d=4, w=64).collect()
+        }
+        from collections import Counter
+
+        true = Counter(vals)
+        for k, t in true.items():
+            assert est[k] >= t
+        assert est["k0"] == true["k0"]  # heaviest key: no collision loss
+
+    def test_query_matches_python_mirror(self, spark):
+        vals = [f"k{i % 30}" for i in range(300)]
+        df = spark.createDataFrame([(v,) for v in vals], "k string")
+        regs = SK.cms_sketch_py(vals, d=3, w=16)
+        sk = SK.cms_sketch(df, "k", d=3, w=16)
+        keys = spark.createDataFrame(
+            [("k3",), ("k7",), ("missing",)], "k string"
+        )
+        est = {
+            r["k"]: r["cms_est"]
+            for r in SK.cms_query(sk, keys, "k", d=3, w=16).collect()
+        }
+        for k in ("k3", "k7", "missing"):
+            assert est[k] == SK.cms_query_py(regs, k, d=3, w=16)
+
+    def test_point_oracle_fragment(self):
+        vals = [f"k{i % 10}" for i in range(100)]
+        regs = SK.cms_sketch_py(vals, d=3, w=16)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE src AS SELECT unnest(["
+            + ",".join(f"'{v}'" for v in vals)
+            + "]) AS k"
+        )
+        cte = SK.cms_oracle_sql("src", "k", d=3, w=16)
+        frag = SK.cms_point_oracle_sql("'k3'", d=3, w=16)
+        (got,) = con.execute(
+            f"WITH {cte.lstrip()} SELECT {frag}"
+        ).fetchone()
+        assert got == SK.cms_query_py(regs, "k3", d=3, w=16)
+
+    def test_keys_never_shuffle(self, spark):
+        docs = _docs(spark)
+        plan = (
+            SK.cms_sketch(docs, "text", d=4, w=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "HashAggregate" in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"raw keys shuffled: {line}")
