@@ -44,6 +44,7 @@ from index_search_monorepo_spark.operators import frontier as FRO
 from index_search_monorepo_spark.operators import urlnorm as UN
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
+from index_search_monorepo_spark.operators import postings as PST
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import sketches as SKCH
 from index_search_monorepo_spark.operators import textstats as TS
@@ -351,7 +352,16 @@ _PR_EDGES_SQL = """predges AS (
                 FROM ({FRO.oracle_frontier_sql(
                     'frurls', n_fetchers=4, priority_sql='doc_id % 7',
                     delay_sql="CASE WHEN host = 'nr.com' THEN 1 ELSE 2 END",
-                    extra_cols=('doc_id',))}))
+                    extra_cols=('doc_id',))})),
+    {PST.postings_oracle_sql(segment_size=64).lstrip()},
+    pstdoc AS (
+      SELECT t.doc_id AS pd_id,
+             CAST(count(*) AS BIGINT) AS pst_n_terms,
+             CAST(sum(t.tf) AS BIGINT) AS pst_total_tf,
+             CAST(max(s.df) AS BIGINT) AS pst_max_df
+      FROM pst_tdf t JOIN pst_stats s USING (term)
+      GROUP BY t.doc_id
+    )
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
            {xmlesc_sql(spike_text_sql('text'))} AS escaped,
@@ -444,8 +454,12 @@ _PR_EDGES_SQL = """predges AS (
              WHEN 3 THEN 'http://u:p@ex.com:8080/p/'
                          || CAST(doc_id AS VARCHAR)
              ELSE 'https://ex' || CAST(doc_id AS VARCHAR) || '.com/'
-           END AS canon_url
+           END AS canon_url,
+           coalesce(pd.pst_n_terms, 0) AS pst_n_terms,
+           coalesce(pd.pst_total_tf, 0) AS pst_total_tf,
+           coalesce(pd.pst_max_df, 0) AS pst_max_df
     FROM pt
+    LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN pranchors pra
@@ -530,7 +544,15 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreserved percent escapes; '..' at root and decoded %2e non-dot;
     userinfo + host root-dot + non-default port; empty path) through the
     REAL pure-codegen canonicalizer; the oracle pins hand-derived
-    expected strings per class."""
+    expected strings per class.
+
+    r5f: the inverted-index build (operators/postings.py) rides as
+    pst_n_terms / pst_total_tf / pst_max_df — the corpus is indexed into
+    segmented posting lists and every document's slice is read back
+    THROUGH the index (explode segments -> join per-term df stats ->
+    re-aggregate), so segment assembly, ordering, and the stats rollup
+    are all under the value hash; the oracle rebuilds (term, doc, tf) +
+    df/cf from scratch."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -889,6 +911,37 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.join(sched, out["doc_id"] == sched["f_id"].cast("string")).drop(
         "f_id"
+    )
+    # r5f postings ride: the corpus is indexed (build_postings, segmented
+    # lists) and each document's slice flows back THROUGH the index —
+    # distinct-term count, total tf and the max document frequency among
+    # its terms (the idf input); the oracle rebuilds term/doc/tf + stats
+    # from scratch, so segment assembly and the stats rollup are both
+    # value-gated.
+    pst_idx = PST.build_postings(docs, segment_size=64)
+    pst_doc = (
+        pst_idx.select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("pd_id"),
+            F.col("p.tf").alias("tf"),
+        )
+        .join(PST.postings_stats(pst_idx), "term")
+        .groupBy("pd_id")
+        .agg(
+            F.count("*").cast("long").alias("pst_n_terms"),
+            F.sum("tf").cast("long").alias("pst_total_tf"),
+            F.max("df").cast("long").alias("pst_max_df"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    out = (
+        out.join(pst_doc, out["doc_id"] == pst_doc["pd_id"].cast("string"),
+                 "left")
+        .drop("pd_id")
+        .withColumn("pst_n_terms", F.coalesce("pst_n_terms", zero))
+        .withColumn("pst_total_tf", F.coalesce("pst_total_tf", zero))
+        .withColumn("pst_max_df", F.coalesce("pst_max_df", zero))
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

@@ -1,0 +1,158 @@
+"""Inverted-index construction: segmented posting lists + query-through-
+the-index.
+
+The reference delegates its inverted index to Solr (the repo FEEDS
+documents into `core-x`/`core-y` shards — `libs/ht_search/src/ht_search/
+config_search.py:19-20`); this module is the index-BUILD step itself,
+re-expressed as the canonical large-scale Spark job so the engine owns
+the whole path from OCR text to a queryable index artifact. Spark-first
+shape:
+
+ - `build_postings`: tokenize -> ONE groupBy (term, doc_id) for term
+   frequencies (map-side combine collapses repeats before the exchange;
+   only slim (term, doc_id) pairs shuffle, never text) -> ONE groupBy
+   (term, segment) assembling doc-id-sorted posting segments. Posting
+   lists are SEGMENTED (`segment_size` docs per row, segment = doc_id
+   DIV a fixed modulus-free width): at web scale a stopword's posting
+   list is millions of entries — an unbounded collect_list row is an
+   OOM; fixed-width segments bound every row, parallelize long lists,
+   and keep segments globally ordered by (term, seg_id) so a merge scan
+   reads them in doc-id order (the same reason Lucene writes blocked
+   postings).
+ - `postings_stats`: per-term document frequency / collection frequency
+   rolled up from segments (the idf inputs).
+ - `conjunctive_query`: AND-of-terms through the index — explode the
+   matching segments, count distinct terms per doc, keep docs hitting
+   all query terms. The classic TAAT evaluation as a groupBy; only
+   (doc_id, term) pairs move.
+
+Everything is integer/exact and SQL-expressible, so the build AND a
+query through it sit under the driver's value-hash oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.textstats import tokens_expr
+
+DEFAULT_SEGMENT_SIZE = 4096
+
+
+def term_doc_freqs(
+    df: DataFrame, text_col: str = "text", doc_col: str = "doc_id"
+) -> DataFrame:
+    """(term, doc_id, tf) — the map phase of index construction. The
+    groupBy's partial aggregation collapses within-document repeats
+    map-side; the exchange carries slim distinct (term, doc) pairs."""
+    return (
+        df.select(
+            F.col(doc_col).alias("doc_id"),
+            F.explode(tokens_expr(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+) -> DataFrame:
+    """(term, seg_id, postings) with postings = array<struct<doc_id,
+    tf>> sorted by doc_id and seg_id = doc_id DIV segment_size — every
+    output row is bounded by segment_size entries regardless of how
+    common the term is."""
+    if segment_size < 1:
+        raise ValueError(f"segment_size must be >= 1, got {segment_size}")
+    tdf = term_doc_freqs(df, text_col, doc_col)
+    return (
+        tdf.withColumn(
+            "seg_id", F.expr(f"doc_id DIV {segment_size}").cast("long")
+        )
+        .groupBy("term", "seg_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("postings")
+        )
+    )
+
+
+def postings_stats(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) rolled up from posting segments: document
+    frequency and collection frequency — the idf/ctf inputs a scorer
+    needs. Segment rows are already term-partitioned; this is a slim
+    re-aggregation."""
+    return postings.select(
+        "term",
+        F.size("postings").cast("long").alias("_n"),
+        F.aggregate(
+            "postings",
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + p["tf"],
+        ).alias("_cf"),
+    ).groupBy("term").agg(
+        F.sum("_n").cast("long").alias("df"),
+        F.sum("_cf").cast("long").alias("cf"),
+    )
+
+
+def conjunctive_query(
+    postings: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Documents containing ALL `terms`, answered THROUGH the index:
+    (doc_id, total_tf). Matching segments explode to slim (doc, term,
+    tf) rows; a doc qualifies when it hits every distinct query term.
+    The postings side is term-filtered BEFORE any explode — with a
+    term-partitioned index store this is a partition-pruned read of
+    len(terms) slivers, never an index scan."""
+    want = sorted(set(terms))
+    if not want:
+        raise ValueError("need at least one query term")
+    hits = (
+        postings.filter(F.col("term").isin(want))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("_nt"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("_nt") == len(want))
+        .select("doc_id", "total_tf")
+    )
+
+
+def postings_oracle_sql(
+    source_cte: str = "documents",
+    text_sql: str = "text",
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+) -> str:
+    """DuckDB CTE chain mirroring term_doc_freqs + segment assignment +
+    per-term stats; exposes:
+
+      pst_tdf   : (term, doc_id, tf, seg_id)
+      pst_stats : (term, df, cf)
+    """
+    toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+    pst_tok AS (
+      SELECT doc_id, unnest({toks}) AS term FROM {source_cte}
+    ),
+    pst_tdf AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+             CAST(doc_id // {segment_size} AS BIGINT) AS seg_id
+      FROM pst_tok GROUP BY term, doc_id
+    ),
+    pst_stats AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM pst_tdf GROUP BY term
+    )"""

@@ -1,0 +1,180 @@
+"""Inverted-index build: hand-exact postings, segmentation bounds,
+segment-rebuild round-trip, DuckDB stats parity, conjunctive query
+through the index, and plan pins (text never shuffles; the query's term
+filter sits below the explode)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import postings as PST
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _toy(spark):
+    return spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (5, "apple cherry cherry apple"),
+            (9, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestBuild:
+    def test_hand_exact_postings(self, spark):
+        got = {
+            (r["term"], r["seg_id"]): [
+                (p["doc_id"], p["tf"]) for p in r["postings"]
+            ]
+            for r in PST.build_postings(
+                _toy(spark), segment_size=4
+            ).collect()
+        }
+        assert got == {
+            ("apple", 0): [(0, 2)],
+            ("apple", 1): [(5, 2)],
+            ("banana", 0): [(0, 1), (1, 1)],
+            ("cherry", 0): [(1, 1)],
+            ("cherry", 1): [(5, 2)],
+        }
+
+    def test_segments_bound_row_size(self, spark):
+        df = spark.createDataFrame(
+            [(i, "common") for i in range(100)], "doc_id long, text string"
+        )
+        segs = PST.build_postings(df, segment_size=16).collect()
+        assert all(len(r["postings"]) <= 16 for r in segs)
+        assert sum(len(r["postings"]) for r in segs) == 100
+        # segments tile the doc-id space in order
+        ids = sorted(r["seg_id"] for r in segs)
+        assert ids == list(range(0, (99 // 16) + 1))
+
+    def test_rebuild_round_trip(self, spark):
+        docs = _docs(spark)
+        direct = sorted(
+            map(tuple, PST.term_doc_freqs(docs).collect())
+        )
+        rebuilt = sorted(
+            map(
+                tuple,
+                PST.build_postings(docs, segment_size=64)
+                .select("term", F.explode("postings").alias("p"))
+                .select("term", "p.doc_id", "p.tf")
+                .collect(),
+            )
+        )
+        assert direct == rebuilt
+
+    def test_stats_duckdb_parity(self, spark):
+        docs = _docs(spark)
+        got = sorted(
+            map(
+                tuple,
+                PST.postings_stats(
+                    PST.build_postings(docs, segment_size=64)
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        cte = PST.postings_oracle_sql(segment_size=64)
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT term, df, cf FROM pst_stats"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_text_never_shuffles(self, spark):
+        plan = (
+            PST.build_postings(_docs(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text column shuffled: {line}")
+
+
+class TestQuery:
+    def test_hand_exact_conjunction(self, spark):
+        idx = PST.build_postings(_toy(spark), segment_size=4)
+        got = {
+            r["doc_id"]: r["total_tf"]
+            for r in PST.conjunctive_query(
+                idx, ["apple", "cherry"]
+            ).collect()
+        }
+        assert got == {5: 4}  # only doc 5 has both; 2+2 occurrences
+        one = {
+            r["doc_id"]: r["total_tf"]
+            for r in PST.conjunctive_query(idx, ["banana"]).collect()
+        }
+        assert one == {0: 1, 1: 1}
+
+    def test_empty_terms_raises(self, spark):
+        idx = PST.build_postings(_toy(spark))
+        with pytest.raises(ValueError):
+            PST.conjunctive_query(idx, [])
+
+    def test_query_matches_scan_semantics(self, spark):
+        docs = _docs(spark)
+        idx = PST.build_postings(docs, segment_size=64)
+        # pick two real terms from the corpus
+        t1, t2 = [
+            r["term"]
+            for r in PST.postings_stats(idx)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(2)
+            .collect()
+        ]
+        via_index = {
+            r["doc_id"]
+            for r in PST.conjunctive_query(idx, [t1, t2]).collect()
+        }
+        from index_search_monorepo_spark.operators.textstats import (
+            tokens_expr,
+        )
+
+        toks = tokens_expr(F.col("text"))
+        via_scan = {
+            r["doc_id"]
+            for r in docs.filter(
+                F.array_contains(toks, t1) & F.array_contains(toks, t2)
+            ).collect()
+        }
+        assert via_index == via_scan
+        assert via_index  # the two most common terms do co-occur
+
+    def test_term_filter_below_explode(self, spark):
+        idx = PST.build_postings(_docs(spark), segment_size=64)
+        plan = (
+            PST.conjunctive_query(idx, ["alpha", "beta"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        gen_at = plan.find("Generate explode(postings")
+        filt_at = plan.find(" IN (alpha,beta)")
+        assert gen_at != -1 and filt_at != -1
+        # optimized plan prints top-down: the IN filter must sit BELOW
+        # (= later in the string than) the postings explode — Catalyst in
+        # fact pushes it under BOTH aggregates to the tokenize stage
+        assert filt_at > gen_at
