@@ -354,6 +354,7 @@ _PR_EDGES_SQL = """predges AS (
                     delay_sql="CASE WHEN host = 'nr.com' THEN 1 ELSE 2 END",
                     extra_cols=('doc_id',))})),
     {PST.postings_oracle_sql(segment_size=64).lstrip()},
+    {PST.bm25_postings_oracle_sql(["query", "scan"]).lstrip()},
     pstdoc AS (
       SELECT t.doc_id AS pd_id,
              CAST(count(*) AS BIGINT) AS pst_n_terms,
@@ -457,9 +458,12 @@ _PR_EDGES_SQL = """predges AS (
            END AS canon_url,
            coalesce(pd.pst_n_terms, 0) AS pst_n_terms,
            coalesce(pd.pst_total_tf, 0) AS pst_total_tf,
-           coalesce(pd.pst_max_df, 0) AS pst_max_df
+           coalesce(pd.pst_max_df, 0) AS pst_max_df,
+           coalesce(pb.bm25_e6, 0) AS pst_bm25_e6
     FROM pt
     LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
+    LEFT JOIN (SELECT doc_id AS pb_id, bm25_e6 FROM pst_bm25) pb
+           ON pb.pb_id = pt.doc_id
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN pranchors pra
@@ -942,6 +946,22 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pst_n_terms", F.coalesce("pst_n_terms", zero))
         .withColumn("pst_total_tf", F.coalesce("pst_total_tf", zero))
         .withColumn("pst_max_df", F.coalesce("pst_max_df", zero))
+    )
+    # r5g: ranked retrieval THROUGH the index — bm25_via_postings scores
+    # every doc matching 'query' OR 'scan' from index-side stats alone
+    # (dl/N/T from the forward rollup, df from postings_stats); the
+    # oracle recomputes the same integer-exact fixed point from its own
+    # rebuilt pst_tdf, so tf folding, the stats rollup and the scoring
+    # arithmetic are all value-gated per doc.
+    pst_bm25 = PST.bm25_via_postings(pst_idx, ["query", "scan"]).select(
+        F.col("doc_id").alias("pb_id"),
+        F.col("bm25_e6").alias("pst_bm25_e6"),
+    )
+    out = (
+        out.join(pst_bm25, out["doc_id"] == pst_bm25["pb_id"].cast("string"),
+                 "left")
+        .drop("pb_id")
+        .withColumn("pst_bm25_e6", F.coalesce("pst_bm25_e6", zero))
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

@@ -130,6 +130,98 @@ def conjunctive_query(
     )
 
 
+def doc_length_stats(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl) forward stats rolled up from the index — dl = sum of
+    tf over the doc's postings. A production deployment materializes
+    this ONCE per index generation (it is a full index pass) and hands
+    it to every query via bm25_via_postings(doc_stats=...)."""
+    return (
+        postings.select(F.explode("postings").alias("p"))
+        .select(F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+    )
+
+
+def bm25_via_postings(
+    postings: DataFrame,
+    terms: list[str],
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Ranked retrieval THROUGH the index: (doc_id, bm25_e6) for every
+    document matching at least one query term, bit-identical to the
+    scan-side scorer (search.engine.with_bm25_score_e6 — same integer-
+    exact formula, same bitlen-idf surrogate; equality pinned by
+    tests/test_postings.py). Everything the scorer needs comes from the
+    index alone:
+
+      dl (doc length)      = sum of tf over the doc's postings
+      N, T (corpus stats)  = one-row rollup of the doc lengths
+      df per term          = postings_stats
+      tf per (doc, term)   = the matching posting entries
+
+    Parity caveats (both pinned by the tests): the index sees whatever
+    tokenization it was built with — match the scan scorer's lowercasing
+    by indexing lower(text); and N counts docs with >= 1 token (an empty
+    doc never reaches the index), so corpora containing zero-token docs
+    score differently than a scan that counts them in N.
+
+    Plan shape: the term-filtered postings explode to slim rows (a
+    term-partitioned store prunes to len(terms) slivers); the doc-length
+    side is the index's forward rollup. At query time a production
+    deployment precomputes that rollup once per index generation — pass
+    it via `doc_stats=` (the doc_length_stats shape) to skip the full
+    index pass here."""
+    from index_search_monorepo_spark.operators.lm import bitlen_expr
+
+    want = sorted(set(terms))
+    if not want:
+        raise ValueError("need at least one query term")
+    flat = postings.select(
+        "term", F.explode("postings").alias("p")
+    ).select(
+        "term",
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+    )
+    if doc_stats is None:
+        doc_stats = doc_length_stats(postings)
+    doc_stats = doc_stats.select(
+        "doc_id", F.col("dl").cast("long").alias("_dl")
+    )
+    corpus = doc_stats.agg(
+        F.count("*").cast("long").alias("_N"),
+        F.sum("_dl").cast("long").alias("_T"),
+    )
+    dfs = (
+        postings_stats(postings.filter(F.col("term").isin(want)))
+        .select("term", "df")
+    )
+    hits = (
+        flat.filter(F.col("term").isin(want))
+        .join(F.broadcast(dfs), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_avgdl_e3",
+            F.greatest(
+                F.expr("(1000 * _T) DIV _N"), F.lit(1).cast("long")
+            ),
+        )
+    )
+    idf_sur = bitlen_expr(F.expr("(2 * _N + 1) DIV (2 * df + 1)"))
+    tfpart = F.expr(
+        "(2200000000 * tf) DIV"
+        " (1000 * tf + 300 + (900000 * _dl) DIV _avgdl_e3)"
+    )
+    return (
+        hits.withColumn("_part", (idf_sur * tfpart).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.sum("_part").cast("long").alias("bm25_e6"))
+    )
+
+
 def postings_oracle_sql(
     source_cte: str = "documents",
     text_sql: str = "text",
@@ -155,4 +247,41 @@ def postings_oracle_sql(
       SELECT term, CAST(count(*) AS BIGINT) AS df,
              CAST(sum(tf) AS BIGINT) AS cf
       FROM pst_tdf GROUP BY term
+    )"""
+
+
+def bm25_postings_oracle_sql(terms: list[str]) -> str:
+    """DuckDB CTE chain mirroring bm25_via_postings, built ON TOP of
+    postings_oracle_sql's pst_tdf/pst_stats CTEs (append after them).
+    Exposes pst_bm25: (doc_id, bm25_e6). Same integer-exact fixed-point
+    spec as search/engine.bm25_e6_oracle_sql, fed from index-side stats
+    instead of a corpus scan."""
+    want = sorted(set(terms))
+    if not want:
+        raise ValueError("need at least one query term")
+    in_list = ", ".join("'%s'" % t.replace("'", "''") for t in want)
+    idf = "CAST(length(bin((2 * n + 1) // (2 * df + 1))) AS BIGINT)"
+    den = (
+        "(1000 * tf + 300 + (900000 * dl)"
+        " // greatest((1000 * t) // n, 1))"
+    )
+    return f"""
+    pst_dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      FROM pst_tdf GROUP BY doc_id
+    ),
+    pst_corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS t
+      FROM pst_dl
+    ),
+    pst_bm25 AS (
+      SELECT h.doc_id,
+             CAST(sum({idf} * ((2200000000 * tf) // {den})) AS BIGINT)
+               AS bm25_e6
+      FROM pst_tdf h
+      JOIN pst_stats s USING (term)
+      JOIN pst_dl USING (doc_id)
+      CROSS JOIN pst_corpus
+      WHERE h.term IN ({in_list})
+      GROUP BY h.doc_id
     )"""

@@ -178,3 +178,87 @@ class TestQuery:
         # (= later in the string than) the postings explode — Catalyst in
         # fact pushes it under BOTH aggregates to the tokenize stage
         assert filt_at > gen_at
+
+
+class TestBM25ViaPostings:
+    """The through-the-index ranker must be bit-identical to the scan
+    scorer when the index is built over the same tokens (lower(text) —
+    the scan side lowercases; parity caveats in the docstring)."""
+
+    TERMS = ["scan", "query"]
+
+    def _lowered(self, spark):
+        return _docs(spark).select(
+            "doc_id", F.lower("text").alias("text")
+        )
+
+    def test_matches_scan_scorer(self, spark):
+        from index_search_monorepo_spark.search.engine import (
+            with_bm25_score_e6,
+        )
+        from index_search_monorepo_spark.operators.textstats import (
+            tokens_expr,
+        )
+
+        docs = self._lowered(spark)
+        idx = PST.build_postings(docs, segment_size=64)
+        via_index = {
+            r["doc_id"]: r["bm25_e6"]
+            for r in PST.bm25_via_postings(idx, self.TERMS).collect()
+        }
+        toks = tokens_expr(F.col("text"))
+        matches_any = F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in self.TERMS])
+        )
+        via_scan = {
+            r["doc_id"]: r["bm25_e6"]
+            for r in with_bm25_score_e6(docs, self.TERMS)
+            .filter(matches_any)
+            .select("doc_id", "bm25_e6")
+            .collect()
+        }
+        assert via_index == via_scan
+        assert via_index  # the two most common terms match something
+
+    def test_precomputed_doc_stats_path(self, spark):
+        idx = PST.build_postings(self._lowered(spark), segment_size=64)
+        stats = PST.doc_length_stats(idx)
+        fresh = sorted(
+            map(tuple, PST.bm25_via_postings(idx, self.TERMS).collect())
+        )
+        reused = sorted(
+            map(
+                tuple,
+                PST.bm25_via_postings(
+                    idx, self.TERMS, doc_stats=stats
+                ).collect(),
+            )
+        )
+        assert fresh == reused
+
+    def test_duckdb_parity(self, spark):
+        idx = PST.build_postings(_docs(spark), segment_size=64)
+        got = sorted(
+            map(tuple, PST.bm25_via_postings(idx, self.TERMS).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        cte = PST.postings_oracle_sql(segment_size=64)
+        bm = PST.bm25_postings_oracle_sql(self.TERMS)
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()},{bm.lstrip()} "
+                "SELECT doc_id, bm25_e6 FROM pst_bm25"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_empty_terms_raises(self, spark):
+        idx = PST.build_postings(_toy(spark))
+        with pytest.raises(ValueError):
+            PST.bm25_via_postings(idx, [])
+        with pytest.raises(ValueError):
+            PST.bm25_postings_oracle_sql([])
