@@ -355,6 +355,8 @@ _PR_EDGES_SQL = """predges AS (
                     extra_cols=('doc_id',))})),
     {PST.postings_oracle_sql(segment_size=64).lstrip()},
     {PST.bm25_postings_oracle_sql(["query", "scan"]).lstrip()},
+    {PST.positional_oracle_sql().lstrip()},
+    {PST.phrase_oracle_sql(["part", "filter"]).lstrip()},
     pstdoc AS (
       SELECT t.doc_id AS pd_id,
              CAST(count(*) AS BIGINT) AS pst_n_terms,
@@ -459,11 +461,14 @@ _PR_EDGES_SQL = """predges AS (
            coalesce(pd.pst_n_terms, 0) AS pst_n_terms,
            coalesce(pd.pst_total_tf, 0) AS pst_total_tf,
            coalesce(pd.pst_max_df, 0) AS pst_max_df,
-           coalesce(pb.bm25_e6, 0) AS pst_bm25_e6
+           coalesce(pb.bm25_e6, 0) AS pst_bm25_e6,
+           coalesce(pph.n_phrase_hits, 0) AS pst_phrase_hits
     FROM pt
     LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pb_id, bm25_e6 FROM pst_bm25) pb
            ON pb.pb_id = pt.doc_id
+    LEFT JOIN (SELECT doc_id AS pph_id, n_phrase_hits FROM ph_phrase) pph
+           ON pph.pph_id = pt.doc_id
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN pranchors pra
@@ -962,6 +967,25 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "left")
         .drop("pb_id")
         .withColumn("pst_bm25_e6", F.coalesce("pst_bm25_e6", zero))
+    )
+    # r5h: exact-phrase evaluation THROUGH the POSITIONAL index — the
+    # planted common bigram "part filter" resolved Lucene-PhraseQuery-
+    # style from per-posting token offsets; the oracle recomputes hits
+    # from a rebuilt positional token stream, so position capture,
+    # segment assembly and the slot-shift merge are all value-gated.
+    pst_phrase = PST.phrase_query(
+        PST.build_positional_postings(docs, segment_size=64),
+        ["part", "filter"],
+    ).select(
+        F.col("doc_id").alias("pph_id"),
+        F.col("n_phrase_hits").alias("pst_phrase_hits"),
+    )
+    out = (
+        out.join(pst_phrase,
+                 out["doc_id"] == pst_phrase["pph_id"].cast("string"),
+                 "left")
+        .drop("pph_id")
+        .withColumn("pst_phrase_hits", F.coalesce("pst_phrase_hits", zero))
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

@@ -222,6 +222,144 @@ def bm25_via_postings(
     )
 
 
+def build_positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+) -> DataFrame:
+    """(term, seg_id, postings) with postings = array<struct<doc_id, tf,
+    positions: array<int>>> — the POSITIONAL index (Lucene's
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS): per-doc token offsets
+    ride inside each posting entry so phrase queries resolve through the
+    index without touching document text. Positions are 0-based token
+    ordinals, sorted ascending; segments bound rows exactly as in
+    build_postings. The exchange carries (term, doc, positions) — at web
+    scale a stopword's positions are the big payload, which is why the
+    reference's Solr (and Lucene) make positions per-field opt-in; use
+    build_postings when no phrase/proximity queries are needed."""
+    if segment_size < 1:
+        raise ValueError(f"segment_size must be >= 1, got {segment_size}")
+    tdf = (
+        df.select(
+            F.col(doc_col).alias("doc_id"),
+            F.posexplode(tokens_expr(F.col(text_col))).alias(
+                "pos", "term"
+            ),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
+    )
+    return (
+        tdf.withColumn(
+            "seg_id", F.expr(f"doc_id DIV {segment_size}").cast("long")
+        )
+        .groupBy("term", "seg_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf", "positions"))
+            ).alias("postings")
+        )
+    )
+
+
+def phrase_query(
+    postings: DataFrame, phrase_terms: list[str]
+) -> DataFrame:
+    """Exact-phrase evaluation THROUGH a positional index: (doc_id,
+    n_phrase_hits) for documents containing the exact token sequence
+    `phrase_terms` (the q_phrase / pf semantics the scan-side engine
+    evaluates by substring — search/engine.py:106-125 — now answered
+    from the index, Lucene PhraseQuery-style; scan-vs-index equality is
+    pinned by tests/test_postings.py). The classic merge: each phrase
+    slot i shifts its term's positions by -i; a phrase occurrence is a
+    base position every slot agrees on (repeated terms are handled by
+    counting distinct SLOTS, not distinct terms).
+
+    Plan shape: postings are term-filtered BEFORE any explode (a
+    term-partitioned store prunes to the phrase's slivers); only (slot,
+    doc_id, position) rows shuffle into the two counting aggregates —
+    bounded by the phrase terms' collection frequency, never corpus
+    size."""
+    if not phrase_terms:
+        raise ValueError("need at least one phrase term")
+    uniq = sorted(set(phrase_terms))
+    spark = postings.sparkSession
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase_terms)],
+        "slot long, term string",
+    )
+    flat = (
+        postings.filter(F.col("term").isin(uniq))
+        .select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+    return (
+        flat.join(F.broadcast(slots), "term")
+        .select(
+            "doc_id", "slot", F.explode("positions").alias("_pos")
+        )
+        .withColumn("adj", F.col("_pos").cast("long") - F.col("slot"))
+        .filter(F.col("adj") >= 0)
+        .groupBy("doc_id", "adj")
+        .agg(F.countDistinct("slot").alias("_ns"))
+        .filter(F.col("_ns") == len(phrase_terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_phrase_hits"))
+    )
+
+
+def positional_oracle_sql(
+    source_cte: str = "documents", text_sql: str = "text"
+) -> str:
+    """DuckDB CTE mirroring the positional token stream (0-based
+    ordinals via lockstep unnest + generate_subscripts); exposes
+    ph_tok: (doc_id, term, pos)."""
+    toks = f"list_filter(string_split({text_sql}, ' '), x -> x <> '')"
+    return f"""
+    ph_tok AS (
+      SELECT doc_id, unnest(toks) AS term,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM (SELECT doc_id, {toks} AS toks FROM {source_cte})
+    )"""
+
+
+def phrase_oracle_sql(phrase_terms: list[str]) -> str:
+    """DuckDB CTE chain mirroring phrase_query on top of
+    positional_oracle_sql's ph_tok; exposes ph_phrase: (doc_id,
+    n_phrase_hits)."""
+    if not phrase_terms:
+        raise ValueError("need at least one phrase term")
+    slot_rows = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''"))
+        for i, t in enumerate(phrase_terms)
+    )
+    return f"""
+    ph_slots(slot, term) AS (VALUES {slot_rows}),
+    ph_adj AS (
+      SELECT k.doc_id, s.slot, k.pos - s.slot AS adj
+      FROM ph_tok k JOIN ph_slots s USING (term)
+      WHERE k.pos - s.slot >= 0
+    ),
+    ph_phrase AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrase_hits
+      FROM (
+        SELECT doc_id, adj FROM ph_adj
+        GROUP BY doc_id, adj
+        HAVING count(DISTINCT slot) = {len(phrase_terms)}
+      ) GROUP BY doc_id
+    )"""
+
+
 def postings_oracle_sql(
     source_cte: str = "documents",
     text_sql: str = "text",

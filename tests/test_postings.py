@@ -262,3 +262,116 @@ class TestBM25ViaPostings:
             PST.bm25_via_postings(idx, [])
         with pytest.raises(ValueError):
             PST.bm25_postings_oracle_sql([])
+
+
+class TestPositional:
+    """Positional index + phrase queries through it."""
+
+    def test_positional_round_trip(self, spark):
+        got = {
+            (r["term"], p["doc_id"]): (p["tf"], list(p["positions"]))
+            for r in PST.build_positional_postings(
+                _toy(spark), segment_size=4
+            ).collect()
+            for p in r["postings"]
+        }
+        assert got[("apple", 0)] == (2, [0, 2])
+        assert got[("apple", 5)] == (2, [0, 3])
+        assert got[("cherry", 5)] == (2, [1, 2])
+        assert got[("banana", 1)] == (1, [0])
+
+    def test_hand_exact_phrase(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "big cat big cat big"),   # "big cat" x2, overlap-safe
+                (1, "cat big"),               # reversed: no hit
+                (2, "big big big"),           # repeated-term phrase fodder
+                (3, "big cat"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = PST.build_positional_postings(docs, segment_size=4)
+        got = {
+            r["doc_id"]: r["n_phrase_hits"]
+            for r in PST.phrase_query(idx, ["big", "cat"]).collect()
+        }
+        assert got == {0: 2, 3: 1}
+        rep = {
+            r["doc_id"]: r["n_phrase_hits"]
+            for r in PST.phrase_query(idx, ["big", "big"]).collect()
+        }
+        assert rep == {2: 2}  # positions 0-1 and 1-2
+        one = {
+            r["doc_id"]: r["n_phrase_hits"]
+            for r in PST.phrase_query(idx, ["cat"]).collect()
+        }
+        assert one == {0: 2, 1: 1, 3: 1}  # single term = tf
+
+    def test_phrase_matches_scan_semantics(self, spark):
+        docs = _docs(spark)
+        idx = PST.build_positional_postings(docs, segment_size=64)
+        via_index = {
+            r["doc_id"]
+            for r in PST.phrase_query(idx, ["part", "filter"]).collect()
+        }
+        # scan-side phrase semantics = the engine's substring-on-joined-
+        # tokens test (search/engine.py:106-125), token-exact here
+        from index_search_monorepo_spark.operators.textstats import (
+            tokens_expr,
+        )
+
+        toks = tokens_expr(F.col("text"))
+        joined = F.array_join(toks, " ")
+        via_scan = {
+            r["doc_id"]
+            for r in docs.filter(
+                F.concat(F.lit(" "), joined, F.lit(" ")).contains(
+                    " part filter "
+                )
+            ).collect()
+        }
+        assert via_index == via_scan
+        assert via_index  # the planted common bigram does occur
+
+    def test_phrase_duckdb_parity(self, spark):
+        idx = PST.build_positional_postings(_docs(spark), segment_size=64)
+        got = sorted(
+            map(
+                tuple,
+                PST.phrase_query(idx, ["part", "filter"]).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        cte = PST.positional_oracle_sql()
+        ph = PST.phrase_oracle_sql(["part", "filter"])
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()},{ph.lstrip()} "
+                "SELECT doc_id, n_phrase_hits FROM ph_phrase"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_empty_phrase_raises(self, spark):
+        idx = PST.build_positional_postings(_toy(spark))
+        with pytest.raises(ValueError):
+            PST.phrase_query(idx, [])
+        with pytest.raises(ValueError):
+            PST.phrase_oracle_sql([])
+
+    def test_term_filter_below_explode(self, spark):
+        idx = PST.build_positional_postings(_docs(spark), segment_size=64)
+        plan = (
+            PST.phrase_query(idx, ["part", "filter"])
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        gen_at = plan.find("Generate explode(postings")
+        filt_at = plan.find(" IN (filter,part)")
+        assert gen_at != -1 and filt_at != -1
+        assert filt_at > gen_at  # pruned below the posting explode
