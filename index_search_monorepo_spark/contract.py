@@ -47,6 +47,7 @@ from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import postings as PST
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import sketches as SKCH
+from index_search_monorepo_spark.operators import temporal as TMP
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators import urlfilter as UF
 from index_search_monorepo_spark.operators import c4rules as C4
@@ -1551,25 +1552,128 @@ def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 1 << 12, 3
+_BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
+
+
 @register(
     "ordered_dedup_events",
-    """
-    SELECT user_id, CAST(event_id AS BIGINT) AS first_event_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    f"""
+    WITH {TMP.sessionize_oracle_sql('events', 900).lstrip()},
+    tmp_sess AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(max(n_events) AS BIGINT) AS max_session_events
+      FROM (
+        SELECT user_id, session_ord, count(*) AS n_events
+        FROM sess_tbl GROUP BY user_id, session_ord
+      ) GROUP BY user_id
+    ),
+    {TMP.asof_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        'user_id').lstrip()},
+    tmp_asof AS (
+      SELECT user_id,
+             CAST(count(ts_asof) AS BIGINT) AS asof_n_matched,
+             CAST(sum(coalesce(epoch_us(ts) - ts_asof, 0)) AS BIGINT)
+               AS asof_lag_us_sum,
+             CAST(coalesce(max(tie_asof), -1) AS BIGINT)
+               AS asof_max_click_id
+      FROM asof_tbl GROUP BY user_id
+    ),
+    {SKCH.bloom_oracle_sql('user_id', _BLOOM_SRC,
+                           _BLOOM_M, _BLOOM_K).lstrip()}
+    SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
+           strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+           s.n_sessions, s.max_session_events,
+           coalesce(a.asof_n_matched, 0) AS asof_n_matched,
+           coalesce(a.asof_lag_us_sum, 0) AS asof_lag_us_sum,
+           coalesce(a.asof_max_click_id, -1) AS asof_max_click_id,
+           {SKCH.bloom_point_oracle_sql('u.user_id',
+                                        _BLOOM_M, _BLOOM_K)}
+             AS bloom_purchase_hit
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
       FROM events
-    ) WHERE rn = 1
+    ) u
+    JOIN tmp_sess s USING (user_id)
+    LEFT JOIN tmp_asof a USING (user_id)
+    WHERE u.rn = 1
     """,
 )
 def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 ordered dedup / keep-first (kbart_file_generator.py:121-126)."""
+    """T3 ordered dedup / keep-first (kbart_file_generator.py:121-126).
+
+    NEW r5i — the events-analytics gate: three operator families ride
+    the same user-grain row.
+    - temporal.sessionize/session_stats (gap = 900 s): n_sessions +
+      max_session_events per user; the oracle replays the lag/running-
+      sum chain in SQL, so the microsecond gap rule and both window
+      ordinals are value-gated.
+    - temporal.asof_join (purchase <- latest prior click, union-tag
+      merge technique): matched count, total purchase-to-click lag in
+      exact micros, and the tie contract (max click event_id at the
+      matched timestamp) — the oracle answers the same question via an
+      INDEPENDENT correlated-subquery formulation.
+    - sketches.bloom_sketch/bloom_might_contain over purchase user_ids:
+      per-user membership bit (false positives included — they are
+      deterministic and must match the oracle's bit math exactly).
+    """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
-    return ev.groupBy("user_id").agg(
+    base = ev.groupBy("user_id").agg(
         first.getField("event_id").cast("long").alias("first_event_id"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+    sess = (
+        TMP.session_stats(ev, 900)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase")
+    clk = ev.filter(F.col("event_type") == "click")
+    lag_us = F.unix_micros(
+        F.to_utc_timestamp(F.col("ts"), "UTC")
+    ) - F.col("ts_asof")
+    asof = (
+        TMP.asof_join(
+            pur, clk, ["user_id"], "ts",
+            right_cols=["event_id"], tie_col="event_id",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("ts_asof").cast("long").alias("asof_n_matched"),
+            F.sum(F.coalesce(lag_us, F.lit(0)))
+            .cast("long")
+            .alias("asof_lag_us_sum"),
+            F.coalesce(F.max("event_id_asof"), F.lit(-1))
+            .cast("long")
+            .alias("asof_max_click_id"),
+        )
+    )
+    bloom = SKCH.bloom_sketch(
+        pur.select("user_id"), "user_id", _BLOOM_M, _BLOOM_K
+    )
+    out = (
+        base.join(sess, "user_id")
+        .join(asof, "user_id", "left")
+        .withColumn("asof_n_matched", F.coalesce("asof_n_matched",
+                                                 F.lit(0).cast("long")))
+        .withColumn("asof_lag_us_sum", F.coalesce("asof_lag_us_sum",
+                                                  F.lit(0).cast("long")))
+        .withColumn("asof_max_click_id",
+                    F.coalesce("asof_max_click_id",
+                               F.lit(-1).cast("long")))
+    )
+    return SKCH.bloom_might_contain(
+        out, bloom, "user_id", _BLOOM_M, _BLOOM_K,
+        out_col="bloom_purchase_hit",
+    ).withColumn(
+        "bloom_purchase_hit", F.col("bloom_purchase_hit").cast("long")
     )
 
 

@@ -384,3 +384,233 @@ def hll_oracle_sql(
       SELECT bucket, CAST(max(rho) AS BIGINT) AS r
       FROM hll_rho GROUP BY bucket
     )"""
+
+
+# ------------------------------------------------------------------ bloom --
+#
+# Bloom filter (Bloom 1970) as a first-class DataFrame artifact: the
+# membership companion to HLL/CMS. The 100 TB use case is JOIN PRUNING —
+# semi-joining a 100 TB fact side against a key set normally shuffles
+# the fact side; a Bloom sketch of the key set is a few thousand BIGINTs
+# that broadcast everywhere and filter scan-side with zero exchanges and
+# zero false negatives (Spark's own runtime row-level filtering injects
+# exactly this shape; here the STATE is an inspectable, mergeable,
+# oracle-checkable DataFrame).
+#
+# Determinism contract: k independent positions from the module's 48-bit
+# md5 fold, pos_j = hash48(salt||j||':'||key) % m_bits; the bit array is
+# packed into 63-BIT words (bits 0..62 — bit 63 is unused because
+# 1::BIGINT << 63 overflows DuckDB's checked shift), word = pos DIV 63.
+# Every word is integer-exact and bit-identical in Spark and DuckDB, so
+# the full packed vector rides the driver's value-hash gate.
+
+BLOOM_WORD_BITS = 63
+BLOOM_MAX_M = 16 ** HLL_HEX_DIGITS  # positions must stay inside 48 bits
+
+
+def _bloom_pos_expr(key: Column, j: int, m_bits: int, salt: str) -> Column:
+    return _hash48_expr(key, f"{salt}{j}:") % m_bits
+
+
+def _bloom_pos_sql(key_sql: str, j: int, m_bits: int, salt: str) -> str:
+    return f"({_hash48_sql(key_sql, f'{salt}{j}:')} % {m_bits})"
+
+
+def _bloom_check(m_bits: int, k: int) -> None:
+    if not 1 <= m_bits <= BLOOM_MAX_M:
+        raise ValueError(f"m_bits must be in [1, 2^48], got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def bloom_sketch(
+    df: DataFrame,
+    key_col: str | Column,
+    m_bits: int = 1 << 13,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """(word, bits) — the packed Bloom bit array over df's key column.
+    Each row contributes k set bits; ONE map-side-combined groupBy(word)
+    bit_or folds them, so the exchange carries at most m_bits/63 slim
+    rows per partition and the raw keys never shuffle (the HLL/CMS plan
+    shape). Absent words are all-zero (dense reconstruction happens in
+    the query, not the artifact)."""
+    _bloom_check(m_bits, k)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    positions = F.explode(
+        F.array(*[_bloom_pos_expr(key, j, m_bits, salt) for j in range(k)])
+    ).alias("_pos")
+    return (
+        df.select(positions)
+        .select(
+            F.expr(f"_pos DIV {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("_mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("CAST(bit_or(_mask) AS BIGINT)").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Pointwise OR of same-shape sketches — union of the key sets
+    without touching the keys (shard/day rollups)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(
+        F.expr("CAST(bit_or(bits) AS BIGINT)").alias("bits")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    sketch: DataFrame,
+    key_col: str | Column,
+    m_bits: int = 1 << 13,
+    k: int = 3,
+    salt: str = "bloom",
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """df + out_col (boolean): true iff ALL k bits are set — no false
+    negatives, tunable false positives (~(1-e^(-kn/m))^k). The sketch
+    collapses to a ONE-ROW broadcast word->bits map (map_from_entries +
+    crossJoin(broadcast) + try_element_at — CLAUDE.md lesson #10's
+    shape), so membership is a pure projection: zero exchanges on df's
+    side, the exact plan a scan-side join-pruning filter needs."""
+    _bloom_check(m_bits, k)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    blob = F.broadcast(
+        sketch.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("_bloom_map")
+        )
+    )
+    out = df.crossJoin(blob)
+    # bind each position ONCE behind a Project boundary — it feeds both
+    # the word lookup and the mask (interpreted exprs get no CSE,
+    # CLAUDE.md lesson #1)
+    for j in range(k):
+        out = out.withColumn(
+            f"_bp{j}", _bloom_pos_expr(key, j, m_bits, salt)
+        )
+    hit = None
+    for j in range(k):
+        word_bits = F.coalesce(
+            F.try_element_at(
+                F.col("_bloom_map"),
+                F.expr(f"_bp{j} DIV {BLOOM_WORD_BITS}"),
+            ),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(_bp{j} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        this = word_bits.bitwiseAND(mask) != 0
+        hit = this if hit is None else (hit & this)
+    return (
+        out.withColumn(out_col, hit)
+        .drop("_bloom_map", *[f"_bp{j}" for j in range(k)])
+    )
+
+
+def bloom_sketch_py(
+    values, m_bits: int = 1 << 13, k: int = 3, salt: str = "bloom"
+) -> dict[int, int]:
+    """Independent Python mirror of bloom_sketch: {word: bits}."""
+    _bloom_check(m_bits, k)
+    words: dict[int, int] = {}
+    for v in values:
+        for j in range(k):
+            h = int(
+                hashlib.md5(
+                    f"{salt}{j}:{v}".encode()
+                ).hexdigest()[:HLL_HEX_DIGITS],
+                16,
+            )
+            pos = h % m_bits
+            w, b = divmod(pos, BLOOM_WORD_BITS)
+            words[w] = words.get(w, 0) | (1 << b)
+    return words
+
+
+def bloom_contains_py(
+    value,
+    words: dict[int, int],
+    m_bits: int = 1 << 13,
+    k: int = 3,
+    salt: str = "bloom",
+) -> bool:
+    """Independent Python mirror of bloom_might_contain for one key."""
+    for j in range(k):
+        h = int(
+            hashlib.md5(
+                f"{salt}{j}:{value}".encode()
+            ).hexdigest()[:HLL_HEX_DIGITS],
+            16,
+        )
+        pos = h % m_bits
+        w, b = divmod(pos, BLOOM_WORD_BITS)
+        if not words.get(w, 0) & (1 << b):
+            return False
+    return True
+
+
+def bloom_oracle_sql(
+    key_sql: str,
+    source_sql: str,
+    m_bits: int = 1 << 13,
+    k: int = 3,
+    salt: str = "bloom",
+) -> str:
+    """DuckDB CTE chain mirroring bloom_sketch; final CTE `bloom_tbl`
+    yields (word, bits)."""
+    _bloom_check(m_bits, k)
+    pos_rows = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(key_sql, j, m_bits, salt)} AS pos"
+        f" FROM {source_sql}"
+        for j in range(k)
+    )
+    return f"""
+    bloom_pos AS ({pos_rows}),
+    bloom_tbl AS (
+      SELECT CAST(pos // {BLOOM_WORD_BITS} AS BIGINT) AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD_BITS}
+                  AS INTEGER)) AS BIGINT) AS bits
+      FROM bloom_pos GROUP BY 1
+    )"""
+
+
+def bloom_point_oracle_sql(
+    key_sql: str,
+    m_bits: int = 1 << 13,
+    k: int = 3,
+    salt: str = "bloom",
+    table: str = "bloom_tbl",
+) -> str:
+    """Scalar SQL (1/0 BIGINT) testing key_sql against a built
+    bloom_tbl — the DuckDB mirror of bloom_might_contain."""
+    _bloom_check(m_bits, k)
+    checks = []
+    for j in range(k):
+        pos = _bloom_pos_sql(key_sql, j, m_bits, salt)
+        word = f"({pos} // {BLOOM_WORD_BITS})"
+        mask = (
+            f"(CAST(1 AS BIGINT) << CAST({pos} % {BLOOM_WORD_BITS}"
+            " AS INTEGER))"
+        )
+        checks.append(
+            f"(coalesce((SELECT bits FROM {table} t"
+            f" WHERE t.word = {word}), 0) & {mask}) <> 0"
+        )
+    return (
+        "CAST(CASE WHEN " + " AND ".join(checks) + " THEN 1 ELSE 0 END"
+        " AS BIGINT)"
+    )

@@ -1,0 +1,272 @@
+"""Temporal operators over event streams: gap sessionization and the
+as-of (merge) join.
+
+Reference: no counterpart in hathitrust/index_search_monorepo (its event
+surface is request-log analytics, `apps/monitoring/`); built per the
+brief's custom-operator category — the as-of join is the canonical
+"operator Spark lacks" re-expressed as a composition of built-ins.
+
+Scale shapes (the whole point of both designs):
+
+ - `sessionize`: ONE hash exchange on the session key feeds BOTH window
+   passes (lag + running sum reuse the same partitioning — Catalyst
+   plans a single Exchange), and every derived quantity is integer
+   microsecond arithmetic, bit-identical in DuckDB. No self-join, no
+   range explosion: the 100 TB alternative people reach for (event ×
+   event inequality join per user) is quadratic in the hot user's
+   events; the window formulation is linear and spill-safe.
+ - `asof_join`: the UNION-TAG merge technique. Joining "each left row
+   to the latest right row at or before its timestamp" as an inequality
+   join explodes into a range join (O(n·m) per key worst case, and
+   Spark plans it as BroadcastNestedLoop when the equi-key is skewed).
+   Instead: union both sides tagged, ONE window sorted by (ts, side,
+   tie), and `last(right_value, ignorenulls=True)` carries the most
+   recent right payload forward to each left row — one shuffle, linear
+   per key, the same trick pandas.merge_asof / kdb aj execute natively.
+   Determinism contract: right rows tie-broken by (ts, tie_col)
+   ascending, so the match is the MAX tie_col among the latest
+   eligible timestamp — mirrored exactly by the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "sessionize",
+    "session_stats",
+    "asof_join",
+    "sessionize_oracle_sql",
+    "asof_oracle_sql",
+]
+
+
+def _us(col: str | Column) -> Column:
+    """Epoch microseconds of a timestamp column, wall-clock-exact for
+    TIMESTAMP_NTZ (parquet's default here): the NTZ wall time is pinned
+    to UTC before unix_micros, matching DuckDB's epoch_us(naive) no
+    matter the Spark session timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """df + (session_ord, session_event_ord): gap-based sessions — a new
+    session starts when the time since the user's previous event exceeds
+    `gap_seconds` (strictly greater, microsecond-exact). session_ord is
+    the 1-based session ordinal within the user; session_event_ord the
+    1-based event ordinal within the session. Total order inside a user
+    is (ts, order_col) — order rides in data, never row order (repo
+    convention). One Exchange on user_col serves every window pass."""
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap_us = int(gap_seconds) * 1_000_000
+    new_sess = (
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(1))
+        .when(
+            _us(ts_col) - F.lag(_us(ts_col)).over(w) > gap_us, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+    )
+    out = df.withColumn("_new_sess", new_sess).withColumn(
+        "session_ord",
+        F.sum("_new_sess")
+        .over(
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long"),
+    )
+    w_sess = Window.partitionBy(user_col, "session_ord").orderBy(
+        ts_col, order_col
+    )
+    return out.withColumn(
+        "session_event_ord", F.row_number().over(w_sess).cast("long")
+    ).drop("_new_sess")
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(user, session_ord, n_events, duration_us): the per-session
+    rollup — map-side-combinable aggregation after sessionize's single
+    exchange (same key prefix, so no second shuffle of the fact rows)."""
+    return (
+        sessionize(df, gap_seconds, user_col, ts_col, order_col)
+        .groupBy(user_col, "session_ord")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max(_us(ts_col)) - F.min(_us(ts_col)))
+            .cast("long")
+            .alias("duration_us"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    tie_col: str | None = None,
+    allow_exact: bool = True,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: every LEFT row + the selected columns of the
+    latest RIGHT row with the same keys and right.ts <= left.ts (< when
+    allow_exact=False); NULLs when no right row qualifies. Right rows
+    carrying equal timestamps are tie-broken by tie_col ascending (the
+    match is the max tie_col at the matched timestamp) — pass the
+    right side's unique id for a deterministic result. Matched columns
+    come back as f"{name}{suffix}" plus f"ts{suffix}" (epoch micros of
+    the matched right row).
+
+    Both inputs must share the key/ts column names; right_cols are
+    right-side payload columns (must not collide with key/ts names).
+    """
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    for c in right_cols:
+        if c in key_cols or c == ts_col:
+            raise ValueError(f"right_col {c!r} collides with key/ts")
+    tie = [tie_col] if tie_col and tie_col not in right_cols else []
+    pay_cols = list(dict.fromkeys(right_cols + tie))
+    # left rows pack their payload into one struct so the union schema
+    # is just (keys, ts, side, right payload, _lrow)
+    lrow_t = left.select(
+        F.struct(*[left[c] for c in left.columns]).alias("s")
+    ).schema["s"].dataType
+    rhs = right.select(*key_cols, ts_col, *pay_cols)
+    # a left row must see right rows at the SAME ts when allow_exact:
+    # sort right (side 0) before left (side 1); strict mode puts right
+    # rows AFTER (side 2) so equal-ts rows are invisible to the carry.
+    uni = left.select(
+        *key_cols,
+        ts_col,
+        F.lit(1).alias("_side"),
+        *[
+            F.lit(None).cast(rhs.schema[c].dataType).alias(c)
+            for c in pay_cols
+        ],
+        F.struct(*[left[c] for c in left.columns]).alias("_lrow"),
+    ).unionByName(
+        rhs.select(
+            *key_cols,
+            ts_col,
+            F.lit(0 if allow_exact else 2).alias("_side"),
+            *pay_cols,
+            F.lit(None).cast(lrow_t).alias("_lrow"),
+        )
+    )
+    order = [F.col(ts_col).asc(), F.col("_side").asc()] + [
+        F.col(t).asc() for t in ([tie_col] if tie_col else [])
+    ]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_right = F.col("_side") != 1
+    carried = uni
+    for c in right_cols:
+        carried = carried.withColumn(
+            f"{c}{suffix}",
+            F.last(F.when(is_right, F.col(c)), ignorenulls=True).over(w),
+        )
+    carried = carried.withColumn(
+        f"ts{suffix}",
+        F.last(F.when(is_right, _us(ts_col)), ignorenulls=True).over(w),
+    )
+    out_cols = (
+        [F.col("_lrow")[c].alias(c) for c in left.columns]
+        + [F.col(f"{c}{suffix}") for c in right_cols]
+        + [F.col(f"ts{suffix}")]
+    )
+    return carried.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def sessionize_oracle_sql(
+    source_cte: str,
+    gap_seconds: int,
+    user_sql: str = "user_id",
+    ts_sql: str = "ts",
+    order_sql: str = "event_id",
+) -> str:
+    """DuckDB CTE chain mirroring sessionize; exposes sess_tbl with the
+    source columns + session_ord + session_event_ord."""
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+    sess_lag AS (
+      SELECT *,
+             CASE WHEN lag(epoch_us({ts_sql})) OVER w IS NULL THEN 1
+                  WHEN epoch_us({ts_sql}) - lag(epoch_us({ts_sql})) OVER w
+                       > {gap_us} THEN 1
+                  ELSE 0 END AS _new_sess
+      FROM {source_cte}
+      WINDOW w AS (PARTITION BY {user_sql}
+                   ORDER BY {ts_sql}, {order_sql})
+    ),
+    sess_ord AS (
+      SELECT * EXCLUDE (_new_sess),
+             CAST(sum(_new_sess) OVER (
+               PARTITION BY {user_sql} ORDER BY {ts_sql}, {order_sql}
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord
+      FROM sess_lag
+    ),
+    sess_tbl AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY {user_sql}, session_ord
+               ORDER BY {ts_sql}, {order_sql}) AS BIGINT)
+               AS session_event_ord
+      FROM sess_ord
+    )"""
+
+
+def asof_oracle_sql(
+    left_cte: str,
+    right_cte: str,
+    key_sql: str,
+    ts_sql: str = "ts",
+    tie_sql: str = "event_id",
+    allow_exact: bool = True,
+) -> str:
+    """DuckDB CTE mirroring asof_join via an INDEPENDENT formulation
+    (correlated scalar subqueries, not the union-window technique — the
+    two engines answer the same question two different ways); exposes
+    asof_tbl: every left row + ts_asof (epoch micros of the matched
+    right row, NULL when unmatched) + tie_asof (the tie_sql value of the
+    matched row under the max-tie-at-matched-ts contract)."""
+    cmp = "<=" if allow_exact else "<"
+    return f"""
+    asof_tbl AS (
+      SELECT l.*,
+             (SELECT max(epoch_us(r.{ts_sql})) FROM {right_cte} r
+               WHERE r.{key_sql} = l.{key_sql}
+                 AND epoch_us(r.{ts_sql}) {cmp} epoch_us(l.{ts_sql}))
+               AS ts_asof,
+             (SELECT max(r.{tie_sql}) FROM {right_cte} r
+               WHERE r.{key_sql} = l.{key_sql}
+                 AND epoch_us(r.{ts_sql}) =
+                     (SELECT max(epoch_us(r2.{ts_sql}))
+                        FROM {right_cte} r2
+                       WHERE r2.{key_sql} = l.{key_sql}
+                         AND epoch_us(r2.{ts_sql}) {cmp}
+                             epoch_us(l.{ts_sql})))
+               AS tie_asof
+      FROM {left_cte} l
+    )"""

@@ -238,3 +238,163 @@ class TestCountMin:
         for line in plan.splitlines():
             if "Exchange" in line and "text" in line:
                 raise AssertionError(f"raw keys shuffled: {line}")
+
+
+class TestBloom:
+    M, K = 1 << 12, 3
+
+    def _keys(self, spark):
+        return spark.createDataFrame(
+            [(f"k{i}",) for i in range(400)], "k string"
+        )
+
+    def test_matches_python_mirror(self, spark):
+        got = {
+            r["word"]: r["bits"]
+            for r in SK.bloom_sketch(
+                self._keys(spark), "k", self.M, self.K
+            ).collect()
+        }
+        want = SK.bloom_sketch_py(
+            [f"k{i}" for i in range(400)], self.M, self.K
+        )
+        assert got == want
+
+    def test_duckdb_parity(self, spark):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id"
+        )
+        got = sorted(
+            map(
+                tuple,
+                SK.bloom_sketch(ev, "user_id", self.M, self.K).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW ev AS SELECT user_id FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        )
+        cte = SK.bloom_oracle_sql("user_id", "ev", self.M, self.K)
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT word, bits FROM bloom_tbl"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_merge_is_sketch_of_union(self, spark):
+        a = spark.createDataFrame([(f"a{i}",) for i in range(100)],
+                                  "k string")
+        b = spark.createDataFrame([(f"b{i}",) for i in range(100)],
+                                  "k string")
+        merged = sorted(
+            map(
+                tuple,
+                SK.bloom_merge(
+                    SK.bloom_sketch(a, "k", self.M, self.K),
+                    SK.bloom_sketch(b, "k", self.M, self.K),
+                ).collect(),
+            )
+        )
+        union = sorted(
+            map(
+                tuple,
+                SK.bloom_sketch(
+                    a.unionByName(b), "k", self.M, self.K
+                ).collect(),
+            )
+        )
+        assert merged == union
+
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        keys = self._keys(spark)
+        sk = SK.bloom_sketch(keys, "k", self.M, self.K)
+        probe = spark.createDataFrame(
+            [(f"k{i}",) for i in range(400)]
+            + [(f"x{i}",) for i in range(400)],
+            "k string",
+        )
+        rows = SK.bloom_might_contain(
+            probe, sk, "k", self.M, self.K
+        ).collect()
+        members = [r for r in rows if r["k"].startswith("k")]
+        others = [r for r in rows if r["k"].startswith("x")]
+        assert all(r["bloom_hit"] for r in members)  # no false negatives
+        fp = sum(1 for r in others if r["bloom_hit"])
+        # (1 - e^(-kn/m))^k ~ 0.5% at n=400, m=4096, k=3; allow 10x slack
+        assert fp <= 20, f"false-positive blowup: {fp}/400"
+        # membership agrees with the Python mirror on every probe
+        words = SK.bloom_sketch_py(
+            [f"k{i}" for i in range(400)], self.M, self.K
+        )
+        for r in rows:
+            assert r["bloom_hit"] == SK.bloom_contains_py(
+                r["k"], words, self.M, self.K
+            )
+
+    def test_point_oracle_parity(self, spark):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW src AS SELECT 'k' || CAST(range AS VARCHAR) AS k"
+            " FROM range(400)"
+        )
+        cte = SK.bloom_oracle_sql("k", "src", self.M, self.K)
+        point = SK.bloom_point_oracle_sql("p.k", self.M, self.K)
+        got = dict(
+            con.execute(
+                f"WITH {cte.lstrip()}, probes AS ("
+                "  SELECT 'k7' AS k UNION ALL SELECT 'nope')"
+                f" SELECT p.k, {point} FROM probes p"
+            ).fetchall()
+        )
+        words = SK.bloom_sketch_py(
+            [f"k{i}" for i in range(400)], self.M, self.K
+        )
+        assert got["k7"] == 1
+        assert got["nope"] == int(
+            SK.bloom_contains_py("nope", words, self.M, self.K)
+        )
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            SK.bloom_sketch(self._keys(spark), "k", m_bits=0)
+        with pytest.raises(ValueError):
+            SK.bloom_sketch(self._keys(spark), "k", k=0)
+        with pytest.raises(ValueError):
+            SK.bloom_merge()
+
+    def test_keys_never_shuffle(self, spark):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id"
+        )
+        plan = (
+            SK.bloom_sketch(ev, "user_id", self.M, self.K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line and "user_id" in line:
+                raise AssertionError(f"raw keys shuffled: {line}")
+
+    def test_membership_is_projection(self, spark):
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_id", "user_id"
+        )
+        sk = SK.bloom_sketch(
+            ev.filter(F.col("user_id") % 2 == 0), "user_id",
+            self.M, self.K,
+        )
+        plan = (
+            SK.bloom_might_contain(ev, sk, "user_id", self.M, self.K)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the probe side must not shuffle: every Exchange in the plan
+        # belongs to the sketch-build subtree (word-keyed or singleton)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line and "word" not in line:
+                raise AssertionError(f"probe side shuffled: {line}")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

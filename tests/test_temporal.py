@@ -1,0 +1,232 @@
+"""Temporal operators: gap sessionization and the union-tag as-of join —
+hand-exact semantics, DuckDB parity on real events, plan pins (one
+exchange each; no range join anywhere)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import temporal as TMP
+
+SF_DIR = "/root/testdata/sf0.001"
+EV = f"{SF_DIR}/events.parquet"
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def _toy_events(spark):
+    rows = [
+        # user 1: two sessions split by a 31-min gap (gap=1800 s)
+        (10, _ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        (11, _ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        (12, _ts("2024-01-01 10:41:00"), 1, "purchase", 5.0),
+        # user 2: single event
+        (20, _ts("2024-01-01 09:00:00"), 2, "view", 1.0),
+        # user 3: exact-gap boundary (1800 s is NOT a new session)
+        (30, _ts("2024-01-01 08:00:00"), 3, "view", 1.0),
+        (31, _ts("2024-01-01 08:30:00"), 3, "click", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+def _events(spark):
+    return spark.read.parquet(EV).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+class TestSessionize:
+    def test_hand_exact(self, spark):
+        got = {
+            r["event_id"]: (r["session_ord"], r["session_event_ord"])
+            for r in TMP.sessionize(_toy_events(spark), 1800).collect()
+        }
+        assert got == {
+            10: (1, 1),
+            11: (1, 2),
+            12: (2, 1),  # 31 min > 30 min gap -> new session
+            20: (1, 1),
+            30: (1, 1),
+            31: (1, 2),  # exactly 1800 s is NOT a new session
+        }
+
+    def test_session_stats(self, spark):
+        got = {
+            (r["user_id"], r["session_ord"]): (
+                r["n_events"],
+                r["duration_us"],
+            )
+            for r in TMP.session_stats(_toy_events(spark), 1800).collect()
+        }
+        assert got == {
+            (1, 1): (2, 600_000_000),
+            (1, 2): (1, 0),
+            (2, 1): (1, 0),
+            (3, 1): (2, 1_800_000_000),
+        }
+
+    def test_negative_gap_raises(self, spark):
+        with pytest.raises(ValueError):
+            TMP.sessionize(_toy_events(spark), -1)
+
+    def test_duckdb_parity(self, spark):
+        got = sorted(
+            (r["event_id"], r["session_ord"], r["session_event_ord"])
+            for r in TMP.sessionize(_events(spark), 900).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT event_id, ts, user_id, "
+            f"event_type FROM read_parquet('{EV}')"
+        )
+        cte = TMP.sessionize_oracle_sql("events", 900)
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT event_id, session_ord, "
+                "session_event_ord FROM sess_tbl"
+            ).fetchall()
+        )
+        assert got == want
+        assert max(r[1] for r in got) > 1  # real gaps exist at 15 min
+
+    def test_one_exchange(self, spark):
+        plan = (
+            TMP.sessionize(_events(spark), 900)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
+
+
+class TestAsofJoin:
+    def _toy_lr(self, spark):
+        ev = _toy_events(spark)
+        left = ev.filter(F.col("event_type") == "purchase")
+        right = ev.filter(F.col("event_type") == "click")
+        return left, right
+
+    def test_hand_exact(self, spark):
+        left, right = self._toy_lr(spark)
+        got = {
+            r["event_id"]: (r["event_id_asof"], r["ts_asof"])
+            for r in TMP.asof_join(
+                left,
+                right,
+                ["user_id"],
+                "ts",
+                right_cols=["event_id"],
+                tie_col="event_id",
+            ).collect()
+        }
+        # purchase 12 (user 1, 10:41) matches click 11 (10:10)
+        us_1010 = int(
+            _ts("2024-01-01 10:10:00")
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+        assert got == {12: (11, us_1010)}
+
+    def test_exact_ts_and_ties(self, spark):
+        rows_l = [(100, _ts("2024-01-01 10:00:00"), 1)]
+        rows_r = [
+            (50, _ts("2024-01-01 10:00:00"), 1),  # equal ts
+            (51, _ts("2024-01-01 10:00:00"), 1),  # equal ts tie
+            (40, _ts("2024-01-01 09:00:00"), 1),
+        ]
+        sch = "event_id long, ts timestamp, user_id long"
+        left = spark.createDataFrame(rows_l, sch)
+        right = spark.createDataFrame(rows_r, sch)
+        inc = TMP.asof_join(
+            left, right, ["user_id"], "ts",
+            right_cols=["event_id"], tie_col="event_id",
+        ).collect()[0]
+        assert inc["event_id_asof"] == 51  # max tie at the matched ts
+        strict = TMP.asof_join(
+            left, right, ["user_id"], "ts",
+            right_cols=["event_id"], tie_col="event_id",
+            allow_exact=False,
+        ).collect()[0]
+        assert strict["event_id_asof"] == 40  # equal ts excluded
+
+    def test_unmatched_is_null(self, spark):
+        left, right = self._toy_lr(spark)
+        out = TMP.asof_join(
+            left,
+            right.filter(F.col("user_id") != 1),
+            ["user_id"],
+            "ts",
+            right_cols=["event_id"],
+            tie_col="event_id",
+        ).collect()
+        assert [(r["event_id_asof"], r["ts_asof"]) for r in out] == [
+            (None, None)
+        ]
+
+    def test_duckdb_parity(self, spark):
+        ev = _events(spark)
+        left = ev.filter(F.col("event_type") == "purchase")
+        right = ev.filter(F.col("event_type") == "click")
+        got = sorted(
+            (r["event_id"], r["event_id_asof"], r["ts_asof"])
+            for r in TMP.asof_join(
+                left, right, ["user_id"], "ts",
+                right_cols=["event_id"], tie_col="event_id",
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT event_id, ts, user_id, "
+            f"event_type FROM read_parquet('{EV}')"
+        )
+        cte = TMP.asof_oracle_sql(
+            "(SELECT * FROM events WHERE event_type = 'purchase')",
+            "(SELECT * FROM events WHERE event_type = 'click')",
+            "user_id",
+        )
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT event_id, tie_asof, ts_asof "
+                "FROM asof_tbl"
+            ).fetchall()
+        )
+        assert got == want
+        assert any(r[1] is not None for r in got)
+
+    def test_empty_keys_raise(self, spark):
+        left, right = self._toy_lr(spark)
+        with pytest.raises(ValueError):
+            TMP.asof_join(left, right, [], "ts", right_cols=["event_id"])
+        with pytest.raises(ValueError):
+            TMP.asof_join(
+                left, right, ["user_id"], "ts", right_cols=["ts"]
+            )
+
+    def test_one_exchange_no_range_join(self, spark):
+        ev = _events(spark)
+        left = ev.filter(F.col("event_type") == "purchase")
+        right = ev.filter(F.col("event_type") == "click")
+        plan = (
+            TMP.asof_join(
+                left, right, ["user_id"], "ts",
+                right_cols=["event_id"], tie_col="event_id",
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
