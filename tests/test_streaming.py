@@ -334,3 +334,176 @@ def test_rule_flags_compose_with_streaming(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(str(out)).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in rows) == [0]
+
+
+# ------------------------------------------------------------- sessions ---
+
+
+def _events_df(spark, pred=None):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return ev.filter(pred) if pred is not None else ev
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """One-batch drain == temporal.sessionize row for row."""
+    from index_search_monorepo_spark.operators.temporal import sessionize
+    from index_search_monorepo_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    ev = _events_df(spark)
+    land = tmp_path / "ev"
+    ev.coalesce(1).write.parquet(str(land))
+    stream = spark.readStream.schema(ev.schema).parquet(str(land))
+    q = (
+        streaming_sessionize(stream, 900)
+        .writeStream.format("memory")
+        .queryName("sess_one")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["event_id"], r["session_ord"], r["session_event_ord"])
+        for r in spark.sql("SELECT * FROM sess_one").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["session_ord"], r["session_event_ord"])
+        for r in sessionize(ev, 900).collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_sessionize_state_carries_across_batches(spark, tmp_path):
+    """Two drains over one checkpoint (late-landing files) == batch run
+    over the union — session ordinals continue, they don't restart."""
+    from index_search_monorepo_spark.operators.temporal import sessionize
+    from index_search_monorepo_spark.streaming.sessions import (
+        streaming_sessionize,
+    )
+
+    ev = _events_df(spark, F.col("user_id") % 5 == 0)
+    cut = ev.agg(
+        F.expr("percentile_approx(unix_micros(to_utc_timestamp(ts,'UTC')),"
+               " 0.5)")
+    ).collect()[0][0]
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    early, late = ev.filter(us <= cut), ev.filter(us > cut)
+    land = tmp_path / "ev2"
+    land.mkdir()
+    early.coalesce(1).write.parquet(str(land / "batch=0"))
+
+    out = tmp_path / "sess_out"
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(land))
+        q = (
+            streaming_sessionize(stream, 900)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    late.coalesce(1).write.parquet(str(land / "batch=1"))
+    drain()
+    got = sorted(
+        (r["event_id"], r["session_ord"], r["session_event_ord"])
+        for r in spark.read.parquet(str(out)).collect()
+    )
+    want = sorted(
+        (r["event_id"], r["session_ord"], r["session_event_ord"])
+        for r in sessionize(ev, 900).collect()
+    )
+    assert got == want and got
+
+
+def test_streaming_session_stats_parity_and_boundary(spark, tmp_path):
+    """session_window (run in batch AND as a one-batch stream) agrees
+    with temporal.session_stats on real microsecond events; the exact-
+    boundary semantic difference is pinned on a toy."""
+    from index_search_monorepo_spark.operators.temporal import session_stats
+    from index_search_monorepo_spark.streaming.sessions import (
+        streaming_session_stats,
+    )
+
+    ev = _events_df(spark)
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in streaming_session_stats(ev, "900 seconds").collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["n_events"])
+        for r in session_stats(ev, 900).collect()
+    )
+    # same sessions on real microsecond data (no exact-boundary gaps)
+    assert sorted((u, n) for u, _s, n in native) == batch
+
+    # STREAM run: session windows support only append mode, which emits
+    # a session once the watermark passes its close — drain the real
+    # events, then land a far-future sentinel and drain again to push
+    # the watermark past every real session end.
+    land = tmp_path / "ev3"
+    land.mkdir()
+    out = tmp_path / "sess_stats_out"
+    ev.coalesce(1).write.parquet(str(land / "batch=0"))
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(land))
+        q = (
+            streaming_session_stats(stream, "900 seconds", "1 second")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    sentinel_ts = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(
+        days=365
+    )
+    spark.createDataFrame(
+        [(-1, -1, sentinel_ts, "flush")], ev.schema
+    ).coalesce(1).write.parquet(str(land / "batch=1"))
+    drain()
+    streamed = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.read.parquet(str(out))
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    )
+    assert streamed == native
+
+    # boundary pin: session_window MERGES an event at exactly last_ts +
+    # gap (windows are inclusive at the close), agreeing with the batch
+    # strictly-greater rule on BOTH sides of the boundary
+    def _counts(second_ts):
+        toy = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "a"),
+                (2, second_ts, 1, "a"),
+            ],
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string",
+        )
+        return (
+            streaming_session_stats(toy, "900 seconds").count(),
+            session_stats(toy, 900).count(),
+        )
+
+    at_gap = dt.datetime(2024, 1, 1, 10, 15, 0)
+    assert _counts(at_gap) == (1, 1)  # exactly gap: same session, both
+    just_past = dt.datetime(2024, 1, 1, 10, 15, 0, 1)
+    assert _counts(just_past) == (2, 2)  # gap + 1 us: new session, both
