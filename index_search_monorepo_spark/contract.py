@@ -358,6 +358,7 @@ _PR_EDGES_SQL = """predges AS (
     {PST.bm25_postings_oracle_sql(["query", "scan"]).lstrip()},
     {PST.positional_oracle_sql().lstrip()},
     {PST.phrase_oracle_sql(["part", "filter"]).lstrip()},
+    {PST.proximity_oracle_sql("part", "filter", 3).lstrip()},
     pstdoc AS (
       SELECT t.doc_id AS pd_id,
              CAST(count(*) AS BIGINT) AS pst_n_terms,
@@ -463,13 +464,16 @@ _PR_EDGES_SQL = """predges AS (
            coalesce(pd.pst_total_tf, 0) AS pst_total_tf,
            coalesce(pd.pst_max_df, 0) AS pst_max_df,
            coalesce(pb.bm25_e6, 0) AS pst_bm25_e6,
-           coalesce(pph.n_phrase_hits, 0) AS pst_phrase_hits
+           coalesce(pph.n_phrase_hits, 0) AS pst_phrase_hits,
+           coalesce(pnr.n_pairs, 0) AS pst_near_pairs
     FROM pt
     LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pb_id, bm25_e6 FROM pst_bm25) pb
            ON pb.pb_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pph_id, n_phrase_hits FROM ph_phrase) pph
            ON pph.pph_id = pt.doc_id
+    LEFT JOIN (SELECT doc_id AS pnr_id, n_pairs FROM ph_near) pnr
+           ON pnr.pnr_id = pt.doc_id
     LEFT JOIN {_PR_FINAL} prr
            ON prr.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN pranchors pra
@@ -974,10 +978,8 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # style from per-posting token offsets; the oracle recomputes hits
     # from a rebuilt positional token stream, so position capture,
     # segment assembly and the slot-shift merge are all value-gated.
-    pst_phrase = PST.phrase_query(
-        PST.build_positional_postings(docs, segment_size=64),
-        ["part", "filter"],
-    ).select(
+    pos_idx = PST.build_positional_postings(docs, segment_size=64)
+    pst_phrase = PST.phrase_query(pos_idx, ["part", "filter"]).select(
         F.col("doc_id").alias("pph_id"),
         F.col("n_phrase_hits").alias("pst_phrase_hits"),
     )
@@ -987,6 +989,22 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "left")
         .drop("pph_id")
         .withColumn("pst_phrase_hits", F.coalesce("pst_phrase_hits", zero))
+    )
+    # r5j: pf2-style ordered proximity through the SAME positional index
+    # (slot-explosion equality join, never a range join); the oracle
+    # answers via the independent BETWEEN inequality formulation.
+    pst_near = PST.ordered_pair_proximity(
+        pos_idx, "part", "filter", 3
+    ).select(
+        F.col("doc_id").alias("pnr_id"),
+        F.col("n_pairs").alias("pst_near_pairs"),
+    )
+    out = (
+        out.join(pst_near,
+                 out["doc_id"] == pst_near["pnr_id"].cast("string"),
+                 "left")
+        .drop("pnr_id")
+        .withColumn("pst_near_pairs", F.coalesce("pst_near_pairs", zero))
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

@@ -318,6 +318,80 @@ def phrase_query(
     )
 
 
+def ordered_pair_proximity(
+    postings: DataFrame,
+    first: str,
+    second: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Ordered within-k proximity THROUGH the positional index: (doc_id,
+    n_pairs) counting occurrences of `second` at most `max_dist` tokens
+    AFTER an occurrence of `first` (1 <= p2 - p1 <= max_dist; max_dist=1
+    degenerates to the bigram phrase). The Solr pf2/ps shape — the
+    reference's edismax requests phrase-proximity boosts from Solr
+    (ht_query.py boost builders); this is the index-side evaluation.
+
+    Scale shape: a naive formulation is an inequality (range) join on
+    positions — Spark plans those as nested loops. Instead each `first`
+    position explodes into its max_dist admissible successor slots and
+    the match becomes an EQUALITY join on (doc_id, position): shuffle
+    volume is max_dist x cf(first) + cf(second) slim rows (max_dist is a
+    small constant; collection frequency of the two query terms, never
+    corpus size), and the postings are term-filtered below the explode
+    as in phrase_query."""
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    flat = (
+        postings.filter(F.col("term").isin([first, second]))
+        .select("term", F.explode("postings").alias("p"))
+        .select(
+            "term",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+    lhs = (
+        flat.filter(F.col("term") == first)
+        .select("doc_id", F.explode("positions").alias("_p1"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.col("_p1") + d for d in range(1, max_dist + 1)])
+            ).alias("slot"),
+        )
+    )
+    rhs = flat.filter(F.col("term") == second).select(
+        "doc_id", F.explode("positions").alias("slot")
+    )
+    return (
+        lhs.join(rhs, ["doc_id", "slot"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def proximity_oracle_sql(
+    first: str, second: str, max_dist: int = 1
+) -> str:
+    """DuckDB CTE mirroring ordered_pair_proximity on top of
+    positional_oracle_sql's ph_tok, via the INDEPENDENT inequality-join
+    formulation (BETWEEN, not the slot explosion); exposes ph_near:
+    (doc_id, n_pairs)."""
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    f = first.replace("'", "''")
+    s = second.replace("'", "''")
+    return f"""
+    ph_near AS (
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM ph_tok a JOIN ph_tok b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + {max_dist}
+      WHERE a.term = '{f}' AND b.term = '{s}'
+      GROUP BY a.doc_id
+    )"""
+
+
 def positional_oracle_sql(
     source_cte: str = "documents", text_sql: str = "text"
 ) -> str:

@@ -375,3 +375,65 @@ class TestPositional:
         filt_at = plan.find(" IN (filter,part)")
         assert gen_at != -1 and filt_at != -1
         assert filt_at > gen_at  # pruned below the posting explode
+
+
+class TestProximity:
+    def test_hand_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "big cat big cat big"), (1, "cat big"), (2, "big end cat")],
+            "doc_id long, text string",
+        )
+        idx = PST.build_positional_postings(docs, segment_size=4)
+
+        def q(a, b, d):
+            return {
+                r["doc_id"]: r["n_pairs"]
+                for r in PST.ordered_pair_proximity(idx, a, b, d).collect()
+            }
+
+        assert q("big", "cat", 1) == {0: 2}  # (0,1) (2,3); doc2 dist 2
+        assert q("big", "cat", 2) == {0: 2, 2: 1}
+        assert q("cat", "big", 1) == {0: 2, 1: 1}  # ordered: reversed hits
+        assert q("big", "big", 2) == {0: 2}  # same-term pairs (0,2) (2,4)
+
+    def test_duckdb_parity(self, spark):
+        idx = PST.build_positional_postings(_docs(spark), segment_size=64)
+        got = sorted(
+            map(
+                tuple,
+                PST.ordered_pair_proximity(
+                    idx, "part", "filter", 3
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        cte = PST.positional_oracle_sql()
+        nr = PST.proximity_oracle_sql("part", "filter", 3)
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()},{nr.lstrip()} "
+                "SELECT doc_id, n_pairs FROM ph_near"
+            ).fetchall()
+        )
+        assert got == want and got
+
+    def test_validation(self, spark):
+        idx = PST.build_positional_postings(_toy(spark))
+        with pytest.raises(ValueError):
+            PST.ordered_pair_proximity(idx, "a", "b", 0)
+        with pytest.raises(ValueError):
+            PST.proximity_oracle_sql("a", "b", 0)
+
+    def test_equality_join_plan(self, spark):
+        idx = PST.build_positional_postings(_docs(spark), segment_size=64)
+        plan = (
+            PST.ordered_pair_proximity(idx, "part", "filter", 3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
