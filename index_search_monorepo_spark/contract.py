@@ -1754,23 +1754,77 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "percentile_metrics",
-    """
-    SELECT event_type,
-           round(avg(value), 4) AS avg_value,
-           round(median(value), 4) AS median_value,
-           round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value
-    FROM events GROUP BY event_type
+    f"""
+    WITH ev4 AS (
+      SELECT event_type,
+             CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
+      FROM events
+    ),
+    {SKCH.hist_oracle_sql('value_e4', 'ev4', 0, 5_000_000, 64,
+                          group_sql='event_type').lstrip()},
+    {SKCH.hist_quantile_oracle_sql(500, 0, 5_000_000, 64,
+                                   group_sql='event_type',
+                                   prefix='h50_').lstrip()},
+    {SKCH.hist_quantile_oracle_sql(950, 0, 5_000_000, 64,
+                                   group_sql='event_type',
+                                   prefix='h95_').lstrip()}
+    SELECT e.event_type,
+           round(avg(e.value), 4) AS avg_value,
+           round(median(e.value), 4) AS median_value,
+           round(min(e.value), 4) AS min_value,
+           round(max(e.value), 4) AS max_value,
+           max(a.q_est) AS hist_p50_e4,
+           max(b.q_est) AS hist_p95_e4,
+           max(a.n) AS hist_n
+    FROM events e
+    JOIN h50_q a USING (event_type)
+    JOIN h95_q b USING (event_type)
+    GROUP BY e.event_type
     """,
 )
 def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 perf-metric aggregates (solr_query_monitoring.py:71-82)."""
+    """A9 perf-metric aggregates (solr_query_monitoring.py:71-82).
+
+    NEW r5k: the histogram/quantile sketch rides the same rows — p50 +
+    p95 estimates from the 64-bucket e4-integer histogram state
+    (sketches.hist_sketch / hist_quantile_est), value-gated against the
+    oracle's full CTE replay (bucket fold, running count, ceil target,
+    min-bucket pick). The float exact aggregates above stay as the
+    accuracy context; the sketch columns are the mergeable 100 TB path.
+    """
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    base = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 4).alias("avg_value"),
         F.round(F.median("value"), 4).alias("median_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
+    )
+    ev4 = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias(
+            "value_e4"
+        ),
+    )
+    sk = SKCH.hist_sketch(
+        ev4, "value_e4", 0, 5_000_000, 64, group_cols=["event_type"]
+    )
+    q50 = SKCH.hist_quantile_est(
+        sk, 500, 0, 5_000_000, 64, group_cols=["event_type"]
+    ).select(
+        "event_type",
+        F.col("q_est").alias("hist_p50_e4"),
+        F.col("n").alias("hist_n"),
+    )
+    q95 = SKCH.hist_quantile_est(
+        sk, 950, 0, 5_000_000, 64, group_cols=["event_type"]
+    ).select("event_type", F.col("q_est").alias("hist_p95_e4"))
+    return (
+        base.join(q50, "event_type")
+        .join(q95, "event_type")
+        .select(
+            "event_type", "avg_value", "median_value", "min_value",
+            "max_value", "hist_p50_e4", "hist_p95_e4", "hist_n",
+        )
     )
 
 

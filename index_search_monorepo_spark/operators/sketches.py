@@ -39,7 +39,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from index_search_monorepo_spark.operators.lm import bitlen_expr, bitlen_sql
@@ -614,3 +614,201 @@ def bloom_point_oracle_sql(
         "CAST(CASE WHEN " + " AND ".join(checks) + " THEN 1 ELSE 0 END"
         " AS BIGINT)"
     )
+
+
+# -------------------------------------------------------------- histogram --
+#
+# Fixed-bucket histogram sketch — the DISTRIBUTION companion completing
+# the family (HLL = distinct, CMS = frequency, Bloom = membership):
+# exact quantiles at 100 TB sort or shuffle every value; a B-bucket
+# histogram ships <= B BIGINTs per group, map-side combines, and merges
+# across shards/days by pointwise sum. Quantile answers are bucket-
+# lower-bound estimates with error <= one bucket width — the screening
+# trade every production quantile sketch makes, here in fully
+# deterministic integer arithmetic so the ENTIRE sketch state and the
+# derived quantile estimates are bit-identical in Spark and DuckDB and
+# ride the driver's value-hash gate (Spark's own approx_percentile
+# keeps float KLL state that no external engine can replay).
+#
+# Values are caller-scaled integers (the repo's e4-cents convention);
+# bucket = clamp((v - lo) * B DIV (hi - lo), 0, B-1).
+
+
+def _hist_check(lo: int, hi: int, n_buckets: int) -> None:
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
+
+def _hist_bucket_sql(v_sql: str, lo: int, hi: int, n_buckets: int) -> str:
+    return (
+        f"least(greatest((({v_sql}) - {lo}) * {n_buckets}"
+        f" // ({hi} - {lo}), 0), {n_buckets - 1})"
+    )
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., bucket, cnt) — the histogram state. ONE map-side-
+    combined groupBy: the exchange carries at most n_buckets rows per
+    (partition, group); raw values never shuffle."""
+    _hist_check(lo, hi, n_buckets)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    gcols = list(group_cols or [])
+    bucket = F.expr(
+        f"least(greatest((_hv - {lo}) * {n_buckets}"
+        f" DIV ({hi} - {lo}), 0), {n_buckets - 1})"
+    )
+    return (
+        df.select(*gcols, v.cast("long").alias("_hv"))
+        .select(*gcols, bucket.cast("long").alias("bucket"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Pointwise sum of same-shape sketches (shard/day rollups)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    keys = [c for c in out.columns if c != "cnt"]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantile_est(
+    sketch: DataFrame,
+    q_pmille: int,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group_cols..., q_est, n) — deterministic quantile estimate from
+    the histogram state: the LOWER BOUND of the smallest bucket whose
+    running count reaches ceil(q_pmille * N / 1000). Error <= one bucket
+    width by construction; integer-exact, replayed bit-for-bit by
+    hist_quantile_oracle_sql. Two slim shuffles over the <= B-row-per-
+    group sketch, never the data."""
+    _hist_check(lo, hi, n_buckets)
+    if not 0 < q_pmille <= 1000:
+        raise ValueError(f"q_pmille must be in (0, 1000], got {q_pmille}")
+    gcols = list(group_cols or [])
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_cum = w_tot.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    width = hi - lo
+    est = F.expr(f"{lo} + (bucket * {width}) DIV {n_buckets}")
+    hit = (
+        sketch.withColumn("_cum", F.sum("cnt").over(w_cum))
+        .withColumn("_n", F.sum("cnt").over(w_tot))
+        .withColumn(
+            "_target",
+            F.expr(f"(_n * {int(q_pmille)} + 999) DIV 1000"),
+        )
+        .filter(F.col("_cum") >= F.col("_target"))
+    )
+    return hit.groupBy(*gcols).agg(
+        F.min(est.cast("long")).alias("q_est"),
+        F.max("_n").cast("long").alias("n"),
+    )
+
+
+def hist_sketch_py(
+    values, lo: int, hi: int, n_buckets: int = 64
+) -> dict[int, int]:
+    """Independent Python mirror of hist_sketch: {bucket: cnt}."""
+    _hist_check(lo, hi, n_buckets)
+    out: dict[int, int] = {}
+    for v in values:
+        b = min(max((int(v) - lo) * n_buckets // (hi - lo), 0),
+                n_buckets - 1)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def hist_quantile_py(
+    buckets: dict[int, int],
+    q_pmille: int,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+) -> int:
+    """Independent Python mirror of hist_quantile_est."""
+    n = sum(buckets.values())
+    target = (n * q_pmille + 999) // 1000
+    cum = 0
+    for b in sorted(buckets):
+        cum += buckets[b]
+        if cum >= target:
+            return lo + b * (hi - lo) // n_buckets
+    raise ValueError("empty sketch")
+
+
+def hist_oracle_sql(
+    v_sql: str,
+    source_sql: str,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+    group_sql: str | None = None,
+) -> str:
+    """DuckDB CTE mirroring hist_sketch; exposes hist_tbl:
+    (group?, bucket, cnt)."""
+    _hist_check(lo, hi, n_buckets)
+    b = _hist_bucket_sql(v_sql, lo, hi, n_buckets)
+    g = f"{group_sql}, " if group_sql else ""
+    gb = "1, 2" if group_sql else "1"
+    return f"""
+    hist_tbl AS (
+      SELECT {g}CAST({b} AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM {source_sql} GROUP BY {gb}
+    )"""
+
+
+def hist_quantile_oracle_sql(
+    q_pmille: int,
+    lo: int,
+    hi: int,
+    n_buckets: int = 64,
+    group_sql: str | None = None,
+    table: str = "hist_tbl",
+    prefix: str = "hist_",
+) -> str:
+    """DuckDB CTE mirroring hist_quantile_est over a built hist_tbl;
+    exposes {prefix}q: (group?, q_est, n). Distinct prefixes let several
+    quantiles ride one oracle."""
+    _hist_check(lo, hi, n_buckets)
+    part = f"PARTITION BY {group_sql} " if group_sql else ""
+    g = f"{group_sql}, " if group_sql else ""
+    gb = f"GROUP BY {group_sql}" if group_sql else ""
+    width = hi - lo
+    return f"""
+    {prefix}cum AS (
+      SELECT {g}bucket, cnt,
+             sum(cnt) OVER ({part}ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS _cum,
+             sum(cnt) OVER ({part}) AS _n
+      FROM {table}
+    ),
+    {prefix}q AS (
+      SELECT {g}CAST(min({lo} + bucket * {width} // {n_buckets})
+                     AS BIGINT) AS q_est,
+             CAST(max(_n) AS BIGINT) AS n
+      FROM {prefix}cum
+      WHERE _cum >= (_n * {int(q_pmille)} + 999) // 1000
+      {gb}
+    )"""

@@ -398,3 +398,170 @@ class TestBloom:
             if "Exchange hashpartitioning" in line and "word" not in line:
                 raise AssertionError(f"probe side shuffled: {line}")
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestHistogram:
+    LO, HI, B = 0, 5_000_000, 64
+
+    def _ev(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "event_type",
+            F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias(
+                "value_e4"
+            ),
+        )
+
+    def test_matches_python_mirror(self, spark):
+        vals = [i * 977 % 4_999_999 for i in range(1000)] + [
+            -5, 6_000_000  # clamp both ends
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["bucket"]: r["cnt"]
+            for r in SK.hist_sketch(
+                df, "v", self.LO, self.HI, self.B
+            ).collect()
+        }
+        assert got == SK.hist_sketch_py(vals, self.LO, self.HI, self.B)
+
+    def test_duckdb_parity_grouped(self, spark):
+        got = sorted(
+            map(
+                tuple,
+                SK.hist_sketch(
+                    self._ev(spark), "value_e4", self.LO, self.HI,
+                    self.B, group_cols=["event_type"],
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW ev AS SELECT event_type, CAST(round(value *"
+            f" 10000, 0) AS BIGINT) AS value_e4 FROM"
+            f" read_parquet('{SF_DIR}/events.parquet')"
+        )
+        cte = SK.hist_oracle_sql(
+            "value_e4", "ev", self.LO, self.HI, self.B,
+            group_sql="event_type",
+        )
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT event_type, bucket, cnt"
+                " FROM hist_tbl"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_merge_is_sketch_of_union(self, spark):
+        a = spark.createDataFrame([(i * 7,) for i in range(500)], "v long")
+        b = spark.createDataFrame(
+            [(i * 13,) for i in range(500)], "v long"
+        )
+        merged = sorted(
+            map(
+                tuple,
+                SK.hist_merge(
+                    SK.hist_sketch(a, "v", self.LO, self.HI, self.B),
+                    SK.hist_sketch(b, "v", self.LO, self.HI, self.B),
+                ).collect(),
+            )
+        )
+        union = sorted(
+            map(
+                tuple,
+                SK.hist_sketch(
+                    a.unionByName(b), "v", self.LO, self.HI, self.B
+                ).collect(),
+            )
+        )
+        assert merged == union
+
+    def test_quantile_estimate(self, spark):
+        ev = self._ev(spark)
+        sk = SK.hist_sketch(
+            ev, "value_e4", self.LO, self.HI, self.B,
+            group_cols=["event_type"],
+        )
+        got = {
+            r["event_type"]: (r["q_est"], r["n"])
+            for r in SK.hist_quantile_est(
+                sk, 500, self.LO, self.HI, self.B,
+                group_cols=["event_type"],
+            ).collect()
+        }
+        # mirror equality per group + one-bucket-width error vs exact
+        width = (self.HI - self.LO) // self.B
+        for et, (q_est, n) in got.items():
+            rows = [
+                r["value_e4"]
+                for r in ev.filter(F.col("event_type") == et).collect()
+            ]
+            mirror = SK.hist_quantile_py(
+                SK.hist_sketch_py(rows, self.LO, self.HI, self.B),
+                500, self.LO, self.HI, self.B,
+            )
+            assert q_est == mirror and n == len(rows)
+            exact = sorted(rows)[(len(rows) * 500 + 999) // 1000 - 1]
+            assert q_est <= exact <= q_est + width
+
+    def test_quantile_duckdb_parity(self, spark):
+        sk = SK.hist_sketch(
+            self._ev(spark), "value_e4", self.LO, self.HI, self.B,
+            group_cols=["event_type"],
+        )
+        got = sorted(
+            map(
+                tuple,
+                SK.hist_quantile_est(
+                    sk, 950, self.LO, self.HI, self.B,
+                    group_cols=["event_type"],
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW ev AS SELECT event_type, CAST(round(value *"
+            f" 10000, 0) AS BIGINT) AS value_e4 FROM"
+            f" read_parquet('{SF_DIR}/events.parquet')"
+        )
+        cte = SK.hist_oracle_sql(
+            "value_e4", "ev", self.LO, self.HI, self.B,
+            group_sql="event_type",
+        )
+        q = SK.hist_quantile_oracle_sql(
+            950, self.LO, self.HI, self.B, group_sql="event_type"
+        )
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()},{q.lstrip()} "
+                "SELECT event_type, q_est, n FROM hist_q"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1,)], "v long")
+        with pytest.raises(ValueError):
+            SK.hist_sketch(df, "v", 5, 5, 8)
+        with pytest.raises(ValueError):
+            SK.hist_sketch(df, "v", 0, 10, 0)
+        with pytest.raises(ValueError):
+            SK.hist_quantile_est(df, 0, 0, 10, 8)
+        with pytest.raises(ValueError):
+            SK.hist_merge()
+
+    def test_values_never_shuffle(self, spark):
+        plan = (
+            SK.hist_sketch(
+                self._ev(spark), "value_e4", self.LO, self.HI, self.B,
+                group_cols=["event_type"],
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Exchange" in line and (
+                "value_e4" in line or "_hv" in line
+            ):
+                raise AssertionError(f"raw values shuffled: {line}")
