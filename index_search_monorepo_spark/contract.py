@@ -4510,6 +4510,22 @@ _LR_IS3 = "(doc_id % 7 = 0)"
     ),
     {SKCH.hll_oracle_sql('hll_tok', 'tok', p=6).lstrip()},
     {SKCH.cms_oracle_sql('hll_tok', 'tok', d=3, w=32).lstrip()},
+    {SKCH.kmv_oracle_sql('hll_tok', 'tok', k=24, prefix='kvf_').lstrip()},
+    kva_src AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS tok
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    kvb_src AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS tok
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    {SKCH.kmv_oracle_sql('kva_src', 'tok', k=16, prefix='kva_').lstrip()},
+    {SKCH.kmv_oracle_sql('kvb_src', 'tok', k=16, prefix='kvb_').lstrip()},
+    {SKCH.kmv_summary_oracle_sql('kvf_out', prefix='kvs_').lstrip()},
+    {SKCH.kmv_intersect_oracle_sql(
+        'kva_out', 'kvb_out', k=16, prefix='kvi_').lstrip()},
     hll_sum AS (
       SELECT CAST(count(*) AS BIGINT) AS hll_nonzero,
              CAST(sum(r) AS BIGINT) AS hll_reg_sum,
@@ -4545,8 +4561,10 @@ _LR_IS3 = "(doc_id % 7 = 0)"
            rights AS rights_code,
            hs.hll_nonzero, hs.hll_reg_sum, hs.hll_reg_md5,
            CAST({SKCH.cms_point_oracle_sql('ftok', d=3, w=32)} AS BIGINT)
-             AS cms_first_tok_est
-    FROM m, hll_sum hs
+             AS cms_first_tok_est,
+           kv.kmv_n, kv.kmv_kth, kv.kmv_md5,
+           ki.theta AS kmv_theta, ki.n_match AS kmv_match
+    FROM m, hll_sum hs, kvs_out kv, kvi_out ki
     WHERE rights <> '' AND (c8 OR gem OR is3)
     """,
 )
@@ -4572,7 +4590,17 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queried per record for the document's FIRST token — the broadcast
     query path (slim d-way explode, min-over-rows) with the oracle
     rebuilding the matrix and replaying the least()-of-lookups from
-    scratch (sketches.cms_oracle_sql + cms_point_oracle_sql)."""
+    scratch (sketches.cms_oracle_sql + cms_point_oracle_sql).
+
+    NEW r5 (late): the KMV/theta bottom-k sketch rides as five more
+    corpus-constant columns — kmv_n/kmv_kth/kmv_md5 (size, kth-min
+    hash, and canonical-serialization md5 of the k=24 sketch over the
+    full token stream) and kmv_theta/kmv_match (the theta-intersection
+    evidence between the doc%2==0 and doc%3==0 sub-corpora token sets
+    at k=16). The state is the EXACT bottom-k of the 48-bit md5 fold,
+    so the oracle replays sketch, summary, and intersection from
+    scratch (sketches.kmv_*_oracle_sql); the float cardinality
+    estimates are pytest-only (tests/test_sketches.py::TestKmv)."""
     from index_search_monorepo_spark.operators.language_report import (
         language_report,
     )
@@ -4704,6 +4732,29 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         d=3,
         w=32,
     )
+
+    def _toks(pred):
+        return raw.filter(pred).select(
+            F.explode(TS.tokens_expr(F.col("text"))).alias("tok")
+        )
+
+    kmv_sum = SKCH.kmv_summary(
+        SKCH.kmv_sketch(
+            raw.select(
+                F.explode(TS.tokens_expr(F.col("text"))).alias("tok")
+            ),
+            "tok",
+            k=24,
+        )
+    )
+    kmv_int = SKCH.kmv_intersect(
+        SKCH.kmv_sketch(_toks(F.col("doc_id") % 2 == 0), "tok", k=16),
+        SKCH.kmv_sketch(_toks(F.col("doc_id") % 3 == 0), "tok", k=16),
+        k=16,
+    ).select(
+        F.col("theta").alias("kmv_theta"),
+        F.col("n_match").alias("kmv_match"),
+    )
     q = raw.select(
         "doc_id",
         F.try_element_at(TS.tokens_expr(F.col("text")), F.lit(1)).alias(
@@ -4722,6 +4773,8 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         language_report(docs)
         .crossJoin(F.broadcast(summary))
         .join(per_rec, "record_id")
+        .crossJoin(F.broadcast(kmv_sum))
+        .crossJoin(F.broadcast(kmv_int))
     )
 
 

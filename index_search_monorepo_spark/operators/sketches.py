@@ -812,3 +812,254 @@ def hist_quantile_oracle_sql(
       WHERE _cum >= (_n * {int(q_pmille)} + 999) // 1000
       {gb}
     )"""
+
+
+# ------------------------------------------------------------ KMV / theta --
+#
+# K-minimum-values (bottom-k) sketch — the SET-OPERATION member of the
+# family (HLL = distinct count, CMS = frequency, Bloom = membership,
+# histogram = quantiles; KMV/theta = distinct count UNDER set algebra):
+# Bar-Yossef et al. 2002, productionized as the DataSketches theta
+# sketch. The 100 TB use case the others can't answer: "how much does
+# corpus B overlap corpus A" (contamination rate, crawl-refresh overlap,
+# cross-shard vocabulary intersection) without shuffling either corpus —
+# |A ∩ B| from two k-row artifacts. HLL can union (pointwise max) but
+# cannot intersect; KMV intersects because the k smallest hash values of
+# a set are a uniform SAMPLE of it, and theta = min(kth(A), kth(B))
+# makes the two samples comparable below a common threshold.
+#
+# Determinism contract: the state is the EXACT k smallest distinct
+# 48-bit md5-fold hash values (module convention) — a plan-invariant,
+# engine-replayable set, so the full sketch and every derived integer
+# (kth min, match count, theta) ride the driver's value-hash gate. Only
+# the cardinality estimates ((k-1)·2^48/kth; matches·2^48/theta) are
+# float, pytest-checked against truth like hll_estimate.
+#
+# Plan shape: a narrow hash projection, then ONE Arrow-batched
+# per-partition pruner holding a running bottom-k (bounded state, emits
+# <= k slim BIGINTs per partition — the corpus never shuffles and never
+# sorts), then distinct + TakeOrderedAndProject over the <= k·P
+# candidate rows. Pure-Catalyst alternatives are all worse at scale:
+# groupBy(hv) dedups but ships EVERY distinct key through the exchange;
+# orderBy(hv).limit(k) is bounded but multiset duplicates can evict
+# distinct values from the window. The pruner is conservative (a value
+# it drops is >= k values that survive), so the final bottom-k is exact
+# regardless of partitioning or Arrow batch boundaries.
+#
+# Reference: no counterpart in hathitrust/index_search_monorepo; built
+# per the brief's custom-operator category.
+
+DEFAULT_KMV_K = 256
+KMV_MAX_HASH = 16 ** HLL_HEX_DIGITS  # 2^48: exclusive upper hash bound
+
+
+def _kmv_check(k: int) -> None:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str | Column,
+    k: int = DEFAULT_KMV_K,
+    salt: str = "kmv",
+) -> DataFrame:
+    """(hv) — the k smallest distinct 48-bit hash values of the key
+    column. Exact and plan-invariant; see the section comment for why
+    the per-partition Arrow pruner is the scalable build."""
+    _kmv_check(k)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    bound = df.select(_hash48_expr(key, salt).alias("hv"))
+
+    def prune(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            vals = pdf["hv"].to_numpy(dtype="int64")
+            arr = (
+                np.unique(vals)
+                if best is None
+                else np.unique(np.concatenate([best, vals]))
+            )
+            best = arr[:k]
+        if best is not None and len(best):
+            yield pd.DataFrame({"hv": best})
+
+    return (
+        bound.mapInPandas(prune, schema="hv long")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = DEFAULT_KMV_K) -> DataFrame:
+    """Bottom-k of the union of sketches — sketch-of-union exactly,
+    because each input retains its k smallest and the union's k smallest
+    are among them. Inputs are <= k rows each; this never touches data."""
+    _kmv_check(k)
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("hv").limit(k)
+
+
+def kmv_summary(sketch: DataFrame) -> DataFrame:
+    """One row (kmv_n, kmv_kth, kmv_md5): size, kth smallest hash, and
+    the md5 of the canonical comma-joined ascending serialization —
+    integer/text-exact, oracle-replayable (kmv_summary_oracle_sql)."""
+    return sketch.agg(
+        F.count("*").cast("long").alias("kmv_n"),
+        F.max("hv").cast("long").alias("kmv_kth"),
+        F.when(
+            F.count("*") > 0,
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("hv")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ),
+        ).alias("kmv_md5"),
+    )
+
+
+def kmv_intersect(
+    a: DataFrame, b: DataFrame, k: int = DEFAULT_KMV_K
+) -> DataFrame:
+    """One row (theta, n_match): the theta-sketch intersection evidence.
+    theta = least of the two kth mins (2^48 when a sketch is not full —
+    it then retains EVERY distinct hash); n_match = hashes present in
+    BOTH sketches below theta. Integer-exact; the float estimate
+    n_match * 2^48 / theta lives in kmv_intersect_estimate_py. Both
+    sides are <= k-row artifacts — the one-row nested-loop count is
+    bounded by construction, the corpora are never touched."""
+    _kmv_check(k)
+    m = F.lit(KMV_MAX_HASH).cast("long")
+
+    def _stats(s: DataFrame, n: str, mx: str) -> DataFrame:
+        return s.agg(
+            F.count("*").cast("long").alias(n),
+            F.max("hv").cast("long").alias(mx),
+        )
+
+    theta = (
+        _stats(a, "_na", "_ma")
+        .crossJoin(_stats(b, "_nb", "_mb"))
+        .select(
+            F.least(
+                F.when(F.col("_na") >= k, F.col("_ma")).otherwise(m),
+                F.when(F.col("_nb") >= k, F.col("_mb")).otherwise(m),
+            )
+            .cast("long")
+            .alias("theta")
+        )
+    )
+    both = a.join(b, "hv").select("hv")
+    return (
+        theta.join(both, F.col("hv") < F.col("theta"), "left")
+        .groupBy("theta")
+        .agg(F.count("hv").cast("long").alias("n_match"))
+    )
+
+
+def kmv_sketch_py(
+    values, k: int = DEFAULT_KMV_K, salt: str = "kmv"
+) -> list[int]:
+    """Independent Python mirror of kmv_sketch: ascending bottom-k."""
+    _kmv_check(k)
+    hs = {
+        int(
+            hashlib.md5((salt + str(v)).encode()).hexdigest()[
+                :HLL_HEX_DIGITS
+            ],
+            16,
+        )
+        for v in values
+    }
+    return sorted(hs)[:k]
+
+
+def kmv_estimate_py(sketch: list[int], k: int = DEFAULT_KMV_K) -> float:
+    """Cardinality estimate: exact |sketch| when not full, else the
+    unbiased (k-1) * 2^48 / kth-min (Bar-Yossef et al. 2002)."""
+    _kmv_check(k)
+    if len(sketch) < k:
+        return float(len(sketch))
+    return (k - 1) * float(KMV_MAX_HASH) / float(sketch[k - 1])
+
+
+def kmv_intersect_estimate_py(theta: int, n_match: int) -> float:
+    """|A ∩ B| estimate from kmv_intersect's integer evidence: each
+    retained hash below theta represents 2^48/theta elements."""
+    return n_match * float(KMV_MAX_HASH) / float(theta)
+
+
+def kmv_oracle_sql(
+    source_sql: str,
+    key_sql: str,
+    k: int = DEFAULT_KMV_K,
+    salt: str = "kmv",
+    prefix: str = "kmv_",
+) -> str:
+    """DuckDB CTE chain mirroring kmv_sketch; exposes {prefix}out: (hv).
+    Distinct prefixes let several sketches ride one oracle."""
+    _kmv_check(k)
+    h = _hash48_sql(key_sql, salt)
+    return f"""
+    {prefix}h AS (
+      SELECT DISTINCT {h} AS hv FROM {source_sql}
+    ),
+    {prefix}out AS (
+      SELECT CAST(hv AS BIGINT) AS hv FROM {prefix}h
+      ORDER BY hv LIMIT {k}
+    )"""
+
+
+def kmv_summary_oracle_sql(table: str, prefix: str = "kmvs_") -> str:
+    """CTE mirroring kmv_summary over a built {table}; exposes
+    {prefix}out: (kmv_n, kmv_kth, kmv_md5)."""
+    return f"""
+    {prefix}out AS (
+      SELECT CAST(count(*) AS BIGINT) AS kmv_n,
+             CAST(max(hv) AS BIGINT) AS kmv_kth,
+             md5(string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv))
+               AS kmv_md5
+      FROM {table}
+    )"""
+
+
+def kmv_intersect_oracle_sql(
+    table_a: str,
+    table_b: str,
+    k: int = DEFAULT_KMV_K,
+    prefix: str = "kmvi_",
+) -> str:
+    """CTE mirroring kmv_intersect over two built sketches; exposes
+    {prefix}out: (theta, n_match)."""
+    _kmv_check(k)
+
+    def arm(t: str) -> str:
+        return (
+            f"CASE WHEN (SELECT count(*) FROM {t}) >= {k}"
+            f" THEN (SELECT max(hv) FROM {t}) ELSE {KMV_MAX_HASH} END"
+        )
+
+    return f"""
+    {prefix}theta AS (
+      SELECT CAST(least({arm(table_a)}, {arm(table_b)}) AS BIGINT)
+        AS theta
+    ),
+    {prefix}out AS (
+      SELECT t.theta,
+             CAST((SELECT count(*) FROM {table_a} a
+                   JOIN {table_b} b USING (hv)
+                   WHERE a.hv < t.theta) AS BIGINT) AS n_match
+      FROM {prefix}theta t
+    )"""

@@ -565,3 +565,176 @@ class TestHistogram:
                 "value_e4" in line or "_hv" in line
             ):
                 raise AssertionError(f"raw values shuffled: {line}")
+
+
+class TestKmv:
+    def _k(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "k string")
+
+    def test_matches_python_mirror_exact_bottom_k(self, spark):
+        vals = [f"k{i}" for i in range(400)]
+        got = [
+            r["hv"]
+            for r in SK.kmv_sketch(self._k(spark, vals), "k", k=32)
+            .orderBy("hv")
+            .collect()
+        ]
+        assert got == SK.kmv_sketch_py(vals, k=32)
+        # exactness vs brute force over ALL hashes
+        all_h = sorted(
+            SK.kmv_sketch_py(vals, k=10**9)
+        )
+        assert got == all_h[:32]
+
+    def test_duplicates_do_not_move_sketch(self, spark):
+        a = [f"k{i}" for i in range(150)]
+        b = [f"k{i % 150}" for i in range(1200)]
+        ra = [
+            r["hv"]
+            for r in SK.kmv_sketch(self._k(spark, a), "k", k=24)
+            .orderBy("hv").collect()
+        ]
+        rb = [
+            r["hv"]
+            for r in SK.kmv_sketch(self._k(spark, b), "k", k=24)
+            .orderBy("hv").collect()
+        ]
+        assert ra == rb
+
+    def test_duckdb_parity_sketch_summary_intersect(self, spark):
+        docs = _docs(spark)
+        sk_full = SK.kmv_sketch(docs, "doc_id", k=20, salt="kp")
+        got_sk = [r["hv"] for r in sk_full.orderBy("hv").collect()]
+        a = SK.kmv_sketch(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id", k=20,
+            salt="kp",
+        )
+        b = SK.kmv_sketch(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id", k=20,
+            salt="kp",
+        )
+        got_sum = SK.kmv_summary(sk_full).collect()[0]
+        got_int = SK.kmv_intersect(a, b, k=20).collect()[0]
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT doc_id FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        ctes = ",".join(
+            [
+                SK.kmv_oracle_sql(
+                    "documents", "doc_id", k=20, salt="kp",
+                    prefix="kf_",
+                ).lstrip(),
+                SK.kmv_oracle_sql(
+                    "(SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+                    "doc_id", k=20, salt="kp", prefix="ka_",
+                ).lstrip(),
+                SK.kmv_oracle_sql(
+                    "(SELECT doc_id FROM documents WHERE doc_id % 3 = 0)",
+                    "doc_id", k=20, salt="kp", prefix="kb_",
+                ).lstrip(),
+                SK.kmv_summary_oracle_sql("kf_out", prefix="ks_").lstrip(),
+                SK.kmv_intersect_oracle_sql(
+                    "ka_out", "kb_out", k=20, prefix="ki_",
+                ).lstrip(),
+            ]
+        )
+        want_sk = [
+            r[0]
+            for r in con.execute(
+                f"WITH {ctes} SELECT hv FROM kf_out ORDER BY hv"
+            ).fetchall()
+        ]
+        want_sum = con.execute(
+            f"WITH {ctes} SELECT kmv_n, kmv_kth, kmv_md5 FROM ks_out"
+        ).fetchone()
+        want_int = con.execute(
+            f"WITH {ctes} SELECT theta, n_match FROM ki_out"
+        ).fetchone()
+        assert got_sk == want_sk
+        assert (
+            got_sum["kmv_n"], got_sum["kmv_kth"], got_sum["kmv_md5"]
+        ) == want_sum
+        assert (got_int["theta"], got_int["n_match"]) == want_int
+
+    def test_merge_is_sketch_of_union(self, spark):
+        a = [f"a{i}" for i in range(200)]
+        b = [f"b{i}" for i in range(200)]
+        merged = [
+            r["hv"]
+            for r in SK.kmv_merge(
+                SK.kmv_sketch(self._k(spark, a), "k", k=24),
+                SK.kmv_sketch(self._k(spark, b), "k", k=24),
+                k=24,
+            ).orderBy("hv").collect()
+        ]
+        union = [
+            r["hv"]
+            for r in SK.kmv_sketch(self._k(spark, a + b), "k", k=24)
+            .orderBy("hv").collect()
+        ]
+        assert merged == union
+
+    def test_estimate_accuracy_full_and_exact_small(self, spark):
+        vals = [f"v{i}" for i in range(3000)]
+        sk = SK.kmv_sketch_py(vals, k=256)
+        est = SK.kmv_estimate_py(sk, k=256)
+        # sigma ~ n/sqrt(k-2) ~ 188; allow 4 sigma
+        assert abs(est - 3000) < 760
+        small = SK.kmv_sketch_py(["x", "y", "z"], k=256)
+        assert SK.kmv_estimate_py(small, k=256) == 3.0
+
+    def test_intersection_evidence_and_estimate(self, spark):
+        # A = 0..599, B = 400..999 -> |A ∩ B| = 200
+        a_vals = [f"s{i}" for i in range(600)]
+        b_vals = [f"s{i}" for i in range(400, 1000)]
+        a = SK.kmv_sketch(self._k(spark, a_vals), "k", k=128)
+        b = SK.kmv_sketch(self._k(spark, b_vals), "k", k=128)
+        row = SK.kmv_intersect(a, b, k=128).collect()[0]
+        est = SK.kmv_intersect_estimate_py(row["theta"], row["n_match"])
+        assert 80 < est < 380  # truth 200, k=128 sampling error
+        # non-full branch: both sketches retain everything ->
+        # theta = 2^48 and the match count is EXACT
+        sa = SK.kmv_sketch(self._k(spark, a_vals[:50]), "k", k=128)
+        sb = SK.kmv_sketch(self._k(spark, a_vals[25:75]), "k", k=128)
+        r2 = SK.kmv_intersect(sa, sb, k=128).collect()[0]
+        assert r2["theta"] == SK.KMV_MAX_HASH
+        assert r2["n_match"] == 25
+        assert (
+            SK.kmv_intersect_estimate_py(r2["theta"], r2["n_match"])
+            == 25.0
+        )
+
+    def test_corpus_never_shuffles_below_pruner(self, spark):
+        docs = _docs(spark)
+        plan = (
+            SK.kmv_sketch(docs, "text", k=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "MapInPandas" in plan
+        # the only exchange is over the pruned hv candidates — the raw
+        # key column must never cross one, and no exchange may sit
+        # below the pruner (scan -> project -> prune is narrow)
+        pruner_seen = False
+        for line in plan.splitlines():
+            if "MapInPandas" in line:
+                pruner_seen = True
+            if "Exchange" in line:
+                assert not pruner_seen or "hv" in line
+                assert "text" not in line, f"raw keys shuffled: {line}"
+        # executedPlan prints top-down: anything after MapInPandas is
+        # BELOW it — there must be no Exchange there
+        below = plan.split("MapInPandas", 1)[1]
+        assert "Exchange" not in below
+
+    def test_validation(self, spark):
+        df = self._k(spark, ["x"])
+        with pytest.raises(ValueError):
+            SK.kmv_sketch(df, "k", k=0)
+        with pytest.raises(ValueError):
+            SK.kmv_merge(k=4)
