@@ -36,6 +36,7 @@ from index_search_monorepo_spark.functions.text import (
 )
 from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
+from index_search_monorepo_spark.operators import cooc as CO
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
@@ -3733,12 +3734,18 @@ _GATE_MERGES = [
     {LMOD.sb_oracle_sql(
         train_pmille=500, top_k_uni=16, top_k_bi=24,
         hash_sql=PK.hash_key_sql("doc_id", "lmtrain"),
-    ).lstrip()}
+    ).lstrip()},
+    {CO.cooc_oracle_sql('documents', 'text', window=2).lstrip()}
     SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym,
            s.sb_tokens, s.sb_bigram_hits, s.sb_backoffs,
-           s.sb_score_e6, s.sb_mean_e6
+           s.sb_score_e6, s.sb_mean_e6,
+           CAST(coalesce(c.cooc_n_pairs, 0) AS BIGINT) AS cooc_n_pairs,
+           coalesce(c.cooc_top_a, '') AS cooc_top_a,
+           coalesce(c.cooc_top_b, '') AS cooc_top_b,
+           CAST(coalesce(c.cooc_top_pmi, 0) AS BIGINT) AS cooc_top_pmi
     FROM pk_out p JOIN bpe_out b USING (doc_id)
          JOIN sb_out s USING (doc_id)
+         LEFT JOIN cooc_doc c USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3782,7 +3789,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer e6 arithmetic, and the oracle replays
     train->cap->prune->score from scratch (lm.sb_oracle_sql). Both
     model joins broadcast; the exploded (token, history) rows are the
-    only addition to the entry's shuffle traffic."""
+    only addition to the entry's shuffle traffic.
+
+    NEW r5 (late): skip-gram co-occurrence + the integer PMI surrogate
+    ride the same row (operators/cooc.py — window-2 ordered pair
+    counts via the per-row nested-HOF generator, never a positional
+    self-join; pmi_bits = bitlen sums, overflow-free at any N). Per
+    doc: pair count and the top-scoring pair under the (pmi DESC, a,
+    b) total order, null-coalesced on BOTH sides for sub-2-token docs;
+    the oracle replays pairs -> counts -> unigrams -> surrogate ->
+    row_number from scratch (cooc.cooc_oracle_sql)."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -3811,10 +3827,22 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb_uni = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
     sb_bi = LMOD.train_bigram_counts(docs, train_pmille=500, top_k=24)
     sb = LMOD.with_stupid_backoff(docs, sb_uni, sb_bi)
+    cooc = CO.top_pmi_pair(
+        docs, CO.pmi_pair_scores(docs, window=2), window=2
+    )
     return (
         packed.withColumn("g_keep", F.col("g_keep").cast("long"))
         .join(bpe, "doc_id")
         .join(sb, "doc_id")
+        .join(cooc, "doc_id", "left")
+        .withColumn(
+            "cooc_n_pairs", F.coalesce("cooc_n_pairs", F.lit(0)).cast("long")
+        )
+        .withColumn("cooc_top_a", F.coalesce("cooc_top_a", F.lit("")))
+        .withColumn("cooc_top_b", F.coalesce("cooc_top_b", F.lit("")))
+        .withColumn(
+            "cooc_top_pmi", F.coalesce("cooc_top_pmi", F.lit(0)).cast("long")
+        )
     )
 
 
