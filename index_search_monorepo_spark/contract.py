@@ -38,6 +38,7 @@ from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
 from index_search_monorepo_spark.operators import cooc as CO
 from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import layout as LY
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import packing as PK
@@ -1768,7 +1769,23 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    prefix='h50_').lstrip()},
     {SKCH.hist_quantile_oracle_sql(950, 0, 5_000_000, 64,
                                    group_sql='event_type',
-                                   prefix='h95_').lstrip()}
+                                   prefix='h95_').lstrip()},
+    evz AS (
+      SELECT event_type,
+             {LY.zvalue_sql(
+                 [LY.quantize_sql(
+                     "CAST(round(value * 10000, 0) AS BIGINT)",
+                     0, 5_000_000, 8),
+                  "user_id % 256"], bits=8)} AS z
+      FROM events
+    ),
+    zs AS (
+      SELECT event_type,
+             CAST(sum(z) AS BIGINT) AS z_sum,
+             CAST(min(z) AS BIGINT) AS z_min,
+             CAST(max(z) AS BIGINT) AS z_max
+      FROM evz GROUP BY event_type
+    )
     SELECT e.event_type,
            round(avg(e.value), 4) AS avg_value,
            round(median(e.value), 4) AS median_value,
@@ -1776,10 +1793,14 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(e.value), 4) AS max_value,
            max(a.q_est) AS hist_p50_e4,
            max(b.q_est) AS hist_p95_e4,
-           max(a.n) AS hist_n
+           max(a.n) AS hist_n,
+           max(z.z_sum) AS z_sum,
+           max(z.z_min) AS z_min,
+           max(z.z_max) AS z_max
     FROM events e
     JOIN h50_q a USING (event_type)
     JOIN h95_q b USING (event_type)
+    JOIN zs z USING (event_type)
     GROUP BY e.event_type
     """,
 )
@@ -1792,7 +1813,17 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's full CTE replay (bucket fold, running count, ceil target,
     min-bucket pick). The float exact aggregates above stay as the
     accuracy context; the sketch columns are the mergeable 100 TB path.
-    """
+
+    NEW r5 (late): the z-order layout key rides the same rows — the
+    Morton interleave of (8-bit-quantized value_e4, user_id % 256)
+    summed/min'd/max'd per event_type (operators/layout.py
+    zvalue_expr: pure constant-folded shift/mask codegen, zero Python,
+    zero shuffle beyond the entry's existing rollup; DuckDB replays
+    the identical bit arithmetic via zvalue_sql). The layout machinery
+    itself — zorder_layout + file_minmax pruning evidence — is
+    pytest-pinned in tests/test_layout.py (a 2-D box predicate
+    touches strictly fewer files than natural or single-column-sorted
+    layouts of the same file count)."""
     ev = _t(spark, sf_dir, "events")
     base = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -1819,12 +1850,36 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     q95 = SKCH.hist_quantile_est(
         sk, 950, 0, 5_000_000, 64, group_cols=["event_type"]
     ).select("event_type", F.col("q_est").alias("hist_p95_e4"))
+    zs = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias(
+                "value_e4"
+            ),
+            F.pmod(F.col("user_id"), F.lit(256)).alias("_u"),
+        )
+        .select(
+            "event_type",
+            LY.zvalue_expr(
+                [LY.quantize_expr("value_e4", 0, 5_000_000, 8), F.col("_u")],
+                bits=8,
+            ).alias("_z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("_z").cast("long").alias("z_sum"),
+            F.min("_z").cast("long").alias("z_min"),
+            F.max("_z").cast("long").alias("z_max"),
+        )
+    )
     return (
         base.join(q50, "event_type")
         .join(q95, "event_type")
+        .join(zs, "event_type")
         .select(
             "event_type", "avg_value", "median_value", "min_value",
             "max_value", "hist_p50_e4", "hist_p95_e4", "hist_n",
+            "z_sum", "z_min", "z_max",
         )
     )
 
