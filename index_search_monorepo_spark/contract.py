@@ -1463,24 +1463,46 @@ def _callno_values_sql() -> str:
              CAST(count(*) AS BIGINT) AS n_values,
              CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS total_count
       FROM part GROUP BY 1
-    )
+    ),
+    {PK.stratified_sample_oracle_sql(
+        'part', 'upper(substr(p_name, 1, 1))', 'p_name', 3).lstrip()}
     SELECT g.first_letter, g.n_values, g.total_count,
-           coalesce(m.category, g.first_letter) AS category
+           coalesce(m.category, g.first_letter) AS category,
+           s.samp_n, s.samp_md5
     FROM g LEFT JOIN mapping m ON g.first_letter = m.first_letter
+         JOIN strat_out s ON s.stratum = g.first_letter
     """,
 )
 def q_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 complete — first-letter rollup PLUS the letter->subject-category
     broadcast mapping (get_collection_statistics.py:30-72; VERDICT r01
     missing #2), unmapped letters falling through to the letter itself and
-    the category text keeping get_category_name's leading space."""
+    the category text keeping get_category_name's leading space.
+
+    NEW r5 (late): the deterministic stratified reservoir sample rides
+    the same rows (packing.stratified_sample: the 3 smallest
+    (md5-fold, value) keys per letter — exact per-stratum counts,
+    bit-stable at any partitioning, unlike per-row Bernoulli sampling)
+    as samp_n/samp_md5 per stratum; the oracle replays the window rank
+    and the canonical sample serialization from scratch
+    (packing.stratified_sample_oracle_sql)."""
     from index_search_monorepo_spark.operators.stats import category_rollup
 
     p = _t(spark, sf_dir, "part")
     facets = p.select(
         F.col("p_name").alias("value"), F.col("p_size").cast("long").alias("count")
     )
-    return category_rollup(facets)
+    strata = p.select(
+        "p_name", F.upper(F.substring("p_name", 1, 1)).alias("letter")
+    )
+    samp = PK.stratified_sample_summary(
+        PK.stratified_sample(strata, "letter", 3, "p_name"),
+        "letter",
+        "p_name",
+    )
+    return category_rollup(facets).join(
+        samp, F.col("first_letter") == F.col("letter")
+    ).drop("letter")
 
 
 @register(

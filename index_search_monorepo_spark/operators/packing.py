@@ -342,3 +342,81 @@ def pack_sequences(
         )
     )
     return out.drop("_cum_prev", "_end_seq")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per: int,
+    key_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic k-per-stratum uniform sample WITHOUT replacement:
+    keep the n_per rows with the smallest (md5-fold(key), key) sort key
+    inside each stratum — a TOTAL order, so the sample is bit-stable at
+    any parallelism/partitioning and re-runs pick the same rows
+    (hash_sample_pmille's per-row Bernoulli cousin cannot promise an
+    exact per-stratum count; this does). Different salts give
+    independent samples.
+
+    Plan: ONE shuffle keyed on the stratum + a window row_number. A
+    window partition puts each stratum on one task — for bounded n_per
+    with a pathologically hot stratum, pre-prune with the KMV
+    per-partition bottom-k shape (operators/sketches.kmv_sketch) before
+    the window; at the corpus strata this repo samples (language,
+    domain, first letter) the window is the right default."""
+    if n_per < 1:
+        raise ValueError(f"n_per must be >= 1, got {n_per}")
+    key = F.col(key_col)
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_key_expr(key, salt).asc(), key.asc()
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per)
+        .drop("_srn")
+    )
+
+
+def stratified_sample_summary(
+    sampled: DataFrame, stratum_col: str, value_col: str
+) -> DataFrame:
+    """(stratum, samp_n, samp_md5) — per-stratum sample size and the
+    md5 of the canonical comma-joined ASCENDING value serialization
+    (gate evidence; DuckDB mirror: md5(string_agg(v, ',' ORDER BY v)))."""
+    return sampled.groupBy(stratum_col).agg(
+        F.count("*").cast("long").alias("samp_n"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(value_col)))
+        ).alias("samp_md5"),
+    )
+
+
+def stratified_sample_oracle_sql(
+    source_sql: str,
+    stratum_sql: str,
+    key_sql: str,
+    n_per: int,
+    salt: str = "strat",
+    prefix: str = "strat_",
+) -> str:
+    """DuckDB CTE chain replaying stratified_sample + summary; exposes
+    {prefix}out: (stratum, samp_n, samp_md5)."""
+    if n_per < 1:
+        raise ValueError(f"n_per must be >= 1, got {n_per}")
+    h = hash_key_sql("v", salt)
+    return f"""
+    {prefix}src AS (
+      SELECT {stratum_sql} AS stratum, {key_sql} AS v FROM {source_sql}
+    ),
+    {prefix}rn AS (
+      SELECT stratum, v,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY {h}, v) AS rn
+      FROM {prefix}src
+    ),
+    {prefix}out AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS samp_n,
+             md5(string_agg(v, ',' ORDER BY v)) AS samp_md5
+      FROM {prefix}rn WHERE rn <= {n_per} GROUP BY stratum
+    )"""

@@ -124,3 +124,77 @@ class TestHashSample:
         import pytest as _pt
         with _pt.raises(ValueError, match="shard"):
             P.pack_sequences(df)
+
+
+class TestStratifiedSample:
+    def test_exact_count_and_determinism(self, spark):
+        rows = [(i, chr(ord("a") + i % 3)) for i in range(60)]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got1 = sorted(
+            (r["s"], r["k"])
+            for r in P.stratified_sample(df, "s", 5, "k").collect()
+        )
+        got2 = sorted(
+            (r["s"], r["k"])
+            for r in P.stratified_sample(
+                df.repartition(7), "s", 5, "k"
+            ).collect()
+        )
+        assert got1 == got2  # partitioning-invariant
+        from collections import Counter
+
+        per = Counter(s for s, _ in got1)
+        assert per == {"a": 5, "b": 5, "c": 5}
+        # different salts give different samples
+        got3 = sorted(
+            (r["s"], r["k"])
+            for r in P.stratified_sample(df, "s", 5, "k", salt="other")
+            .collect()
+        )
+        assert got1 != got3
+
+    def test_small_stratum_fully_kept(self, spark):
+        rows = [(1, "x"), (2, "x"), (3, "y")]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = sorted(
+            (r["s"], r["k"])
+            for r in P.stratified_sample(df, "s", 10, "k").collect()
+        )
+        assert got == [("x", 1), ("x", 2), ("y", 3)]
+
+    def test_duckdb_parity_summary(self, spark):
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+            "p_name",
+            F.upper(F.substring("p_name", 1, 1)).alias("letter"),
+        )
+        sampled = P.stratified_sample(part, "letter", 3, "p_name")
+        got = sorted(
+            map(
+                tuple,
+                P.stratified_sample_summary(
+                    sampled, "letter", "p_name"
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW part AS SELECT p_name FROM "
+            f"read_parquet('{SF_DIR}/part.parquet')"
+        )
+        cte = P.stratified_sample_oracle_sql(
+            "part", "upper(substr(p_name, 1, 1))", "p_name", 3
+        )
+        want = sorted(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT stratum, samp_n, samp_md5"
+                f" FROM strat_out"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            P.stratified_sample(df, "s", 0, "k")
