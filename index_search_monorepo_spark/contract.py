@@ -933,8 +933,20 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-term count, total tf and the max document frequency among
     # its terms (the idf input); the oracle rebuilds term/doc/tf + stats
     # from scratch, so segment assembly and the stats rollup are both
-    # value-gated.
-    pst_idx = PST.build_postings(docs, segment_size=64)
+    # value-gated. r5m: the index is now assembled by MERGING two
+    # half-corpus builds (postings.merge_postings — the Lucene segment-
+    # merge shape) so merge exactness sits under the same gate: a
+    # doc lost, doubled, or missorted by the merge breaks pst_*/bm25/
+    # phrase hashes downstream.
+    pst_idx = PST.merge_postings(
+        PST.build_postings(
+            docs.filter(F.col("doc_id") % 2 == 0), segment_size=64
+        ),
+        PST.build_postings(
+            docs.filter(F.col("doc_id") % 2 == 1), segment_size=64
+        ),
+        segment_size=64,
+    )
     pst_doc = (
         pst_idx.select("term", F.explode("postings").alias("p"))
         .select(

@@ -497,3 +497,77 @@ def bm25_postings_oracle_sql(terms: list[str]) -> str:
       WHERE h.term IN ({in_list})
       GROUP BY h.doc_id
     )"""
+
+
+def apply_deletes(
+    postings: DataFrame,
+    deletes: DataFrame,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Tombstone application — the deletes half of a Lucene-style merge
+    (docs are never updated in place; a delete set is held aside and
+    applied when segments rewrite). Shape: the delete set rolls up to
+    ONE array row per touched segment (seg_id = doc_id DIV width, the
+    same global rule build_postings uses), left-joins the index at
+    segment grain, and a higher-order filter drops dead entries —
+    postings rows in untouched segments pass through untouched, and
+    only (seg_id, delete-array) rows shuffle, never the index."""
+    if segment_size < 1:
+        raise ValueError(f"segment_size must be >= 1, got {segment_size}")
+    dseg = (
+        deletes.select(
+            F.expr(f"{doc_col} DIV {segment_size}")
+            .cast("long")
+            .alias("seg_id"),
+            F.col(doc_col).cast("long").alias("_d"),
+        )
+        .groupBy("seg_id")
+        .agg(F.collect_set("_d").alias("_del"))
+    )
+    return (
+        postings.join(dseg, "seg_id", "left")
+        .withColumn(
+            "postings",
+            F.when(F.col("_del").isNull(), F.col("postings")).otherwise(
+                F.filter(
+                    F.col("postings"),
+                    lambda p: ~F.array_contains(
+                        F.col("_del"), p["doc_id"]
+                    ),
+                )
+            ),
+        )
+        .drop("_del")
+        .filter(F.size("postings") > 0)
+    )
+
+
+def merge_postings(
+    *indexes: DataFrame,
+    deletes: DataFrame | None = None,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+) -> DataFrame:
+    """Segment merge — the index-maintenance step Solr/Lucene run
+    continuously (reference delegates it to Solr with the rest of index
+    ownership, config_search.py:19-20; owning the index means owning
+    the merge). Merging indexes built over DISJOINT doc sets is exact:
+    seg_id is a GLOBAL doc-id rule, so same-(term, seg) rows from
+    different inputs concatenate and re-sort into exactly the segments
+    a from-scratch build over the union corpus would produce
+    (test-pinned). ONE exchange on (term, seg_id) at bounded segment
+    grain; document text is never touched — the whole point of merging
+    vs re-indexing. Deletes (tombstones) apply first, per the Lucene
+    model."""
+    if not indexes:
+        raise ValueError("need at least one index")
+    u = indexes[0]
+    for ix in indexes[1:]:
+        u = u.unionByName(ix)
+    if deletes is not None:
+        u = apply_deletes(u, deletes, segment_size)
+    return u.groupBy("term", "seg_id").agg(
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias(
+            "postings"
+        )
+    )
