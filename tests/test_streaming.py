@@ -507,3 +507,112 @@ def test_streaming_session_stats_parity_and_boundary(spark, tmp_path):
     assert _counts(at_gap) == (1, 1)  # exactly gap: same session, both
     just_past = dt.datetime(2024, 1, 1, 10, 15, 0, 1)
     assert _counts(just_past) == (2, 2)  # gap + 1 us: new session, both
+
+
+# --------------------------------------------------------------------------
+# streaming index maintenance (streaming/index_update.py)
+# --------------------------------------------------------------------------
+
+
+def _write_docs_file(spark, land_dir, rows, name):
+    import os
+
+    os.makedirs(land_dir, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{land_dir}/_stage_{name}")
+    # move the part file into the landing dir as one arrival
+    import glob
+    import shutil
+
+    part = glob.glob(f"{land_dir}/_stage_{name}/part-*.parquet")[0]
+    shutil.move(part, f"{land_dir}/{name}.parquet")
+    shutil.rmtree(f"{land_dir}/_stage_{name}")
+
+
+def _norm_index(idx):
+    return sorted(
+        (
+            r["term"],
+            r["seg_id"],
+            tuple((p["doc_id"], p["tf"]) for p in r["postings"]),
+        )
+        for r in idx.collect()
+    )
+
+
+def test_incremental_index_update_last_write_wins(spark, tmp_path):
+    from index_search_monorepo_spark.operators.postings import (
+        build_postings,
+    )
+    from index_search_monorepo_spark.streaming.index_update import (
+        compact_index,
+        current_index,
+        incremental_index_update,
+    )
+
+    land = str(tmp_path / "land")
+    idx_dir = str(tmp_path / "idx")
+    batch1 = [(i, f"alpha beta doc{i}") for i in range(10)]
+    _write_docs_file(spark, land, batch1, "b1")
+    incremental_index_update(
+        spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
+    )
+
+    # second arrival: docs 5-9 REWRITTEN (update case) + 10-14 new
+    batch2 = [(i, f"gamma doc{i} gamma") for i in range(5, 15)]
+    _write_docs_file(spark, land, batch2, "b2")
+    incremental_index_update(
+        spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
+    )
+
+    final_corpus = spark.createDataFrame(
+        [(i, f"alpha beta doc{i}") for i in range(5)]
+        + [(i, f"gamma doc{i} gamma") for i in range(5, 15)],
+        "doc_id long, text string",
+    )
+    want = _norm_index(build_postings(final_corpus, segment_size=4))
+    got = _norm_index(current_index(spark, idx_dir))
+    assert got == want
+
+    # compaction materializes the same view
+    dst = compact_index(spark, idx_dir, segment_size=4)
+    assert _norm_index(spark.read.parquet(dst)) == want
+
+    # draining again with nothing new changes nothing (checkpointed)
+    incremental_index_update(
+        spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
+    )
+    assert _norm_index(current_index(spark, idx_dir)) == want
+
+
+def test_index_update_per_batch_cost_is_batch_sized(spark, tmp_path):
+    """The segment dirs are append-only: batch N's directory contains
+    ONLY batch N's docs — the O(batch)-per-batch property."""
+    import os
+
+    from index_search_monorepo_spark.streaming.index_update import (
+        incremental_index_update,
+    )
+
+    land = str(tmp_path / "land")
+    idx_dir = str(tmp_path / "idx")
+    _write_docs_file(
+        spark, land, [(1, "one uno"), (2, "two dos")], "b1"
+    )
+    incremental_index_update(
+        spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
+    )
+    _write_docs_file(spark, land, [(3, "three tres")], "b2")
+    incremental_index_update(
+        spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
+    )
+    segs = sorted(os.listdir(f"{idx_dir}/segments"))
+    assert len(segs) == 2
+    last = spark.read.parquet(f"{idx_dir}/segments/{segs[-1]}")
+    docs_in_last = {
+        p["doc_id"]
+        for r in last.collect()
+        for p in r["postings"]
+    }
+    assert docs_in_last == {3}
