@@ -49,6 +49,7 @@ from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import postings as PST
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import sketches as SKCH
+from index_search_monorepo_spark.operators import skew as SKW
 from index_search_monorepo_spark.operators import temporal as TMP
 from index_search_monorepo_spark.operators import textstats as TS
 from index_search_monorepo_spark.operators import urlfilter as UF
@@ -1636,7 +1637,8 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
       FROM asof_tbl GROUP BY user_id
     ),
     {SKCH.bloom_oracle_sql('user_id', _BLOOM_SRC,
-                           _BLOOM_M, _BLOOM_K).lstrip()}
+                           _BLOOM_M, _BLOOM_K).lstrip()},
+    {SKW.skew_report_oracle_sql('events', 'user_id', 50, 10).lstrip()}
     SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
            strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
            s.n_sessions, s.max_session_events,
@@ -1645,7 +1647,10 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
            coalesce(a.asof_max_click_id, -1) AS asof_max_click_id,
            {SKCH.bloom_point_oracle_sql('u.user_id',
                                         _BLOOM_M, _BLOOM_K)}
-             AS bloom_purchase_hit
+             AS bloom_purchase_hit,
+           coalesce(k.cnt, 0) AS skw_cnt,
+           coalesce(k.share_pmille, 0) AS skw_share_pmille,
+           coalesce(k.n_salts, 0) AS skw_n_salts
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -1653,6 +1658,7 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
     ) u
     JOIN tmp_sess s USING (user_id)
     LEFT JOIN tmp_asof a USING (user_id)
+    LEFT JOIN skw_out k ON k.key = u.user_id
     WHERE u.rn = 1
     """,
 )
@@ -1673,6 +1679,12 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - sketches.bloom_sketch/bloom_might_contain over purchase user_ids:
       per-user membership bit (false positives included — they are
       deterministic and must match the oracle's bit math exactly).
+    - NEW r5 (late) skew.key_skew_report (target_rows=50, top_k=10):
+      the diagnosis half of the skew loop — per-user event count,
+      integer per-mille share, and the ceil-division salt fan-out that
+      feeds salted_repartition; users outside the top-k coalesce to 0
+      on both sides. The oracle replays count -> share -> n_salts ->
+      top-k with the same (cnt DESC, key) total order.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -1723,11 +1735,27 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("asof_max_click_id",
                                F.lit(-1).cast("long")))
     )
-    return SKCH.bloom_might_contain(
-        out, bloom, "user_id", _BLOOM_M, _BLOOM_K,
-        out_col="bloom_purchase_hit",
-    ).withColumn(
-        "bloom_purchase_hit", F.col("bloom_purchase_hit").cast("long")
+    zero = F.lit(0).cast("long")
+    skw = SKW.key_skew_report(ev, "user_id", 50, top_k=10).select(
+        F.col("key").alias("user_id"),
+        F.col("cnt").alias("skw_cnt"),
+        F.col("share_pmille").alias("skw_share_pmille"),
+        F.col("n_salts").alias("skw_n_salts"),
+    )
+    return (
+        SKCH.bloom_might_contain(
+            out, bloom, "user_id", _BLOOM_M, _BLOOM_K,
+            out_col="bloom_purchase_hit",
+        )
+        .withColumn(
+            "bloom_purchase_hit", F.col("bloom_purchase_hit").cast("long")
+        )
+        .join(skw, "user_id", "left")
+        .withColumn("skw_cnt", F.coalesce("skw_cnt", zero))
+        .withColumn(
+            "skw_share_pmille", F.coalesce("skw_share_pmille", zero)
+        )
+        .withColumn("skw_n_salts", F.coalesce("skw_n_salts", zero))
     )
 
 

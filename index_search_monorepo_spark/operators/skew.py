@@ -105,3 +105,80 @@ def salted_repartition(
     n_parts = max(min_partitions, min(max_partitions, n_parts))
     key = F.xxhash64(F.col("doc_id"), F.lit(salt))
     return df.repartition(n_parts, key)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int,
+    top_k: int = 20,
+) -> DataFrame:
+    """(key, cnt, share_pmille, n_salts) for the top_k hottest join/agg
+    keys — the diagnosis half of the skew loop (salted_repartition and
+    AQE skew-join are the treatment; you only reach for them after a
+    report like this names the keys). n_salts = ceil(cnt / target_rows)
+    is the salt fan-out that brings every hot key back under
+    target_rows rows per task — feed it to a salt column
+    (pmod(xxhash64(row), n_salts)) on the fat side and replicate the
+    slim side n_salts ways.
+
+    Plan: ONE map-side-combined groupBy over the key (the wordcount
+    shape — the exchange carries distinct keys once per upstream
+    partition), a one-row broadcast total, TakeOrderedAndProject for
+    the top_k. Integer-exact (per-mille DIV, ceil via (c + t - 1) DIV
+    t) so the report is engine-replayable."""
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    cnt = (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("_tot"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST(cnt * 1000 DIV _tot AS BIGINT)").alias(
+                "share_pmille"
+            ),
+            F.expr(
+                f"CAST((cnt + {target_rows} - 1) DIV {target_rows}"
+                " AS BIGINT)"
+            ).alias("n_salts"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_k)
+    )
+
+
+def skew_report_oracle_sql(
+    source_sql: str,
+    key_sql: str,
+    target_rows: int,
+    top_k: int = 20,
+    prefix: str = "skw_",
+) -> str:
+    """DuckDB CTE chain mirroring key_skew_report; exposes {prefix}out:
+    (key, cnt, share_pmille, n_salts)."""
+    if target_rows < 1:
+        raise ValueError(f"target_rows must be >= 1, got {target_rows}")
+    return f"""
+    {prefix}cnt AS (
+      SELECT {key_sql} AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM {source_sql} GROUP BY 1
+    ),
+    {prefix}tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM {prefix}cnt
+    ),
+    {prefix}out AS (
+      SELECT key, cnt,
+             CAST(cnt * 1000 // t.tot AS BIGINT) AS share_pmille,
+             CAST((cnt + {target_rows} - 1) // {target_rows} AS BIGINT)
+               AS n_salts
+      FROM {prefix}cnt, {prefix}tot t
+      ORDER BY cnt DESC, key LIMIT {top_k}
+    )"""

@@ -88,3 +88,80 @@ def test_salted_repartition_balances_pages(spark, tables, monkeypatch):
 def test_salted_repartition_explicit_count(spark, tables):
     df = salted_repartition(tables["documents_spans"], num_partitions=6, min_partitions=2)
     assert df.rdd.getNumPartitions() == 6
+
+
+class TestKeySkewReport:
+    def test_hand_exact_and_salt_math(self, spark):
+        rows = [(k,) for k in ["hot"] * 95 + ["warm"] * 10 + ["cold"] * 2]
+        df = spark.createDataFrame(rows, "k string")
+        from index_search_monorepo_spark.operators.skew import (
+            key_skew_report,
+        )
+
+        got = {
+            r["key"]: (r["cnt"], r["share_pmille"], r["n_salts"])
+            for r in key_skew_report(df, "k", target_rows=10).collect()
+        }
+        # 107 rows total: hot 95/107 = 887 pmille, ceil(95/10) = 10 salts
+        assert got["hot"] == (95, 887, 10)
+        assert got["warm"] == (10, 93, 1)
+        assert got["cold"] == (2, 18, 1)
+
+    def test_top_k_order_and_duckdb_parity(self, spark):
+        import duckdb
+
+        from index_search_monorepo_spark.operators.skew import (
+            key_skew_report,
+            skew_report_oracle_sql,
+        )
+
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        got = [
+            tuple(r)
+            for r in key_skew_report(
+                ev, "user_id", target_rows=25, top_k=5
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT user_id FROM read_parquet("
+            "'/root/testdata/sf0.001/events.parquet')"
+        )
+        cte = skew_report_oracle_sql("events", "user_id", 25, 5)
+        want = con.execute(
+            f"WITH {cte.lstrip()} SELECT key, cnt, share_pmille,"
+            f" n_salts FROM skw_out"
+        ).fetchall()
+        assert got == want  # including the (cnt DESC, key) order
+
+    def test_plan_shape(self, spark):
+        from index_search_monorepo_spark.operators.skew import (
+            key_skew_report,
+        )
+
+        ev = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        plan = (
+            key_skew_report(ev, "user_id", target_rows=25)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "HashAggregate" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_validation(self, spark):
+        from index_search_monorepo_spark.operators.skew import (
+            key_skew_report,
+        )
+
+        df = spark.createDataFrame([("a",)], "k string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            key_skew_report(df, "k", target_rows=0)
+        with pytest.raises(ValueError):
+            key_skew_report(df, "k", target_rows=5, top_k=0)

@@ -616,3 +616,51 @@ def test_index_update_per_batch_cost_is_batch_sized(spark, tmp_path):
         for p in r["postings"]
     }
     assert docs_in_last == {3}
+
+
+def test_streaming_hll_sketch_parity(spark, tmp_path):
+    """The sketch family is streaming-legal as-is: hll_sketch is ONE
+    groupBy(bucket).max — a commutative/idempotent aggregation Spark can
+    maintain incrementally (complete mode). A drained stream's register
+    vector must equal the batch build over the same rows."""
+    from index_search_monorepo_spark.operators import sketches as SK
+
+    src = str(tmp_path / "hll_land")
+    rows = [(i, f"tok{i % 37} tok{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    toks = stream.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    q = (
+        SK.hll_sketch(toks, "tok", p=6)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "hll_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT bucket, r FROM hll_stream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            SK.hll_sketch(
+                df.select(F.explode(F.split("text", " ")).alias("tok")),
+                "tok",
+                p=6,
+            ).collect(),
+        )
+    )
+    assert got == want
