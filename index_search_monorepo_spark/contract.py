@@ -47,6 +47,7 @@ from index_search_monorepo_spark.operators import urlnorm as UN
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
 from index_search_monorepo_spark.operators import postings as PST
+from index_search_monorepo_spark.operators import pq as PQMOD
 from index_search_monorepo_spark.operators import similarity as SIM
 from index_search_monorepo_spark.operators import sketches as SKCH
 from index_search_monorepo_spark.operators import skew as SKW
@@ -2835,6 +2836,13 @@ assign AS (
 _KM_CTES, _KM_FINAL = SIM.oracle_kmeans_ctes(k=16, iters=3)
 
 
+_PQ_GATE_SEEDS = [2, 7, 11, 13]
+_PQ_FOLD_SQL = " + ".join(
+    f"(CASE WHEN sub = {j} THEN code * {4 ** j} ELSE 0 END)"
+    for j in range(4)
+)
+
+
 @register(
     "similarity_ivf_cells",
     f"""
@@ -2851,12 +2859,27 @@ _KM_CTES, _KM_FINAL = SIM.oracle_kmeans_ctes(k=16, iters=3)
                x -> CAST(CAST(round(x * 1e6) AS BIGINT) AS VARCHAR)), ','))
                AS c_md5
       FROM kcents2
+    ),
+    {PQMOD.pq_codes_oracle_ctes(4, 64, _PQ_GATE_SEEDS).lstrip()},
+    pq_fold AS (
+      SELECT vid,
+             CAST(sum({_PQ_FOLD_SQL}) AS BIGINT) AS fold
+      FROM pq_codes GROUP BY vid
+    ),
+    pq_cell AS (
+      SELECT a.cell,
+             CAST(sum(f.fold) AS BIGINT) AS pq_fold_sum,
+             CAST(min(f.fold) AS BIGINT) AS pq_fold_min,
+             CAST(max(f.fold) AS BIGINT) AS pq_fold_max
+      FROM assign a JOIN pq_fold f ON f.vid = a.vec_id
+      GROUP BY a.cell
     )
     SELECT s.cell, s.n_vecs, s.min_vec_id, s.max_vec_id,
            coalesce(k.km_n_vecs, CAST(0 AS BIGINT)) AS km_n_vecs,
            coalesce(k.km_min_vec_id, CAST(-1 AS BIGINT)) AS km_min_vec_id,
            coalesce(k.km_max_vec_id, CAST(-1 AS BIGINT)) AS km_max_vec_id,
-           m.c_md5
+           m.c_md5,
+           p.pq_fold_sum, p.pq_fold_min, p.pq_fold_max
     FROM (
       SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
              CAST(min(vec_id) AS BIGINT) AS min_vec_id,
@@ -2865,6 +2888,7 @@ _KM_CTES, _KM_FINAL = SIM.oracle_kmeans_ctes(k=16, iters=3)
     ) s
     JOIN kmd5 m USING (cell)
     LEFT JOIN kocc k USING (cell)
+    JOIN pq_cell p USING (cell)
     """,
 )
 def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2875,11 +2899,41 @@ def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate — the shuffle carries k x dim partial rows, never
     vectors). km_c_md5 pins the trained centroid VALUES (e6 fixed-point
     serialization), so a drift anywhere in either Lloyd iteration — the
-    argmax, the mean, the empty-cell rule — flips the hash."""
+    argmax, the mean, the empty-cell rule — flips the hash.
+
+    NEW r5 (late): product-quantization evidence rides the same cell
+    rows — every vector is PQ-encoded (operators/pq.py, m=4 subspaces
+    over the seed codebook, zero corpus shuffle) and its code vector
+    base-4-folds into one BIGINT; per IVF cell the fold sum/min/max
+    are value-gated, so a single wrong subspace argmin anywhere in the
+    corpus flips a column. The Lloyd-trained PQ model and ADC top-k
+    are pytest-pinned (tests/test_pq.py — training reduces
+    reconstruction error; planted clusters retrieve same-cluster
+    neighbors)."""
     emb = _t(spark, sf_dir, "embeddings")
     static = SIM.ivf_cell_stats(emb, centroid_ids=list(range(16)))
     trained = SIM.kmeans_cell_stats(emb, init_ids=list(range(16)), iters=2)
-    return static.join(trained, "cell")
+    codes = PQMOD.pq_encode(
+        emb, PQMOD.pq_seed_books(emb, 4, 64, _PQ_GATE_SEEDS), 4, 64
+    )
+    fold = None
+    for j in range(4):
+        term = F.element_at(F.col("codes"), j + 1) * F.lit(4**j)
+        fold = term if fold is None else fold + term
+    assign = SIM.ivf_assign(
+        emb, SIM.ivf_codebook(emb, list(range(16)))
+    ).select(F.col("vid"), "cell")
+    pq_cell = (
+        codes.select("vid", fold.cast("long").alias("_fold"))
+        .join(assign, "vid")
+        .groupBy("cell")
+        .agg(
+            F.sum("_fold").cast("long").alias("pq_fold_sum"),
+            F.min("_fold").cast("long").alias("pq_fold_min"),
+            F.max("_fold").cast("long").alias("pq_fold_max"),
+        )
+    )
+    return static.join(trained, "cell").join(pq_cell, "cell")
 
 
 @register(
