@@ -1399,15 +1399,77 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anti_join_customers",
     """
-    SELECT c.c_custkey FROM customer c
+    WITH v2 AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 7 = 0 THEN upper(c_name) || '+U'
+                  ELSE c_name END AS name
+      FROM customer WHERE c_custkey % 31 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'INS-' || c_custkey
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c.c_custkey,
+           v2.name AS snap_name,
+           c.c_name AS snap_v1_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM v2) AS snap_v2_rows
+    FROM customer c
+    LEFT JOIN v2 ON v2.k = c.c_custkey
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8/T1 resume anti-join (ht_status_retriever_service.py:6-11)."""
+    """J8/T1 resume anti-join (ht_status_retriever_service.py:6-11), plus
+    (NEW r5) the snapshot-table MERGE/time-travel semantics under the gate
+    (operators/snapshots.py — the Iceberg-semantics stand-in the north rule's
+    input table implies): a v1 snapshot of (c_custkey, c_name) gets a real
+    file-granular copy-on-write merge — upserts (%7: upper+'+U'), inserts
+    (%13: key+10M), deletes (%31, applied after upserts) — then `snap_name`
+    is read back from v2 (NULL = deleted key), `snap_v1_name` is read back
+    THROUGH THE v1 MANIFEST after v2 committed (time travel: must equal the
+    original c_name), and `snap_v2_rows` is the post-merge row count. The
+    oracle recomputes the merge relationally; the carried-file/rewrite
+    mechanics are pinned in tests/test_snapshots.py."""
+    import tempfile
+
+    from index_search_monorepo_spark.operators import snapshots as SNAP
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    base = c.select("c_custkey", "c_name")
+    tdir = tempfile.mkdtemp(prefix="snapgate-")
+    SNAP.create_table(base, tdir, key_col="c_custkey", n_files=4)
+    upd = base.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.upper(F.col("c_name")), F.lit("+U")).alias("c_name"),
+    )
+    # NB: both projections below evaluate against the INPUT row, so the
+    # inserted name carries the ORIGINAL key ('INS-' || c_custkey).
+    ins = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(10000000)).alias("c_custkey"),
+        F.concat(F.lit("INS-"), F.col("c_custkey").cast("string")).alias("c_name"),
+    )
+    dels = base.filter(F.col("c_custkey") % 31 == 0).select("c_custkey")
+    SNAP.merge_upsert(spark, tdir, upd.unionByName(ins), delete_keys=dels, n_files=4)
+    v2 = SNAP.read_snapshot(spark, tdir)
+    v1 = SNAP.read_snapshot(spark, tdir, version=1)
+    n2 = v2.agg(F.count("*").cast("long").alias("snap_v2_rows"))
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        anti.join(
+            F.broadcast(v2.withColumnRenamed("c_name", "snap_name")),
+            "c_custkey",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                v1.select("c_custkey", F.col("c_name").alias("snap_v1_name"))
+            ),
+            "c_custkey",
+            "left",
+        )
+        .crossJoin(F.broadcast(n2))
+        .select("c_custkey", "snap_name", "snap_v1_name", "snap_v2_rows")
+    )
 
 
 @register(

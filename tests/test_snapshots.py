@@ -1,0 +1,146 @@
+"""Snapshot-table (Iceberg-semantics stand-in) tests: copy-on-write merge,
+time travel, manifest pruning, GC, incremental diff."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators import snapshots as S
+
+
+def _base(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+        (F.col("id") * 7 % 100).alias("val"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tdir = tmp_path / "tbl"
+    S.create_table(_base(spark), tdir, key_col="k", n_files=8)
+    return tdir
+
+
+class TestCreateRead:
+    def test_roundtrip(self, spark, table):
+        got = S.read_snapshot(spark, table)
+        assert got.count() == 200
+        assert sorted(got.columns) == ["k", "name", "val"]
+        row = got.filter(F.col("k") == 42).collect()[0]
+        assert row["name"] == "name-42"
+
+    def test_manifest_footer_stats(self, spark, table):
+        m = S.load_manifest(table)
+        assert m["version"] == 1
+        assert len(m["files"]) >= 2
+        assert sum(f["n_rows"] for f in m["files"]) == 200
+        # range partitioning => disjoint, covering ranges
+        spans = sorted((f["min"], f["max"]) for f in m["files"])
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 < lo2
+        assert spans[0][0] == 0 and spans[-1][1] == 199
+
+    def test_create_twice_refuses(self, spark, table):
+        with pytest.raises(FileExistsError):
+            S.create_table(_base(spark), table, key_col="k")
+
+
+class TestMerge:
+    def test_upsert_and_insert(self, spark, table):
+        updates = spark.range(5).select(
+            (F.col("id") * 3).alias("k"),  # keys 0,3,6,9,12 -> updates
+            F.lit("UPDATED").alias("name"),
+            F.lit(-1).cast("long").alias("val"),
+        ).unionByName(
+            spark.range(2).select(
+                (F.col("id") + 1000).alias("k"),  # 1000,1001 -> inserts
+                F.lit("NEW").alias("name"),
+                F.lit(0).cast("long").alias("val"),
+            )
+        )
+        m2 = S.merge_upsert(spark, table, updates, n_files=2)
+        assert m2["version"] == 2 and m2["parent"] == 1
+        v2 = S.read_snapshot(spark, table)
+        assert v2.count() == 202
+        assert v2.filter(F.col("name") == "UPDATED").count() == 5
+        assert v2.filter(F.col("k") >= 1000).count() == 2
+        # unchanged row survives byte-identical
+        assert v2.filter(F.col("k") == 42).collect()[0]["name"] == "name-42"
+
+    def test_copy_on_write_carries_untouched_files(self, spark, table):
+        m1 = S.load_manifest(table)
+        # touch only the lowest key -> exactly one data file is touched
+        upd = spark.createDataFrame([(0, "X", 0)], schema="k long, name string, val long")
+        m2 = S.merge_upsert(spark, table, upd, n_files=1)
+        names1 = {f["file"] for f in m1["files"]}
+        names2 = {f["file"] for f in m2["files"]}
+        carried = names1 & names2
+        assert len(carried) == len(names1) - 1  # all but the touched file
+        assert m2["n_carried"] == len(carried)
+
+    def test_delete_keys(self, spark, table):
+        dels = spark.createDataFrame([(10,), (11,), (1234,)], schema="k long")
+        S.merge_upsert(
+            spark, table, _base(spark, 0), delete_keys=dels, n_files=1
+        )
+        v2 = S.read_snapshot(spark, table)
+        assert v2.count() == 198
+        assert v2.filter(F.col("k").isin(10, 11)).count() == 0
+
+    def test_delete_beats_upsert_same_key(self, spark, table):
+        upd = spark.createDataFrame([(5, "Z", 0)], schema="k long, name string, val long")
+        dels = spark.createDataFrame([(5,)], schema="k long")
+        S.merge_upsert(spark, table, upd, delete_keys=dels, n_files=1)
+        assert S.read_snapshot(spark, table).filter(F.col("k") == 5).count() == 0
+
+    def test_time_travel_v1_unchanged(self, spark, table):
+        upd = spark.createDataFrame([(0, "X", 0)], schema="k long, name string, val long")
+        S.merge_upsert(spark, table, upd, n_files=1)
+        v1 = S.read_snapshot(spark, table, version=1)
+        assert v1.count() == 200
+        assert v1.filter(F.col("k") == 0).collect()[0]["name"] == "name-0"
+        hist = S.table_history(table)
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[1]["n_carried"] > 0
+
+
+class TestPruningAndGC:
+    def test_probe_reads_fewer_files(self, spark, table):
+        read, total = S.pruned_file_count(table, key_between=(40, 60))
+        assert read < total
+        got = S.read_snapshot(spark, table, key_between=(40, 60))
+        assert got.count() == 21
+        assert got.agg(F.min("k"), F.max("k")).collect()[0] == (40, 60)
+
+    def test_expire_gc(self, spark, table):
+        upd = spark.createDataFrame([(0, "X", 0)], schema="k long, name string, val long")
+        S.merge_upsert(spark, table, upd, n_files=1)
+        deleted = S.expire_snapshots(table, keep_last=1)
+        assert deleted  # v1's touched file is gone
+        # current still reads fine
+        assert S.read_snapshot(spark, table).count() == 200
+        # v1 manifest is gone
+        with pytest.raises(FileNotFoundError):
+            S.load_manifest(table, 1)
+
+
+class TestDiff:
+    def test_incremental_diff(self, spark, table):
+        upd = spark.createDataFrame(
+            [(3, "U", 0), (2000, "N", 0)], schema="k long, name string, val long"
+        )
+        dels = spark.createDataFrame([(7,)], schema="k long")
+        S.merge_upsert(spark, table, upd, delete_keys=dels, n_files=1)
+        diff = {
+            r["k"]: r["change"]
+            for r in S.snapshot_diff_keys(spark, table, 1, 2).collect()
+        }
+        assert diff[3] == "updated"
+        assert diff[2000] == "added"
+        assert diff[7] == "removed"
+        # carried rows never appear; rewritten-but-identical survivors drop out
+        assert all(k in (3, 2000, 7) for k in diff)
