@@ -103,9 +103,14 @@ class TestPagerank:
         )
 
     def test_damping_100_pure_flow(self, spark):
-        # d=100: no teleport — a pure sink chain accumulates everything
+        # d=100: no teleport — a pure sink chain accumulates everything.
+        # truncate_every=2 pins the lineage-truncation path at a depth
+        # (8 iters) where the untruncated logical plan is 2^8 copies of
+        # the base (measured 55 s of pure planning; ~4 s truncated).
         chain = [("a", "b"), ("b", "c")]
-        ranks = _spark_ranks(spark, chain, iters=8, damping_pct=100)
+        ranks = _spark_ranks(
+            spark, chain, iters=8, damping_pct=100, truncate_every=2
+        )
         assert ranks == _duck_ranks(chain, iters=8, damping_pct=100)
 
 
