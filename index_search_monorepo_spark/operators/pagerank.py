@@ -264,6 +264,7 @@ def hits_e6(
     iters: int = 3,
     src: str = "src",
     dst: str = "dst",
+    truncate_every: int | None = None,
 ) -> DataFrame:
     """(node, hub_e6, auth_e6) after `iters` synchronous HITS iterations
     (Kleinberg hubs-and-authorities) in integer 1e-6 units.
@@ -297,7 +298,7 @@ def hits_e6(
     )
     hubs = nodes.select("node", F.lit(E6).cast("long").alias("hub_e6"))
     auths = None
-    for _ in range(int(iters)):
+    for _i in range(int(iters)):
         araw = (
             e.join(
                 hubs.select(F.col("node").alias("h_src"), "hub_e6"),
@@ -344,6 +345,16 @@ def hits_e6(
                 ).alias("hub_e6"),
             )
         )
+        # same lineage-doubling as pagerank_e9 (araw/hraw each referenced
+        # twice: denominator aggregate + score projection) — cut every k
+        # iterations for deep runs; values unchanged.
+        if (
+            truncate_every
+            and (_i + 1) % truncate_every == 0
+            and _i + 1 < int(iters)
+        ):
+            hubs = hubs.localCheckpoint(eager=True)
+            auths = auths.localCheckpoint(eager=True)
     return hubs.join(auths, "node")
 
 

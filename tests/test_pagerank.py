@@ -216,9 +216,11 @@ class TestHits:
         }
         many = {
             r["node"]: (r["hub_e6"], r["auth_e6"])
-            for r in PR.hits_e6(e.repartition(7), iters=2).collect()
+            for r in PR.hits_e6(
+                e.repartition(7), iters=2, truncate_every=1
+            ).collect()
         }
-        assert one == many
+        assert one == many  # also pins truncation value-invariance
 
     def test_l1_mass_bounded(self, spark):
         got = _spark_hits(spark, WEB, iters=3)
