@@ -151,3 +151,39 @@ def run_extraction_job(
     errors.write.mode("append").parquet(str(Path(output_dir) / "errors"))
     snapshot = input_snapshot_id or f"corpus:{corpus_dir}"
     return run_checkpointed(docs, output_dir, snapshot, spark)
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_dir: str,
+    key_col: str = "id",
+    n_files: int = 8,
+    deleted_ids: DataFrame | None = None,
+) -> dict:
+    """Publish an extraction batch into the versioned corpus table
+    (operators/snapshots.py — the Iceberg-semantics stand-in the north
+    rule's input/output tables imply).
+
+    First publish creates v1; every later publish is a file-granular
+    copy-on-write MERGE: re-extracted documents replace their rows, new
+    documents insert, withdrawn ids (`deleted_ids`, one-column frame)
+    delete. Downstream consumers then either time-travel
+    (`read_snapshot(version=)`) or ask for exactly what changed
+    (`snapshot_diff_keys`) instead of re-reading the corpus — the merge
+    and the diff are both O(changed files), which is what a daily
+    re-extraction against a 10^12-doc table requires. Composes with
+    `run_extraction_job`'s bucket checkpoints: checkpoints make a RUN
+    resumable; the snapshot table makes its OUTPUT versioned.
+
+    Reference flow: full_reprocess vs incremental retriever modes
+    (document_retriever_service.py:24-60) — there, "what changed" is the
+    tracktable; here it is durable table history.
+    """
+    from index_search_monorepo_spark.operators import snapshots as SNAP
+
+    if SNAP.current_version(table_dir) is None:
+        return SNAP.create_table(docs, table_dir, key_col=key_col, n_files=n_files)
+    return SNAP.merge_upsert(
+        spark, table_dir, docs, delete_keys=deleted_ids, n_files=n_files
+    )

@@ -165,3 +165,42 @@ class TestKeySkewReport:
             key_skew_report(df, "k", target_rows=0)
         with pytest.raises(ValueError):
             key_skew_report(df, "k", target_rows=5, top_k=0)
+
+
+def test_publish_snapshot_versions_extraction_output(spark, tables, tmp_path):
+    """extract → publish v1 → re-extract a subset → publish v2 → the diff
+    is exactly the re-extracted set and v1 still reads the originals."""
+    from pyspark.sql import functions as F
+
+    from index_search_monorepo_spark.operators import snapshots as S
+    from index_search_monorepo_spark.plans.pipeline import (
+        extract_documents,
+        publish_snapshot,
+    )
+
+    docs, _ = extract_documents(spark, tables, include_poison=False)
+    docs = docs.select("id", "ocr", "span_count")
+    tdir = str(tmp_path / "corpus_table")
+    m1 = publish_snapshot(spark, docs, tdir)
+    assert m1["version"] == 1
+    n = docs.count()
+
+    # simulate a re-OCR of a deterministic subset
+    redo = docs.filter(F.crc32(F.col("id")) % 5 == 0).withColumn(
+        "ocr", F.concat(F.col("ocr"), F.lit(" [reocr]"))
+    )
+    n_redo = redo.count()
+    assert 0 < n_redo < n
+    m2 = publish_snapshot(spark, redo, tdir)
+    assert m2["version"] == 2 and m2["n_carried"] >= 0
+
+    v2 = S.read_snapshot(spark, tdir)
+    assert v2.count() == n  # upserts only, no inserts
+    assert v2.filter(F.col("ocr").endswith("[reocr]")).count() == n_redo
+    v1 = S.read_snapshot(spark, tdir, version=1)
+    assert v1.filter(F.col("ocr").endswith("[reocr]")).count() == 0
+
+    changed = S.snapshot_diff_keys(spark, tdir, 1, 2)
+    got = {r["id"] for r in changed.collect()}
+    want = {r["id"] for r in redo.select("id").collect()}
+    assert got == want
