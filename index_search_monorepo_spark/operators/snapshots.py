@@ -247,7 +247,12 @@ def read_snapshot(
             "read without key_between to get the schema"
         )
     ddir = _data_dir(table_dir)
-    df = spark.read.parquet(*[str(ddir / f["file"]) for f in files])
+    # mergeSchema: after a schema-evolving merge (a column added by
+    # merge_upsert), carried files lack the new column; the footer-union
+    # read null-fills them — Iceberg's add-column semantics.
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[str(ddir / f["file"]) for f in files]
+    )
     if key_between is not None:
         lo, hi = key_between
         df = df.filter(F.col(m["key_col"]).between(F.lit(lo), F.lit(hi)))
@@ -319,9 +324,14 @@ def merge_upsert(
         updates = updates.join(dk, key_col, "left_anti")
 
     if touched_names:
-        old = spark.read.parquet(*[str(ddir / n) for n in sorted(touched_names)])
+        old = spark.read.option("mergeSchema", "true").parquet(
+            *[str(ddir / n) for n in sorted(touched_names)]
+        )
         survivors = old.join(touched_keys, key_col, "left_anti")
-        new_rows = survivors.unionByName(updates)
+        # allowMissingColumns = add-column / drop-column schema evolution:
+        # a column only one side carries null-fills on the other; carried
+        # files are reconciled at read time (mergeSchema in read_snapshot).
+        new_rows = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_rows = updates
 

@@ -144,3 +144,27 @@ class TestDiff:
         assert diff[7] == "removed"
         # carried rows never appear; rewritten-but-identical survivors drop out
         assert all(k in (3, 2000, 7) for k in diff)
+
+
+class TestSchemaEvolution:
+    def test_add_column_merge(self, spark, table):
+        upd = spark.createDataFrame(
+            [(10, "U", 0, "en")], schema="k long, name string, val long, lang string"
+        )
+        S.merge_upsert(spark, table, upd, n_files=1)
+        v2 = S.read_snapshot(spark, table)
+        assert "lang" in v2.columns
+        assert v2.filter(F.col("k") == 10).collect()[0]["lang"] == "en"
+        # carried rows (files untouched by the merge) null-fill
+        assert v2.filter(F.col("lang").isNull()).count() == 199
+        # time travel: v1 keeps the old schema
+        assert "lang" not in S.read_snapshot(spark, table, version=1).columns
+
+    def test_missing_column_in_updates_null_fills(self, spark, table):
+        upd = spark.createDataFrame([(10, "U")], schema="k long, name string")
+        S.merge_upsert(spark, table, upd, n_files=1)
+        v2 = S.read_snapshot(spark, table)
+        row = v2.filter(F.col("k") == 10).collect()[0]
+        assert row["val"] is None and row["name"] == "U"
+        # same-file survivors keep their val
+        assert v2.filter(F.col("val").isNotNull()).count() == 199
