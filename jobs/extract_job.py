@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--incremental", action="store_true")
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--publish-table",
+        default=None,
+        help="also publish the batch into this versioned snapshot table "
+        "(create v1 / copy-on-write merge; operators/snapshots.py)",
+    )
+    p.add_argument("--publish-files", type=int, default=8)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,6 +77,16 @@ def main(argv: list[str] | None = None) -> int:
         metrics = run_extraction_job(
             spark, args.corpus_dir, args.output_dir, n_buckets=args.n_buckets
         )
+        if args.publish_table:
+            from index_search_monorepo_spark.plans.pipeline import (
+                publish_snapshot,
+            )
+
+            docs = spark.read.parquet(f"{args.output_dir}/data")
+            m = publish_snapshot(
+                spark, docs, args.publish_table, n_files=args.publish_files
+            )
+            metrics["snapshot_version"] = m["version"]
         print(json.dumps({"mode": "batch", **metrics}))
     spark.stop()
     return 0

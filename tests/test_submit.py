@@ -55,6 +55,7 @@ def test_spark_submit_pyfiles(tmp_path):
             "--output-dir", str(tmp_path / "out"),
             "--n-buckets", "4",
             "--shuffle-partitions", "4",
+            "--publish-table", str(tmp_path / "table"),
         ],
         capture_output=True,
         text=True,
@@ -68,3 +69,5 @@ def test_spark_submit_pyfiles(tmp_path):
     )
     assert metrics["mode"] == "batch" and metrics["n_docs"] == 12
     assert (tmp_path / "out" / "_checkpoints").exists()
+    assert metrics["snapshot_version"] == 1
+    assert (tmp_path / "table" / "_snapshots" / "v-000001.json").exists()
