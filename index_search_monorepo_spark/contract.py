@@ -34,6 +34,7 @@ from index_search_monorepo_spark.functions.text import (
     string_preparation_expr,
     xmlesc_expr,
 )
+from index_search_monorepo_spark.functions import unicode_norm as UNORM
 from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
 from index_search_monorepo_spark.operators import cooc as CO
@@ -3743,6 +3744,30 @@ def _lang_hits_sql(lang: str) -> str:
 _LANGS = list(TS.TRIGRAM_PROFILES)
 _GREATEST = f"greatest({', '.join(f'{lang}_hits' for lang in _LANGS)})"
 
+# NFC-normalization spike (functions/unicode_norm.py ride): one planted
+# suffix per doc_id % 6 class — combining acute, Hangul jamo L+V+T,
+# combining ring, the ANGSTROM-SIGN canonical singleton, an
+# NFC-invariant ligature, and no spike — so both the changed and the
+# unchanged branches of the kernel are value-hashed. The literals are
+# shared between the Spark Column and the SQL CASE so the two engines
+# normalize byte-identical inputs.
+_NFC_SPIKES = [
+    " cafe\u0301",  # e + COMBINING ACUTE -> U+00E9
+    " \u1100\u1161\u11a8",  # Hangul jamo L+V+T -> precomposed syllable
+    " A\u030a",  # A + COMBINING RING -> U+00C5
+    " \u212b",  # ANGSTROM SIGN canonical singleton -> U+00C5
+    " \ufb01",  # fi ligature: NFC-invariant
+    "",
+]
+_NFC_CASE_SQL = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_NFC_SPIKES) if s
+    )
+    + " ELSE '' END"
+)
+_NFC_FRAGS = UNORM.nfc_oracle_fragments("nsrc")
+
 
 @register(
     "lang_id",
@@ -3778,8 +3803,19 @@ _GREATEST = f"greatest({', '.join(f'{lang}_hits' for lang in _LANGS)})"
       SELECT l.*, m.lm_tokens, m.lm_oov, m.lm_nll_bits, m.lm_nll_mean_e3
       FROM lang_out l JOIN lm_out m USING (doc_id)
     ),
-    {PK.mixture_oracle_sql("lang_lm", "ngram_guess").lstrip()}
-    SELECT * FROM mix_out
+    {PK.mixture_oracle_sql("lang_lm", "ngram_guess").lstrip()},
+    nfcsrc AS (
+      SELECT doc_id, text || {_NFC_CASE_SQL} AS nsrc FROM documents
+    ),
+    nfc AS (
+      SELECT doc_id,
+             {_NFC_FRAGS["nfc_text"]} AS nfc_text,
+             {_NFC_FRAGS["nfc_changed"]} AS nfc_changed,
+             {_NFC_FRAGS["nfc_chars"]} AS nfc_chars
+      FROM nfcsrc
+    )
+    SELECT m.*, n.nfc_text, n.nfc_changed, n.nfc_chars
+    FROM mix_out m JOIN nfc n USING (doc_id)
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3800,12 +3836,31 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes train->cap->score from scratch in SQL. (2) sqrt-temperature
     mixture sampling (packing.with_mixture_sampling, XLM-R alpha=0.5)
     over the ngram_guess stratum — isqrt weights, integer rate arithmetic,
-    and each document's deterministic mix_copies are all value-hashed."""
+    and each document's deterministic mix_copies are all value-hashed.
+
+    ALSO r5: NFC normalization (functions/unicode_norm.py) rides the same
+    row — a planted per-doc suffix (combining marks, Hangul jamo, the
+    ANGSTROM singleton, an NFC-invariant ligature) runs the REAL
+    Arrow-batched unicodedata kernel, and the oracle recomputes with
+    DuckDB's utf8proc nfc_normalize; the normalized text itself is
+    value-hashed, so the two engines' composition tables are under the
+    gate byte-for-byte."""
     docs = _t(spark, sf_dir, "documents")
     lang = TS.with_lang_id_full(docs)
     counts = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
     lm = LMOD.with_lm_nll(docs, counts)
-    return PK.with_mixture_sampling(lang.join(lm, "doc_id"), "ngram_guess")
+    mixed = PK.with_mixture_sampling(lang.join(lm, "doc_id"), "ngram_guess")
+    spike = F.try_element_at(
+        F.array(*[F.lit(s) for s in _NFC_SPIKES]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    nfc = UNORM.with_nfc(
+        docs.select(
+            "doc_id", F.concat(F.col("text"), spike).alias("_nsrc")
+        ),
+        "_nsrc",
+    ).select("doc_id", "nfc_text", "nfc_changed", "nfc_chars")
+    return mixed.join(nfc, "doc_id")
 
 
 
