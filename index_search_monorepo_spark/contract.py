@@ -34,6 +34,7 @@ from index_search_monorepo_spark.functions.text import (
     string_preparation_expr,
     xmlesc_expr,
 )
+from index_search_monorepo_spark.functions import mojibake as MJB
 from index_search_monorepo_spark.functions import unicode_norm as UNORM
 from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
@@ -3078,6 +3079,51 @@ _C4_SRC_SQL = (
 )
 _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
 
+# Mojibake-repair planting (r5): one spike per doc_id % 7 class — single
+# and double UTF-8-as-cp1252 layers, the cp1252-only € path, a cp1252
+# gap byte (0x81, latin-1 fallback branch), plus the two must-NOT-repair
+# negatives (genuine Latin text whose byte image is not valid UTF-8; a
+# char with no single-byte pre-image). The EXPECTED outputs are
+# hardcoded literals (the planted-payload pattern the multimodal gate
+# uses), independently pinned against the kernel by
+# tests/test_mojibake.py::test_gate_spikes_match_hardcoded_expectations —
+# the Spark side runs the REAL functions/mojibake.py kernel and the
+# repaired bytes are value-hashed.
+MOJI_SPIKES = [
+    "",
+    " cafÃ©",          # 'café' through one cp1252 layer
+    " ÃƒÂ©",  # 'é' through two layers ('ÃƒÂ©')
+    " â‚¬9",       # '€9' ('â‚¬9': cp1252-only 0x82)
+    " naïve Åse",       # genuine Latin text: must NOT repair
+    " Ä\x81",              # 'ā' via cp1252 gap byte 0x81
+    " 文A",                   # no single-byte pre-image: must NOT
+]
+MOJI_EXPECTED = [
+    ("", 0),
+    (" café", 1),
+    (" é", 2),
+    (" €9", 1),
+    (" naïve Åse", 0),
+    (" ā", 1),
+    (" 文A", 0),
+]
+_MOJI_TEXT_SQL = (
+    "CASE CAST(doc_id % 7 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN '{t}'"
+        for i, (t, _p) in enumerate(MOJI_EXPECTED)
+        if t
+    )
+    + " ELSE '' END"
+)
+_MOJI_PASSES_SQL = (
+    "CASE CAST(doc_id % 7 AS INT) "
+    + " ".join(
+        f"WHEN {i} THEN {p}" for i, (_t, p) in enumerate(MOJI_EXPECTED)
+    )
+    + " END"
+)
+
 
 @register(
     "quality_score",
@@ -3166,7 +3212,9 @@ _C4_FRAGS = C4.oracle_c4_sql("c4_src", bad_words=("badword",))
              AS c4_keep,
            clf_tokens, clf_oov, clf_score_bits, clf_score_mean_e3,
            clf_pred,
-           ml_tokens, ml_in_mean_e3, ml_gen_mean_e3, ml_delta_e3, ml_keep
+           ml_tokens, ml_in_mean_e3, ml_gen_mean_e3, ml_delta_e3, ml_keep,
+           {_MOJI_TEXT_SQL} AS moji_text,
+           CAST({_MOJI_PASSES_SQL} AS BIGINT) AS moji_passes
     FROM pm JOIN pii USING (doc_id) JOIN c4 USING (doc_id)
          JOIN clf_out USING (doc_id) JOIN ml_out USING (doc_id)
     """,
@@ -3212,7 +3260,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     H_in - H_gen deltas (exact integer subtraction of the bit-length
     means) and the threshold-0 keep verdict are value-hashed, with the
     oracle replaying BOTH train->cap->score chains plus the delta
-    (lm.ml_oracle_sql's prefixed CTE chains)."""
+    (lm.ml_oracle_sql's prefixed CTE chains).
+
+    ALSO r5: mojibake repair (functions/mojibake.py, ftfy-style
+    UTF-8-as-cp1252 inversion) rides the same row — a planted per-doc
+    spike (single/double encoding layers, the cp1252-only € path, the
+    0x81 gap byte, two must-NOT-repair negatives) runs the REAL
+    Arrow-batched kernel; the oracle emits hand-derived expected
+    literals (the planted-payload pattern), independently pinned by
+    tests/test_mojibake.py. Zero extra joins/shuffles: a doc_id-derived
+    literal column plus one map stage."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -3287,7 +3344,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, train_pmille=500, salt="mlgen", top_k=20
     )
     ml = LMOD.with_moore_lewis(docs, ml_in, ml_gen)
-    return out.join(clf, "doc_id").join(ml, "doc_id")
+    res = out.join(clf, "doc_id").join(ml, "doc_id")
+    moji_src = F.try_element_at(
+        F.array(*[F.lit(s) for s in MOJI_SPIKES]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    return MJB.with_mojibake(
+        res.withColumn("_moji_src", moji_src), "_moji_src", prefix="moji_"
+    ).drop("_moji_src")
 
 
 @register(
