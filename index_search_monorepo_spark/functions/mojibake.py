@@ -124,7 +124,7 @@ def with_mojibake(
     repair passes applied, 0 = already clean/unrepairable) from ONE
     kernel evaluation. The struct is bound once via withColumn; the two
     field reads stay behind that Project boundary."""
-    taken = {f"{prefix}text", f"{prefix}passes"}
+    taken = {f"{prefix}text", f"{prefix}passes", f"_{prefix}struct"}
     clash = taken.intersection(df.columns)
     if clash:
         raise ValueError(

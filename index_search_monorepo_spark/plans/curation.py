@@ -4,6 +4,14 @@ cleaned, deduplicated, decontaminated training set.
 
 Stage layout is chosen by shuffle shape, not by concept:
 
+  0. encoding fix        — optional: mojibake repair (UTF-8-as-cp1252
+                           inversion) then Unicode NFC normalization,
+                           replacing the text in place. MUST precede
+                           every content-hash consumer (line strip,
+                           passage/exact/near dedup, decontamination
+                           shingles): "café" and "cafÃ©" — or its
+                           decomposed spelling — must be ONE key, not
+                           three. Two Arrow map stages, zero shuffles.
   A. single-scan rules   — URL blocklist flag, C4 line filter + page
                            flags, Gopher document-quality verdict. All
                            pure per-row expressions, so the THREE rule
@@ -96,6 +104,30 @@ def rule_flags(
     return out.withColumn("rule_keep", verdict)
 
 
+def fix_encoding(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Stage 0 as a reusable surface: mojibake repair
+    (functions/mojibake.py) then NFC normalization
+    (functions/unicode_norm.py) over `text_col`, REPLACED IN PLACE, plus
+    `enc_fixed` (BIGINT 0/1 — whether either step changed bytes; the
+    corpus-health rate to monitor upstream encoders by). Repair must run
+    first: normalization of mojibake would canonicalize the wrong
+    grapheme sequence. Two Arrow-batched map stages, zero joins, zero
+    shuffles — safe to fuse into the stage-A scan at any scale."""
+    from index_search_monorepo_spark.functions import mojibake as MJ
+    from index_search_monorepo_spark.functions import unicode_norm as UN
+
+    out = MJ.with_mojibake(docs, text_col, prefix="_mj_")
+    out = UN.with_nfc(out, "_mj_text", prefix="_nfc_")
+    cols = [
+        F.col("_nfc_text").alias(text_col) if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    fixed = (F.col("_nfc_text") != F.col(text_col)).cast("long")
+    return out.select(*cols, fixed.alias("enc_fixed"))
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -104,6 +136,7 @@ def curate_corpus(
     bad_words: tuple[str, ...] = (),
     min_sentences: int = 3,
     enforce: tuple[str, ...] = ("url", "c4", "gopher"),
+    encoding_fix: bool = False,
     strip_lines_min_docs: int | None = None,
     passage_k: int | None = None,
     exact_dedup: bool = True,
@@ -117,6 +150,8 @@ def curate_corpus(
 
     `kept` preserves the input columns (plus `n_lines_dropped` when the
     line strip ran — the cleaned text replaces `text_col` in place).
+    `encoding_fix=True` runs stage 0 (mojibake repair -> NFC, in place)
+    before anything hashes content.
     The report frame (stage, docs_in, docs_out, docs_dropped) is None
     unless report=True; with report=True intermediates are persisted.
     Pass a `registry` list to keep them cached (call
@@ -139,6 +174,14 @@ def curate_corpus(
         return frame
 
     cur = note("input", docs)
+
+    if encoding_fix:
+        # text replaced in place; the enc_fixed diagnostic is dropped
+        # here (in_cols discipline) — library users wanting the rate
+        # call fix_encoding directly
+        cur = note(
+            "encoding_fix", fix_encoding(cur, text_col).select(*in_cols)
+        )
 
     flagged = rule_flags(
         cur,

@@ -154,3 +154,49 @@ class TestCurationPlan:
         assert texts[2] == "residue words here"
         assert 3 not in texts
         assert texts[4] == "wholly unrelated document body"
+
+
+class TestEncodingFix:
+    def test_fix_encoding_repairs_and_normalizes(self, spark):
+        rows = [
+            (0, "cafÃ©"),   # mojibake 'cafÃ©'
+            (1, "café"),         # NFC-decomposed e + combining acute
+            (2, "café"),          # already clean precomposed
+            (3, "plain ascii"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in CP.fix_encoding(df).collect()}
+        assert all(out[i]["text"] == "café" for i in range(3))
+        assert [out[i]["enc_fixed"] for i in range(4)] == [1, 1, 0, 0]
+        assert set(out[0].asDict()) == {"doc_id", "text", "enc_fixed"}
+
+    def test_zero_shuffle_two_arrow_stages(self, spark):
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        plan = (
+            CP.fix_encoding(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert plan.count("ArrowEvalPython") == 2, plan
+
+    def test_stage0_collapses_variant_spellings(self, spark):
+        """Three spellings of the same page (clean precomposed, mojibake,
+        NFC-decomposed) must be ONE exact-dedup key with encoding_fix=True
+        and three without — the reason stage 0 precedes every hash."""
+        tail = "\nThe café closes the page now."
+        rows = [
+            (0, GOOD + tail),
+            (1, GOOD + tail.replace("café", "cafÃ©")),
+            (2, GOOD + tail.replace("café", "café")),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        kept, rep = CP.curate_corpus(df, encoding_fix=True, report=True)
+        stages = {r["stage"]: r for r in rep.collect()}
+        assert stages["encoding_fix"]["docs_dropped"] == 0
+        assert stages["exact_dedup"]["docs_dropped"] == 2
+        assert [r["doc_id"] for r in kept.collect()] == [0]
+
+        kept_off, _ = CP.curate_corpus(df)
+        assert kept_off.count() == 3
