@@ -3950,6 +3950,12 @@ _GATE_MERGES = [
     ("m", "er"), ("p", "ar"), (" s", "u"), ("in", "g"),
 ]
 
+# overlapping-window chunk geometry mirror (packing.with_chunks,
+# size=64 overlap=16) for the token_count gate's ck_* columns
+_CK_SIZE, _CK_OVERLAP = 64, 16
+_CK_STRIDE = _CK_SIZE - _CK_OVERLAP
+_CK_FRAGS = PK.chunk_oracle_fragments("t", size=_CK_SIZE, overlap=_CK_OVERLAP)
+
 
 @register(
     "token_count",
@@ -4087,17 +4093,27 @@ _GATE_MERGES = [
         train_pmille=500, top_k_uni=16, top_k_bi=24,
         hash_sql=PK.hash_key_sql("doc_id", "lmtrain"),
     ).lstrip()},
-    {CO.cooc_oracle_sql('documents', 'text', window=2).lstrip()}
+    {CO.cooc_oracle_sql('documents', 'text', window=2).lstrip()},
+    ckt AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ck AS (
+      SELECT doc_id,
+             {_CK_FRAGS['n_chunks']} AS ck_n_chunks,
+             {_CK_FRAGS['chunk0_md5']} AS ck_chunk0_md5,
+             {_CK_FRAGS['last_tokens']} AS ck_last_tokens
+      FROM ckt
+    )
     SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym,
            s.sb_tokens, s.sb_bigram_hits, s.sb_backoffs,
            s.sb_score_e6, s.sb_mean_e6,
            CAST(coalesce(c.cooc_n_pairs, 0) AS BIGINT) AS cooc_n_pairs,
            coalesce(c.cooc_top_a, '') AS cooc_top_a,
            coalesce(c.cooc_top_b, '') AS cooc_top_b,
-           CAST(coalesce(c.cooc_top_pmi, 0) AS BIGINT) AS cooc_top_pmi
+           CAST(coalesce(c.cooc_top_pmi, 0) AS BIGINT) AS cooc_top_pmi,
+           k.ck_n_chunks, k.ck_chunk0_md5, k.ck_last_tokens
     FROM pk_out p JOIN bpe_out b USING (doc_id)
          JOIN sb_out s USING (doc_id)
          LEFT JOIN cooc_doc c USING (doc_id)
+         JOIN ck k USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4150,7 +4166,16 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc: pair count and the top-scoring pair under the (pmi DESC, a,
     b) total order, null-coalesced on BOTH sides for sub-2-token docs;
     the oracle replays pairs -> counts -> unigrams -> surrogate ->
-    row_number from scratch (cooc.cooc_oracle_sql)."""
+    row_number from scratch (cooc.cooc_oracle_sql).
+
+    ALSO r5: overlapping-window document chunking (packing.with_chunks,
+    size=64 overlap=16 — the within-doc counterpart of pack_sequences)
+    rides the same row: per-doc chunk count, md5 of the first chunk's
+    rejoined text (the window slicing itself is value-hashed), and the
+    exact token count of the final chunk — Spark measures it off the
+    REAL last chunk while the oracle recomputes it arithmetically
+    (n - (n_chunks-1)*stride); the two agreeing is the coverage proof.
+    Pure map stage + one doc_id join at gate grain."""
     docs = _t(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "rep_text",
@@ -4182,11 +4207,33 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cooc = CO.top_pmi_pair(
         docs, CO.pmi_pair_scores(docs, window=2), window=2
     )
+    ckd = PK.with_chunks(docs, size=_CK_SIZE, overlap=_CK_OVERLAP)
+    last_chunk_toks = F.filter(
+        F.split(
+            F.try_element_at(
+                F.col("chunks"), F.col("n_chunks").cast("int")
+            ),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    ck = ckd.select(
+        "doc_id",
+        F.col("n_chunks").alias("ck_n_chunks"),
+        F.when(F.col("n_chunks") == 0, F.lit(""))
+        .otherwise(F.md5(F.try_element_at(F.col("chunks"), F.lit(1))))
+        .alias("ck_chunk0_md5"),
+        F.when(F.col("n_chunks") == 0, F.lit(0))
+        .otherwise(F.size(last_chunk_toks))
+        .cast("long")
+        .alias("ck_last_tokens"),
+    )
     return (
         packed.withColumn("g_keep", F.col("g_keep").cast("long"))
         .join(bpe, "doc_id")
         .join(sb, "doc_id")
         .join(cooc, "doc_id", "left")
+        .join(ck, "doc_id")
         .withColumn(
             "cooc_n_pairs", F.coalesce("cooc_n_pairs", F.lit(0)).cast("long")
         )

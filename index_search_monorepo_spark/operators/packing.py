@@ -420,3 +420,152 @@ def stratified_sample_oracle_sql(
              md5(string_agg(v, ',' ORDER BY v)) AS samp_md5
       FROM {prefix}rn WHERE rn <= {n_per} GROUP BY stratum
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window document chunking (the within-doc counterpart of
+# pack_sequences' cross-doc concat-and-chunk): long documents are cut
+# into fixed-`size` token windows advancing by stride = size - overlap,
+# so consecutive chunks share `overlap` tokens — the standard chunker
+# for context-window-bounded training examples and retrieval corpora
+# (BERT-style striding). The reference never chunks (Solr indexes whole
+# documents; full_text_document_generator.py emits one doc per volume);
+# this is training-pipeline surface.
+#
+# Chunk geometry is pure integer arithmetic over the bound token array:
+#   n_chunks  = 0                          if n = 0
+#             = 1                          if n <= size
+#             = (n - size + stride - 1) DIV stride + 1   otherwise
+#   chunk i   = tokens[i*stride + 1 .. i*stride + size]  (1-based slice)
+#   last chunk length = n - (n_chunks - 1) * stride  (in (overlap, size])
+# so every token is covered, chunk i and i+1 share exactly `overlap`
+# tokens (when chunk i is full), and no degenerate tail shorter than
+# overlap+1 is ever emitted. Zero shuffles: with_chunks is a pure map
+# stage; chunk_documents adds one Generate (posexplode).
+# ---------------------------------------------------------------------------
+
+
+def _check_chunking(size: int, overlap: int) -> int:
+    if size <= 0:
+        raise ValueError(f"chunk size must be positive, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size), got overlap={overlap}"
+            f" size={size}"
+        )
+    return size - overlap
+
+
+def with_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Adds `n_chunks` (BIGINT) and `chunks` (array<string>, each chunk
+    space-rejoined) from the whitespace token family
+    (textstats.tokens_expr — the same tokens the n_tokens gates count).
+    The token array is bound once behind a Project boundary (CLAUDE.md
+    lesson #1: the transform lambda references it n_chunks times)."""
+    from index_search_monorepo_spark.operators.textstats import tokens_expr
+
+    stride = _check_chunking(size, overlap)
+    taken = {"n_chunks", "chunks", "_ck_toks", "_ck_n"}
+    clash = taken.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_chunks would overwrite input column(s) {sorted(clash)};"
+            " rename them first"
+        )
+    out = (
+        df.withColumn("_ck_toks", tokens_expr(F.col(text_col)))
+        .withColumn("_ck_n", F.size("_ck_toks").cast("long"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"CAST(CASE WHEN _ck_n <= 0 THEN 0"
+                f" WHEN _ck_n <= {size} THEN 1"
+                f" ELSE (_ck_n - {size} + {stride} - 1) DIV {stride} + 1"
+                f" END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "chunks",
+            F.when(
+                F.col("n_chunks") == 0, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("_ck_toks"),
+                            (i * stride + 1).cast("int"),
+                            size,
+                        ),
+                        " ",
+                    ),
+                )
+            ),
+        )
+    )
+    return out.drop("_ck_toks", "_ck_n")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-grain view: one row per (doc, chunk_no) with the chunk text
+    and its exact token count (empty docs emit no rows). At 100 TB this
+    IS the output grain — a chunked training/retrieval corpus is written
+    from here; the per-doc aggregate view stays in with_chunks."""
+    stride = _check_chunking(size, overlap)
+    base = with_chunks(df, text_col=text_col, size=size, overlap=overlap)
+    carry = [c for c in df.columns if c not in (text_col,)]
+    return base.select(
+        *carry,
+        F.col("n_chunks"),
+        # extraction.explode_noinline's double-reference guard, posexplode
+        # flavor: keeps the chunk-array expression in the child Project
+        # instead of being inlined (and then duplicated) into Generate
+        F.posexplode(
+            F.when(F.size("chunks") >= 0, F.col("chunks"))
+        ).alias("chunk_no", "chunk_text"),
+    ).withColumn(
+        "chunk_n_tokens",
+        F.when(
+            F.col("chunk_no") < F.col("n_chunks") - 1, F.lit(size)
+        )
+        .otherwise(
+            F.size(F.filter(F.split("chunk_text", " "), lambda t: t != ""))
+        )
+        .cast("long"),
+    )
+
+
+def chunk_oracle_fragments(
+    toks_sql: str = "t", size: int = 64, overlap: int = 16
+) -> dict[str, str]:
+    """DuckDB mirror of the chunk geometry over a BOUND token-list SQL
+    expression (bind {_TOKS} in a CTE first — same single-binding
+    discipline as the Spark side). Fragments: n_chunks, chunk0_md5
+    (md5 of the first chunk, '' for empty docs) and last_tokens (exact
+    token count of the final chunk)."""
+    stride = _check_chunking(size, overlap)
+    n = f"len({toks_sql})"
+    n_chunks = (
+        f"CASE WHEN {n} = 0 THEN 0 WHEN {n} <= {size} THEN 1"
+        f" ELSE ({n} - {size} + {stride} - 1) // {stride} + 1 END"
+    )
+    chunk0 = f"array_to_string(list_slice({toks_sql}, 1, {size}), ' ')"
+    return {
+        "n_chunks": f"CAST({n_chunks} AS BIGINT)",
+        "chunk0_md5": f"CASE WHEN {n} = 0 THEN '' ELSE md5({chunk0}) END",
+        "last_tokens": (
+            f"CAST(CASE WHEN {n} = 0 THEN 0"
+            f" ELSE {n} - (({n_chunks}) - 1) * {stride} END AS BIGINT)"
+        ),
+    }
