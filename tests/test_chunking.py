@@ -148,3 +148,67 @@ class TestOraclesAndPlan:
         )
         assert plan.count("Generate") == 1, plan
         assert "Exchange" not in plan, plan
+
+
+class TestChunkedRetrieval:
+    """The retrieval-corpus composition the chunker exists for: chunk the
+    documents, build the inverted index at CHUNK grain (operators/postings),
+    query through it, and land on the chunk — not just the document —
+    holding the passage. At 100 TB this is the RAG indexing shape: the
+    index rows stay bounded by chunk size regardless of document length."""
+
+    def _chunk_index(self, spark):
+        from index_search_monorepo_spark.operators import postings as PS
+
+        filler = " ".join(f"w{i % 17}" for i in range(90))
+        needle = "zebra quantum walrus"
+        planted = (
+            " ".join(f"w{i % 17}" for i in range(40))
+            + f" {needle} "
+            + " ".join(f"w{i % 17}" for i in range(40))
+        )
+        docs = spark.createDataFrame(
+            [(0, filler), (1, planted), (2, filler)],
+            "doc_id long, text string",
+        )
+        chunks = PK.chunk_documents(docs, size=16, overlap=4).select(
+            (F.col("doc_id") * 1000 + F.col("chunk_no")).alias("chunk_id"),
+            "doc_id",
+            "chunk_no",
+            "chunk_text",
+        )
+        idx = PS.build_postings(
+            chunks, text_col="chunk_text", doc_col="chunk_id"
+        )
+        return chunks, idx
+
+    def test_bm25_lands_on_the_planted_chunk(self, spark):
+        from index_search_monorepo_spark.operators import postings as PS
+
+        chunks, idx = self._chunk_index(spark)
+        top = (
+            PS.bm25_via_postings(idx, ["zebra", "quantum"])
+            .orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        hit = chunks.filter(F.col("chunk_id") == top["doc_id"]).collect()[0]
+        assert hit["doc_id"] == 1
+        assert "zebra quantum walrus" in hit["chunk_text"]
+
+    def test_index_matches_chunk_scan(self, spark):
+        from index_search_monorepo_spark.operators import postings as PS
+
+        chunks, idx = self._chunk_index(spark)
+        via_index = sorted(
+            r["doc_id"]
+            for r in PS.conjunctive_query(idx, ["zebra", "walrus"]).collect()
+        )
+        via_scan = sorted(
+            r["chunk_id"]
+            for r in chunks.filter(
+                F.col("chunk_text").contains("zebra")
+                & F.col("chunk_text").contains("walrus")
+            ).collect()
+        )
+        assert via_index == via_scan and via_index
