@@ -394,7 +394,15 @@ def snapshot_diff_keys(
         names = sorted(names)
         if not names:
             return None
-        return spark.read.parquet(*[str(ddir / n) for n in names])
+        # mergeSchema: one manifest's unshared files can span schema
+        # generations (a carried pre-evolution file and a post-evolution
+        # rewrite both dropped by the next merge); without the footer
+        # union Spark would take ONE file's schema and silently drop the
+        # evolved column from the diff hash. Null-filled added columns
+        # still hash as unchanged because to_json omits null fields.
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[str(ddir / n) for n in names]
+        )
 
     only_a = _read(a_names - b_names)
     only_b = _read(b_names - a_names)

@@ -168,3 +168,35 @@ class TestSchemaEvolution:
         assert row["val"] is None and row["name"] == "U"
         # same-file survivors keep their val
         assert v2.filter(F.col("val").isNotNull()).count() == 199
+
+    def test_diff_across_mixed_schema_generations(self, spark, table):
+        # v2 adds `lang` (touches the file holding k=10); v3 touches a
+        # DIFFERENT key range, so diff(2,3)'s unshared v2-side files mix
+        # a pre-evolution carried file with nothing evolved, while
+        # diff(1,2) mixes generations on the b side. Without mergeSchema
+        # in snapshot_diff_keys._read, Spark can take one footer's
+        # schema and silently drop `lang` from the content hash.
+        upd2 = spark.createDataFrame(
+            [(10, "U", 0, "en")],
+            schema="k long, name string, val long, lang string",
+        )
+        S.merge_upsert(spark, table, upd2, n_files=1)
+        upd3 = spark.createDataFrame(
+            [(190, "W", 1, "fr")],
+            schema="k long, name string, val long, lang string",
+        )
+        S.merge_upsert(spark, table, upd3, n_files=1)
+        d12 = {
+            r["k"]: r["change"]
+            for r in S.snapshot_diff_keys(spark, table, 1, 2).collect()
+        }
+        assert d12[10] == "updated"
+        # rewritten survivors of the touched file hash as unchanged even
+        # though the b side carries the new (null-filled) column
+        assert set(d12) == {10}
+        d23 = {
+            r["k"]: r["change"]
+            for r in S.snapshot_diff_keys(spark, table, 2, 3).collect()
+        }
+        assert d23[190] == "updated"
+        assert set(d23) == {190}
