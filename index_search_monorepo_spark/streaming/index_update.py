@@ -33,6 +33,7 @@ one row); cross-batch duplicates are the update case handled here.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +88,7 @@ def incremental_index_update(
     `tombstones/batch_id=N` (the batch's doc ids). O(batch) work per
     batch; readers use current_index / compact_index."""
     out = Path(index_dir)
+    _write_index_meta(out, segment_size)
     stream = read_docs_stream(spark, input_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -111,38 +113,91 @@ def incremental_index_update(
     return q
 
 
+def _write_index_meta(out: Path, segment_size: int) -> None:
+    """The index records its own segment geometry (as Lucene segments
+    carry their metadata): readers must group updated docs by the SAME
+    doc_id DIV width rule the segments were built with. One width per
+    index — a mismatch raises rather than silently mis-bucketing."""
+    meta_p = out / "_index_meta.json"
+    if meta_p.exists():
+        old = json.loads(meta_p.read_text())
+        if old["segment_size"] != segment_size:
+            raise ValueError(
+                f"index at {out} was built with segment_size="
+                f"{old['segment_size']}, got {segment_size}"
+            )
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    meta_p.write_text(json.dumps({"segment_size": segment_size}))
+
+
+def _read_index_meta(out: Path) -> int:
+    meta_p = out / "_index_meta.json"
+    if not meta_p.exists():
+        raise FileNotFoundError(
+            f"no _index_meta.json under {out}; build the index with"
+            " incremental_index_update"
+        )
+    return int(json.loads(meta_p.read_text())["segment_size"])
+
+
 def current_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Merge-on-read view: (term, seg_id, postings) with exact
     last-write-wins semantics. A doc's live version is its newest
     tombstone batch; entries written by older batches are dropped.
-    The doc-grain join carries slim (doc_id, batch) rows; only the
-    touched index entries explode — this is the read-amplification
-    cost compaction exists to reset."""
+
+    Plan shape (the read-amplification cost compaction exists to
+    reset, kept proportional to UPDATES, not index size): only docs
+    tombstoned by MORE than one batch can have dead entries, so the
+    tombstone rollup keeps just those, groups them by the segment rule
+    recorded in the index meta, and ships one (seg_id, doc->newest
+    batch map) row per touched segment; the segments themselves pass
+    through a higher-order filter — postings arrays are never exploded
+    to doc-grain rows (the pre-r5 version exploded the WHOLE index per
+    read). The final (term, seg_id) regroup canonicalizes cross-batch
+    rows of the same segment; it shuffles bounded array rows only."""
     out = Path(index_dir)
+    segment_size = _read_index_meta(out)
     segs = spark.read.parquet(str(out / "segments"))
     tombs = spark.read.parquet(str(out / "tombstones"))
-    cur = tombs.groupBy("doc_id").agg(
-        F.max("batch_id").alias("_cur_batch")
+    upd = (
+        tombs.groupBy("doc_id")
+        .agg(F.max("batch_id").alias("_cur"), F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
     )
-    entries = segs.select(
-        "term",
-        "seg_id",
-        F.col("batch_id").alias("_b"),
-        F.explode("postings").alias("_p"),
-    ).select(
-        "term",
-        "seg_id",
-        "_b",
-        F.col("_p.doc_id").alias("doc_id"),
-        F.col("_p.tf").alias("tf"),
+    dseg = (
+        upd.select(
+            F.expr(f"doc_id DIV {segment_size}").cast("long").alias("seg_id"),
+            F.struct(
+                F.col("doc_id").cast("long").alias("k"),
+                F.col("_cur").cast("long").alias("v"),
+            ).alias("_kv"),
+        )
+        .groupBy("seg_id")
+        .agg(F.map_from_entries(F.collect_list("_kv")).alias("_cur_map"))
     )
     live = (
-        entries.join(cur, "doc_id")
-        .filter(F.col("_b") == F.col("_cur_batch"))
-        .select("term", "seg_id", F.struct("doc_id", "tf").alias("_e"))
+        # no broadcast hint: AQE broadcasts the (usually tiny) dead-map
+        # side but can fall back to shuffle when a compaction backlog
+        # makes the update set large (same policy as apply_deletes)
+        segs.join(dseg, "seg_id", "left")
+        .withColumn(
+            "postings",
+            F.when(F.col("_cur_map").isNull(), F.col("postings")).otherwise(
+                F.filter(
+                    F.col("postings"),
+                    lambda p: F.coalesce(
+                        F.try_element_at(F.col("_cur_map"), p["doc_id"])
+                        == F.col("batch_id").cast("long"),
+                        F.lit(True),
+                    ),
+                )
+            ),
+        )
+        .filter(F.size("postings") > 0)
     )
     return live.groupBy("term", "seg_id").agg(
-        F.array_sort(F.collect_list("_e")).alias("postings")
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings")
     )
 
 

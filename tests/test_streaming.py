@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from index_search_monorepo_spark.operators.errors import split_errors
@@ -584,6 +585,24 @@ def test_incremental_index_update_last_write_wins(spark, tmp_path):
         spark, land, idx_dir, segment_size=4, max_files_per_trigger=1
     )
     assert _norm_index(current_index(spark, idx_dir)) == want
+
+    # merge-on-read never explodes postings to doc grain: the dead-entry
+    # filter is a higher-order function over a (seg_id -> doc->batch map)
+    # join, so no Generate appears in the plan and the only exchanges are
+    # the tombstone rollup + the bounded segment-grain regroup
+    plan = (
+        current_index(spark, idx_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan, plan
+
+    # width mismatch on an existing index raises instead of mis-bucketing
+    with pytest.raises(ValueError, match="segment_size"):
+        incremental_index_update(
+            spark, land, idx_dir, segment_size=8, max_files_per_trigger=1
+        )
 
 
 def test_index_update_per_batch_cost_is_batch_sized(spark, tmp_path):
