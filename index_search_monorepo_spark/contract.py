@@ -279,8 +279,9 @@ _WARC_FRAGS = WARC.oracle_warc_sql("doc_id", "text")
 _PR_CTES, _PR_FINAL = PR.oracle_pagerank_ctes("predges", iters=2)
 _HITS_CTES, _HITS_FINAL = PR.oracle_hits_ctes("predges", iters=2)
 # Crawl-admission gate (r5c): one robots.txt body exercising every RFC 9309
-# semantic the engine implements — group selection (specific beats *, no
-# merge), longest-match, allow-tie-wins, '$' anchor, mid-'*' — against
+# semantic the engine implements — group selection (specific beats *, the *
+# group never merges into a specific match; same-token groups DO combine
+# per §2.2.1), longest-match, allow-tie-wins, '$' anchor, mid-'*' — against
 # per-doc planted paths; every 5th doc's host has NO robots.txt (the
 # 404-allowed branch through the left join). Expected decisions are
 # hand-derived per class (the plant is designed to be hand-checkable, the

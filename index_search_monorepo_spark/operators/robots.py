@@ -93,22 +93,36 @@ def parse_robots_groups(body: str) -> list[dict]:
 def select_group(groups: list[dict], agent: str) -> dict | None:
     """Most-specific group for `agent` (RFC 9309 §2.2.1): the longest
     product token that case-insensitively prefixes the agent string wins;
-    `*` only applies when no specific group matches."""
+    `*` only applies when no specific group matches. Groups matching via
+    the SAME winning token are combined into one rule list in file order
+    (§2.2.1 "matching groups' rules MUST be combined"); the `*` group
+    never merges into a specific match. crawl_delay takes the first
+    group's non-null value."""
     agent = (agent or "").lower()
-    best: tuple[int, int, dict] | None = None
-    star: dict | None = None
-    for order, g in enumerate(groups):
+    best_tok: str | None = None
+    for g in groups:
         for tok in g["agents"]:
-            if tok == "*":
-                if star is None:
-                    star = g
-            elif agent.startswith(tok):
-                key = (len(tok), -order)
-                if best is None or key > (best[0], -best[1]):
-                    best = (len(tok), order, g)
-    if best is not None:
-        return best[2]
-    return star
+            if tok != "*" and agent.startswith(tok):
+                if best_tok is None or len(tok) > len(best_tok):
+                    best_tok = tok
+    # two matching tokens of equal length are equal strings (both are
+    # prefixes of `agent`), so the winning token is unique as a string
+    want = best_tok if best_tok is not None else "*"
+    merged: dict | None = None
+    for g in groups:
+        if want not in g["agents"]:
+            continue
+        if merged is None:
+            merged = {
+                "agents": [want],
+                "rules": list(g["rules"]),
+                "crawl_delay": g["crawl_delay"],
+            }
+        else:
+            merged["rules"].extend(g["rules"])
+            if merged["crawl_delay"] is None:
+                merged["crawl_delay"] = g["crawl_delay"]
+    return merged
 
 
 def _pattern_regex(pattern: str) -> re.Pattern:

@@ -83,6 +83,30 @@ class TestGroupSelection:
             "User-agent: other\nDisallow: /\n", "/x", "mybot"
         ) == (True, None, None)
 
+    def test_same_token_groups_combine(self):
+        # RFC 9309 §2.2.1: "matching groups' rules MUST be combined" —
+        # a second `user-agent: bot` group later in the file contributes
+        # its rules (and its crawl-delay when the first had none)
+        body = (
+            "User-agent: bot\nDisallow: /a\n\n"
+            "User-agent: other\nDisallow: /o\n\n"
+            "User-agent: bot\nDisallow: /b\nCrawl-delay: 7\n"
+        )
+        g = R.select_group(R.parse_robots_groups(body), "bot/2.0")
+        assert g["rules"] == [(False, "/a"), (False, "/b")]
+        assert g["crawl_delay"] == 7
+        assert not R.robots_decision(body, "/b/x", "bot/2.0")[0]
+        # star groups combine with each other the same way
+        star_body = (
+            "User-agent: *\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /b\n"
+        )
+        sg = R.select_group(R.parse_robots_groups(star_body), "anybot")
+        assert sg["rules"] == [(False, "/a"), (False, "/b")]
+        # but * still never merges into a specific match
+        assert R.robots_decision(body + "User-agent: *\nDisallow: /\n",
+                                 "/zz", "bot/2.0")[0]
+
 
 class TestMatching:
     @pytest.mark.parametrize(
