@@ -11,8 +11,11 @@ starts in (`seq_id`), at which offset (`seq_offset`), and whether it spans a
 sequence boundary — exactly the bookkeeping a packed-dataset writer needs.
 This semantics (concatenate-then-chunk, documents may straddle boundaries)
 is the standard LM-pretraining packing; it is fully window-expressible, so
-the whole op is one hash-partition shuffle + a linear per-shard scan — no
-sequential driver loop, unlike first-fit bin packing.
+the whole op is one hash-partition shuffle + a linear per-shard scan.
+`pack_bins_ffd` is the OTHER packing used in practice (SFT-style sample
+packing): whole documents first-fit-decreasing into token-budget bins,
+never split — greedy and sequential PER SHARD, so it runs as one
+applyInPandas stage behind the same shard shuffle.
 
 `hash_sample_pmille` is deterministic content-hash sampling (mod-1000 on an
 md5-derived key): stable across runs and cluster sizes, join-free, and
@@ -543,6 +546,137 @@ def chunk_documents(
             F.size(F.filter(F.split("chunk_text", " "), lambda t: t != ""))
         )
         .cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFT-style sample packing: first-fit-decreasing bin packing of WHOLE
+# documents into fixed-token-budget bins (documents never split — the
+# instruction-tuning / sample-packing counterpart of pack_sequences'
+# concat-and-chunk, where documents may straddle boundaries). Greedy FFD
+# is inherently a sequential fold over the shard's sorted items, which is
+# exactly the brief's sanctioned applyInPandas case: the built-in
+# operators can't express "first bin that still fits" without an O(bins)
+# nested fold per row. One Exchange (the shard hash-partition); shards
+# bound both memory and the O(n·bins) scan; the assignment is
+# deterministic (md5 shard, (tokens DESC, doc ASC) total order, greedy
+# first-fit) so it is bit-stable across runs and partition layouts.
+# ---------------------------------------------------------------------------
+
+
+def ffd_pack_py(
+    items: list[tuple[int, int]], size: int
+) -> list[tuple[int, int, bool]]:
+    """Independent pure-Python FFD mirror for the tests: items are
+    (n_tokens, doc_id) pairs; returns (doc_id, bin_id, oversize) with
+    bin ids in creation order. Oversize items (n_tokens > size) each
+    take their own flagged bin; they participate in the same ordering
+    so both implementations must agree on bin numbering."""
+    order = sorted(items, key=lambda t: (-t[0], t[1]))
+    fills: list[int] = []
+    out = []
+    for tok, doc in order:
+        if tok > size:
+            fills.append(tok)
+            out.append((doc, len(fills) - 1, True))
+            continue
+        placed = None
+        for i in range(len(fills)):
+            if fills[i] + tok <= size:
+                placed = i
+                break
+        if placed is None:
+            fills.append(tok)
+            placed = len(fills) - 1
+        else:
+            fills[placed] += tok
+        out.append((doc, placed, False))
+    return out
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    size: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    shard_salt: str = "binpack",
+) -> DataFrame:
+    """(doc_id, n_tokens, shard, bin_id, bin_oversize): greedy
+    first-fit-decreasing assignment of whole documents to token-budget
+    bins, per md5 shard. `(shard, bin_id)` identifies a bin; a document
+    longer than `size` gets its own bin flagged `bin_oversize` (errors
+    are rows, never job failures — the caller routes them). At 100 TB
+    the shard count is the parallelism knob exactly as in
+    pack_sequences; packing quality degrades only by the per-shard
+    boundary waste, which shrinks as shards grow."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        (hash_key_expr(F.col(id_col), salt=shard_salt) % n_shards)
+        .cast("long")
+        .alias("shard"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        fills: list[int] = []
+        bin_ids: list[int] = []
+        oversize: list[bool] = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if tok > size:
+                fills.append(tok)
+                bin_ids.append(len(fills) - 1)
+                oversize.append(True)
+                continue
+            for i, fill in enumerate(fills):
+                if fill + tok <= size:
+                    fills[i] += tok
+                    bin_ids.append(i)
+                    break
+            else:
+                fills.append(tok)
+                bin_ids.append(len(fills) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bin_ids,
+                "bin_oversize": oversize,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(
+        pack,
+        schema=(
+            "doc_id long, n_tokens long, shard long,"
+            " bin_id long, bin_oversize boolean"
+        ),
+    )
+
+
+def bin_stats(packed: DataFrame, size: int) -> DataFrame:
+    """Per-bin rollup of a pack_bins_ffd assignment: (shard, bin_id,
+    n_docs, fill, waste) — the padding-efficiency evidence (sum(waste)
+    over sum of bin capacity is the padding fraction a trainer pays)."""
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("fill"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.lit(size) - F.sum("n_tokens")).cast("long"),
+        ).alias("waste"),
     )
 
 

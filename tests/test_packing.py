@@ -198,3 +198,106 @@ class TestStratifiedSample:
 
         with pytest.raises(ValueError):
             P.stratified_sample(df, "s", 0, "k")
+
+
+class TestFfdBinPacking:
+    def test_hand_exact_single_shard(self, spark):
+        # size 10, tokens sorted desc [7,5,4,3,2]:
+        #   7 -> bin0(7); 5 -> bin1(5); 4 -> bin1(9); 3 -> bin0(10);
+        #   2 -> no fit -> bin2(2)
+        rows = [(0, 3), (1, 7), (2, 5), (3, 4), (4, 2)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = {
+            r["doc_id"]: (r["bin_id"], r["bin_oversize"])
+            for r in P.pack_bins_ffd(df, size=10, n_shards=1).collect()
+        }
+        assert out == {1: (0, False), 2: (1, False), 3: (1, False),
+                       0: (0, False), 4: (2, False)}
+
+    def test_oversize_gets_own_flagged_bin(self, spark):
+        rows = [(0, 15), (1, 6), (2, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = {
+            r["doc_id"]: (r["bin_id"], r["bin_oversize"])
+            for r in P.pack_bins_ffd(df, size=10, n_shards=1).collect()
+        }
+        assert out[0] == (0, True)
+        assert out[1] == (1, False) and out[2] == (2, False)
+
+    def test_invariants_and_mirror_equality(self, spark):
+        rows = [(i, (i * 37) % 90 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        size, n_shards = 64, 4
+        got = P.pack_bins_ffd(df, size=size, n_shards=n_shards).collect()
+        # every doc exactly once
+        assert sorted(r["doc_id"] for r in got) == list(range(200))
+        # per-bin fill <= size except flagged oversize singleton bins
+        fills: dict[tuple, int] = {}
+        members: dict[tuple, int] = {}
+        for r in got:
+            k = (r["shard"], r["bin_id"])
+            fills[k] = fills.get(k, 0) + r["n_tokens"]
+            members[k] = members.get(k, 0) + 1
+            if r["bin_oversize"]:
+                assert r["n_tokens"] > size
+        for r in got:
+            k = (r["shard"], r["bin_id"])
+            if r["bin_oversize"]:
+                assert members[k] == 1
+            else:
+                assert fills[k] <= size
+        # the independent Python mirror agrees per shard, doc for doc
+        by_shard: dict[int, list] = {}
+        for r in got:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            mirror = {
+                doc: (b, o)
+                for doc, b, o in P.ffd_pack_py(
+                    [(r["n_tokens"], r["doc_id"]) for r in rs], size
+                )
+            }
+            for r in rs:
+                assert mirror[r["doc_id"]] == (
+                    r["bin_id"], r["bin_oversize"]
+                ), (shard, r["doc_id"])
+
+    def test_partition_layout_invariance(self, spark):
+        rows = [(i, (i * 13) % 40 + 1) for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(
+            (r["doc_id"], r["shard"], r["bin_id"])
+            for r in P.pack_bins_ffd(df, size=32, n_shards=3).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["shard"], r["bin_id"])
+            for r in P.pack_bins_ffd(
+                df.repartition(17), size=32, n_shards=3
+            ).collect()
+        )
+        assert a == b
+
+    def test_bin_stats_waste_accounting(self, spark):
+        rows = [(0, 7), (1, 3), (2, 15)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        packed = P.pack_bins_ffd(df, size=10, n_shards=1)
+        stats = {
+            (r["shard"], r["bin_id"]): (r["n_docs"], r["fill"], r["waste"])
+            for r in P.bin_stats(packed, size=10).collect()
+        }
+        # oversize bin: fill 15, waste clamps to 0; packed bin: 7+3 full
+        assert (0, 0) in stats and stats[(0, 0)] == (1, 15, 0)
+        assert stats[(0, 1)] == (2, 10, 0)
+
+    def test_single_shuffle_one_python_stage(self, spark):
+        rows = [(i, i % 9 + 1) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        plan = (
+            P.pack_bins_ffd(df, size=16, n_shards=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        head = plan.split("== Initial Plan ==")[0]
+        assert head.count("Exchange") == 1, head
+        assert head.count("FlatMapGroupsInPandas") == 1, head
