@@ -348,6 +348,49 @@ def merge_upsert(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str | Path,
+    small_rows: int,
+    n_files: int = 1,
+) -> dict:
+    """OPTIMIZE-style small-file compaction: data files holding fewer
+    than `small_rows` rows are read back and rewritten as ~`n_files`
+    range-partitioned files; every other file carries forward BY
+    REFERENCE into the new snapshot. Content is bit-identical across
+    the compaction (snapshot_diff_keys(old, new) is empty — pinned by
+    the tests); only the file layout changes. This is the maintenance
+    half copy-on-write merges make necessary: every merge_upsert that
+    touches k files writes up to n_files new ones, so a daily-upsert
+    table accretes small files until a scheduled compaction resets the
+    scan's per-file overhead — Iceberg's rewrite_data_files / Delta's
+    OPTIMIZE, table-format semantics rather than a directory rewrite.
+
+    Returns the new manifest, or the CURRENT manifest unchanged when
+    fewer than two files are below the threshold (nothing to gain)."""
+    if small_rows < 1:
+        raise ValueError(f"small_rows must be >= 1, got {small_rows}")
+    m = load_manifest(table_dir)
+    small = [f for f in m["files"] if f["n_rows"] < small_rows]
+    if len(small) < 2:
+        return m
+    carried = [f for f in m["files"] if f["n_rows"] >= small_rows]
+    ddir = _data_dir(table_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[str(ddir / f["file"]) for f in small]
+    )
+    new_files = _write_data_files(df, table_dir, m["key_col"], n_files)
+    return _commit(
+        table_dir,
+        m["version"] + 1,
+        m["key_col"],
+        carried + new_files,
+        parent=m["version"],
+        n_carried=len(carried),
+        n_new_files=len(new_files),
+    )
+
+
 def expire_snapshots(
     table_dir: str | Path, keep_last: int = 1
 ) -> list[str]:

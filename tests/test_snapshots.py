@@ -200,3 +200,49 @@ class TestSchemaEvolution:
         }
         assert d23[190] == "updated"
         assert set(d23) == {190}
+
+
+class TestCompaction:
+    def test_compact_preserves_content_and_reduces_files(self, spark, table):
+        # fragment the table: three single-key merges, each writing its
+        # own small file
+        for k in (10, 50, 150):
+            upd = spark.createDataFrame(
+                [(k, f"U{k}", 0)], schema="k long, name string, val long"
+            )
+            S.merge_upsert(spark, table, upd, n_files=1)
+        before = S.load_manifest(table)
+        v_before = before["version"]
+        got = S.compact_table(spark, table, small_rows=40, n_files=1)
+        assert got["version"] == v_before + 1
+        assert len(got["files"]) < len(before["files"])
+        # content identical: the incremental diff across the compaction
+        # is empty, and full reads agree row for row
+        assert (
+            S.snapshot_diff_keys(spark, table, v_before, got["version"])
+            .count()
+            == 0
+        )
+        a = sorted(
+            tuple(r)
+            for r in S.read_snapshot(spark, table, version=v_before)
+            .select("k", "name", "val")
+            .collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in S.read_snapshot(spark, table)
+            .select("k", "name", "val")
+            .collect()
+        )
+        assert a == b
+        # time travel to the pre-compaction version still works
+        assert S.read_snapshot(spark, table, version=1).count() == 200
+
+    def test_compact_noop_below_two_small_files(self, spark, table):
+        m0 = S.load_manifest(table)
+        m1 = S.compact_table(spark, table, small_rows=2)
+        assert m1["version"] == m0["version"]
+        assert [f["file"] for f in m1["files"]] == [
+            f["file"] for f in m0["files"]
+        ]
