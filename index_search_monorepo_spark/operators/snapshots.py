@@ -352,7 +352,7 @@ def compact_table(
     spark: SparkSession,
     table_dir: str | Path,
     small_rows: int,
-    n_files: int = 1,
+    n_files: int | None = None,
 ) -> dict:
     """OPTIMIZE-style small-file compaction: data files holding fewer
     than `small_rows` rows are read back and rewritten as ~`n_files`
@@ -367,13 +367,23 @@ def compact_table(
     OPTIMIZE, table-format semantics rather than a directory rewrite.
 
     Returns the new manifest, or the CURRENT manifest unchanged when
-    fewer than two files are below the threshold (nothing to gain)."""
+    fewer than two files are below the threshold (nothing to gain).
+    `n_files=None` (default) sizes the rewrite at ~`small_rows` rows
+    per output file — compacted files land at or just above the very
+    threshold that marks files as small, so one compaction's outputs
+    are never immediately eligible for the next."""
     if small_rows < 1:
         raise ValueError(f"small_rows must be >= 1, got {small_rows}")
     m = load_manifest(table_dir)
     small = [f for f in m["files"] if f["n_rows"] < small_rows]
     if len(small) < 2:
         return m
+    if n_files is None:
+        # floor, not ceil: each output file must land AT OR ABOVE the
+        # threshold (total // n >= small_rows), or the compaction's own
+        # outputs would be immediately eligible for the next one
+        total = sum(f["n_rows"] for f in small)
+        n_files = max(1, total // small_rows)
     carried = [f for f in m["files"] if f["n_rows"] >= small_rows]
     ddir = _data_dir(table_dir)
     df = spark.read.option("mergeSchema", "true").parquet(

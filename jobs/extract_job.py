@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
         "(create v1 / copy-on-write merge; operators/snapshots.py)",
     )
     p.add_argument("--publish-files", type=int, default=8)
+    p.add_argument(
+        "--compact-small-rows",
+        type=int,
+        default=None,
+        help="after publishing, run OPTIMIZE-style compaction on the "
+        "snapshot table: rewrite data files smaller than this row count "
+        "(operators/snapshots.compact_table)",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +95,18 @@ def main(argv: list[str] | None = None) -> int:
                 spark, docs, args.publish_table, n_files=args.publish_files
             )
             metrics["snapshot_version"] = m["version"]
+            if args.compact_small_rows:
+                from index_search_monorepo_spark.operators.snapshots import (
+                    compact_table,
+                )
+
+                m = compact_table(
+                    spark,
+                    args.publish_table,
+                    small_rows=args.compact_small_rows,
+                )
+                metrics["snapshot_version"] = m["version"]
+                metrics["snapshot_files"] = len(m["files"])
         print(json.dumps({"mode": "batch", **metrics}))
     spark.stop()
     return 0

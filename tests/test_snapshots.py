@@ -239,6 +239,20 @@ class TestCompaction:
         # time travel to the pre-compaction version still works
         assert S.read_snapshot(spark, table, version=1).count() == 200
 
+    def test_default_sizing_targets_threshold_rows(self, spark, tmp_path):
+        # 6 files x 50 rows, threshold 120 -> total 300 small rows ->
+        # floor(300/120) = 2 output files of ~150 rows, both >= threshold
+        tdir = tmp_path / "tbl2"
+        S.create_table(_base(spark, 300), tdir, key_col="k", n_files=6)
+        m = S.compact_table(spark, tdir, small_rows=120)
+        assert len(m["files"]) == 2
+        assert all(f["n_rows"] >= 120 for f in m["files"])
+        assert sum(f["n_rows"] for f in m["files"]) == 300
+        # outputs are not immediately re-eligible
+        assert S.compact_table(spark, tdir, small_rows=120)["version"] == (
+            m["version"]
+        )
+
     def test_compact_noop_below_two_small_files(self, spark, table):
         m0 = S.load_manifest(table)
         m1 = S.compact_table(spark, table, small_rows=2)
