@@ -34,6 +34,7 @@ from index_search_monorepo_spark.functions.text import (
     string_preparation_expr,
     xmlesc_expr,
 )
+from index_search_monorepo_spark.functions import dehyphen as DHY
 from index_search_monorepo_spark.functions import mojibake as MJB
 from index_search_monorepo_spark.functions import unicode_norm as UNORM
 from index_search_monorepo_spark.operators import bpe as BPE
@@ -4102,7 +4103,19 @@ _CK_FRAGS = PK.chunk_oracle_fragments("t", size=_CK_SIZE, overlap=_CK_OVERLAP)
              {_CK_FRAGS['chunk0_md5']} AS ck_chunk0_md5,
              {_CK_FRAGS['last_tokens']} AS ck_last_tokens
       FROM ckt
-    )
+    ),
+    dhsrc AS (
+      SELECT doc_id,
+             text || chr(10) || 'rejoin exam-' || chr(10)
+                  || 'ple and Smith-' || chr(10)
+                  || 'Jones then 4-' || chr(10) || '2 stays'
+                  || CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN ' mi- ' || chr(10) || ' cro'
+                     WHEN 1 THEN ' dangling-' || chr(10)
+                     ELSE ' plain' END AS dh_src
+      FROM documents
+    ),
+    {DHY.dehyphen_oracle_sql('dhsrc', 'dh_src').lstrip()}
     SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym,
            s.sb_tokens, s.sb_bigram_hits, s.sb_backoffs,
            s.sb_score_e6, s.sb_mean_e6,
@@ -4110,11 +4123,13 @@ _CK_FRAGS = PK.chunk_oracle_fragments("t", size=_CK_SIZE, overlap=_CK_OVERLAP)
            coalesce(c.cooc_top_a, '') AS cooc_top_a,
            coalesce(c.cooc_top_b, '') AS cooc_top_b,
            CAST(coalesce(c.cooc_top_pmi, 0) AS BIGINT) AS cooc_top_pmi,
-           k.ck_n_chunks, k.ck_chunk0_md5, k.ck_last_tokens
+           k.ck_n_chunks, k.ck_chunk0_md5, k.ck_last_tokens,
+           dh.dh_n_joined, dh.dh_n_kept, dh.dh_text
     FROM pk_out p JOIN bpe_out b USING (doc_id)
          JOIN sb_out s USING (doc_id)
          LEFT JOIN cooc_doc c USING (doc_id)
          JOIN ck k USING (doc_id)
+         JOIN dh_out dh USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4176,9 +4191,32 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact token count of the final chunk — Spark measures it off the
     REAL last chunk while the oracle recomputes it arithmetically
     (n - (n_chunks-1)*stride); the two agreeing is the coverage proof.
-    Pure map stage + one doc_id join at gate grain."""
+    Pure map stage + one doc_id join at gate grain.
+
+    ALSO r5 (late): OCR line-break dehyphenation
+    (functions/dehyphen.py) rides the same row — a planted suffix
+    (R1 lowercase join, R2 uppercase compound keep, digit and dangling
+    negatives, a doc_id%3-cycling blank-padded / dangling / plain
+    tail) appended to the REAL text runs both single-pass regex rules
+    in pure codegen; repaired text is value-hashed and the oracle
+    replays both rules via the module's own CTE chain
+    (dehyphen.dehyphen_oracle_sql — Java-regex/RE2 single-pass parity
+    is the contract, pinned in tests/test_dehyphen.py). Zero extra
+    shuffles on the Spark side: the dh_* columns flow through the
+    keep= passthroughs ahead of the packing window."""
     docs = _t(spark, sf_dir, "documents")
-    planted = docs.withColumn(
+    dh_suffix = F.concat(
+        F.lit("\nrejoin exam-\nple and Smith-\nJones then 4-\n2 stays"),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(" mi- \n cro"))
+        .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, F.lit(" dangling-\n"))
+        .otherwise(F.lit(" plain")),
+    )
+    dhd = DHY.with_dehyphenation(
+        docs.withColumn("dh_src", F.concat(F.col("text"), dh_suffix)),
+        "dh_src",
+    ).drop("dh_src")
+    dh_names = ("dh_n_joined", "dh_n_kept", "dh_text")
+    planted = dhd.withColumn(
         "rep_text",
         F.concat(
             F.col("text"),
@@ -4198,8 +4236,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_3gram_pmille",
         "repetition_band",
     )
-    goph = C4.with_gopher_rules(rep, keep=rep_names + ("text",))
-    tok = TS.with_token_stats(goph, keep=rep_names + C4._G_PRODUCED)
+    goph = C4.with_gopher_rules(rep, keep=rep_names + ("text",) + dh_names)
+    tok = TS.with_token_stats(
+        goph, keep=rep_names + C4._G_PRODUCED + dh_names
+    )
     packed = PK.pack_sequences(tok, budget=512, n_shards=8)
     bpe = BPE.with_bpe_tokens(docs, _GATE_MERGES)
     sb_uni = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
