@@ -1705,7 +1705,21 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
     ),
     {SKCH.bloom_oracle_sql('user_id', _BLOOM_SRC,
                            _BLOOM_M, _BLOOM_K).lstrip()},
-    {SKW.skew_report_oracle_sql('events', 'user_id', 50, 10).lstrip()}
+    {SKW.skew_report_oracle_sql('events', 'user_id', 50, 10).lstrip()},
+    hhsrc AS (
+      SELECT user_id FROM events
+      UNION ALL SELECT 999999 FROM events WHERE event_id % 3 = 0
+      UNION ALL SELECT 999998 FROM events WHERE event_id % 8 = 0
+    ),
+    {SKCH.heavy_hitters_oracle_sql('hhsrc', 'user_id', 8).lstrip()},
+    hh_agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS hh_n_heavy,
+             CAST(coalesce(first(key ORDER BY cnt DESC, key), -1)
+               AS BIGINT) AS hh_top_key,
+             CAST(coalesce(first(cnt ORDER BY cnt DESC, key), 0)
+               AS BIGINT) AS hh_top_cnt
+      FROM hh_out
+    )
     SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
            strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
            s.n_sessions, s.max_session_events,
@@ -1717,7 +1731,8 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
              AS bloom_purchase_hit,
            coalesce(k.cnt, 0) AS skw_cnt,
            coalesce(k.share_pmille, 0) AS skw_share_pmille,
-           coalesce(k.n_salts, 0) AS skw_n_salts
+           coalesce(k.n_salts, 0) AS skw_n_salts,
+           h.hh_n_heavy, h.hh_top_key, h.hh_top_cnt
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -1726,6 +1741,7 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
     JOIN tmp_sess s USING (user_id)
     LEFT JOIN tmp_asof a USING (user_id)
     LEFT JOIN skw_out k ON k.key = u.user_id
+    CROSS JOIN hh_agg h
     WHERE u.rn = 1
     """,
 )
@@ -1752,6 +1768,17 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       feeds salted_repartition; users outside the top-k coalesce to 0
       on both sides. The oracle replays count -> share -> n_salts ->
       top-k with the same (cnt DESC, key) total order.
+    - NEW r5 (late) sketches.heavy_hitters_exact (Misra-Gries
+      candidate pruning + exact recount, k=8): a planted hot key
+      (every event_id%3==0 adds a 999999 row, share ~0.23 > 1/9 ->
+      guaranteed) and a planted warm key (event_id%8==0 -> 999998,
+      share ~0.086 < 1/9 -> pruned or unguaranteed) ride every row as
+      the one-row broadcast hh_n_heavy/hh_top_key/hh_top_cnt rollup;
+      the ~1000 natural user keys force real MG decrement traffic
+      through the bounded summaries. Only the deterministic guaranteed
+      set is gated (the MG intermediate is layout-dependent by
+      design); the oracle replays exact counts + the cnt*(k+1) > N
+      threshold from scratch.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -1809,6 +1836,36 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("share_pmille").alias("skw_share_pmille"),
         F.col("n_salts").alias("skw_n_salts"),
     )
+    hot = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.lit(999999).cast("long").alias("user_id")
+    )
+    warm = ev.filter(F.col("event_id") % 8 == 0).select(
+        F.lit(999998).cast("long").alias("user_id")
+    )
+    hh = SKCH.heavy_hitters_exact(
+        ev.select("user_id").unionAll(hot).unionAll(warm), "user_id", k=8
+    )
+    hh_top = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("negc"),
+            F.col("key").alias("key"),
+            F.col("cnt").alias("cnt"),
+        )
+    )
+    hh_agg = (
+        hh.filter("guaranteed")
+        .agg(F.count("*").cast("long").alias("hh_n_heavy"),
+             hh_top.alias("_top"))
+        .select(
+            "hh_n_heavy",
+            F.coalesce(F.col("_top.key"), F.lit(-1))
+            .cast("long")
+            .alias("hh_top_key"),
+            F.coalesce(F.col("_top.cnt"), F.lit(0))
+            .cast("long")
+            .alias("hh_top_cnt"),
+        )
+    )
     return (
         SKCH.bloom_might_contain(
             out, bloom, "user_id", _BLOOM_M, _BLOOM_K,
@@ -1823,6 +1880,7 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skw_share_pmille", F.coalesce("skw_share_pmille", zero)
         )
         .withColumn("skw_n_salts", F.coalesce("skw_n_salts", zero))
+        .crossJoin(F.broadcast(hh_agg))
     )
 
 

@@ -42,6 +42,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from index_search_monorepo_spark.operators.dedup import _persist
 from index_search_monorepo_spark.operators.lm import bitlen_expr, bitlen_sql
 
 HLL_HEX_DIGITS = 12  # 48 hash bits; BIGINT-exact in both engines
@@ -1062,4 +1063,188 @@ def kmv_intersect_oracle_sql(
                    JOIN {table_b} b USING (hv)
                    WHERE a.hv < t.theta) AS BIGINT) AS n_match
       FROM {prefix}theta t
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items -> two-pass EXACT heavy hitters
+#
+# CMS answers "how often does THIS key occur"; it cannot FIND the heavy
+# keys without enumerating candidates. Exact top keys via groupBy over
+# the raw key column shuffles every distinct key — at 10^12 events over
+# URLs/users that is the scan-sized shuffle this repo's plans avoid.
+# The classic fix (Misra & Gries 1982; merge rule per Agarwal, Cormode,
+# Huang, Phillips, Wei & Yi, "Mergeable Summaries", PODS 2012) is a
+# k-counter bounded summary per partition with the containment
+# guarantee: any key whose TRUE count in partition p exceeds N_p/(k+1)
+# survives p's summary, so a key absent from EVERY summary has global
+# count <= sum_p N_p/(k+1) = N/(k+1). The per-partition summaries are
+# therefore a guaranteed SUPERSET of {x : c(x) > N/(k+1)} — the
+# candidate-pruning pass. A second pass recounts ONLY the candidates
+# exactly (map-side combined; the exchange carries <= n_candidates + 1
+# rows per partition, never raw keys) and thresholds at c*(k+1) > N.
+#
+# Determinism contract: the MG summaries themselves are partition-
+# layout-dependent (counter values depend on arrival order) — they are
+# an INTERMEDIATE, never an output. The final guaranteed set
+# {x : c(x) > N/(k+1)} with exact counts is layout-invariant and
+# SQL-replayable (heavy_hitters_oracle_sql) — that is what rides the
+# driver gate; the superset guarantee itself is property-tested across
+# adversarial repartitionings in tests/test_sketches.py.
+#
+# Reference: no counterpart in hathitrust/index_search_monorepo; built
+# per the brief's custom-operator / sketch category.
+# ---------------------------------------------------------------------------
+
+DEFAULT_MG_K = 64
+
+
+def _mg_check(k: int) -> None:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def mg_candidates(
+    df: DataFrame, key_col: str, k: int = DEFAULT_MG_K
+) -> DataFrame:
+    """Pass 1: per-partition Misra-Gries summaries. Emits
+    (key, mg_count) with <= k rows PER INPUT PARTITION — zero shuffle
+    (mapInPandas over the slim key projection), bounded state. mg_count
+    is a lower bound on the key's count within its partition; the union
+    over partitions contains every key with global count > N/(k+1).
+
+    Batch-merge formulation (vectorized; Mergeable Summaries Lemma 1):
+    fold each Arrow batch's exact value_counts into the running
+    summary, then if more than k counters remain subtract the (k+1)-th
+    largest count from all and keep the strictly positive ones — the
+    same error accounting as element-at-a-time MG decrements."""
+    _mg_check(k)
+    field = df.schema[key_col]
+    out_schema = f"key {field.dataType.simpleString()}, mg_count long"
+    keys = df.select(F.col(key_col).alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["key"].value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest from everyone; keep > 0
+                sub = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - sub for key, c in counters.items() if c > sub
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "key": list(counters.keys()),
+                    "mg_count": list(counters.values()),
+                }
+            )
+
+    return keys.mapInPandas(summarize, schema=out_schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    k: int = DEFAULT_MG_K,
+    max_candidates: int = 100_000,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Two-pass exact heavy hitters: (key, cnt, guaranteed) for every
+    MG candidate, where guaranteed = cnt*(k+1) > N (integer, no
+    division). The guaranteed rows are EXACTLY {x : c(x) > N/(k+1)}
+    with exact counts — layout-invariant, oracle-replayable. Rows with
+    guaranteed = false are true counts of surviving candidates below
+    the threshold (useful diagnostics, also exact, but their SET is
+    layout-dependent — filter on `guaranteed` for deterministic
+    output).
+
+    Pass 2 is ONE aggregation computing candidate counts AND the total
+    N together: non-candidate keys collapse to a single NULL group, so
+    the exchange carries <= n_candidates + 1 rows per partition after
+    partial aggregation. The candidate list is a bounded collect
+    (<= input partitions x k, guarded by max_candidates) — the repo's
+    broadcast-dim pattern. The tiny grouped rollup is persisted (its
+    lineage is the full pass-2 scan and BOTH the output and the total-N
+    broadcast read it); pass cache_registry=[] and release with
+    dedup.release_caches once materialized."""
+    _mg_check(k)
+    cand_rows = mg_candidates(df, key_col, k).select("key").distinct()
+    cands = [r["key"] for r in cand_rows.limit(max_candidates + 1).collect()]
+    if len(cands) > max_candidates:
+        raise ValueError(
+            f"mg_candidates produced more than max_candidates="
+            f"{max_candidates} keys; raise k-side pruning or the cap"
+        )
+    key = F.col(key_col)
+    grouped = (
+        df.filter(key.isNotNull())
+        .groupBy(
+            F.when(key.isin(cands), key).alias("key")
+            if cands
+            else F.lit(None).cast(df.schema[key_col].dataType).alias("key")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grouped = _persist(grouped, cache_registry)
+    total = grouped.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        grouped.filter(F.col("key").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") * F.lit(k + 1) > F.col("n")).alias("guaranteed"),
+        )
+    )
+
+
+def mg_candidates_py(values, k: int = DEFAULT_MG_K) -> dict:
+    """Independent element-at-a-time Python mirror of classic MG
+    (Misra & Gries 1982): +1 on hit, insert when room, decrement-all
+    on overflow. Used to cross-check the batch-merge formulation's
+    guarantee, not its exact counter values (both are valid MG
+    summaries; counter values legitimately differ)."""
+    _mg_check(k)
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
+def heavy_hitters_oracle_sql(
+    source_cte: str,
+    key_sql: str,
+    k: int,
+    prefix: str = "hh_",
+) -> str:
+    """CTE chain replaying the deterministic final output from scratch:
+    exact counts thresholded at cnt*(k+1) > N. Exposes {prefix}out:
+    (key, cnt) — the guaranteed heavy-hitter set."""
+    _mg_check(k)
+    p = prefix
+    return f"""
+    {p}cnt AS (
+      SELECT {key_sql} AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM {source_cte} WHERE {key_sql} IS NOT NULL GROUP BY 1
+    ),
+    {p}tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM {p}cnt),
+    {p}out AS (
+      SELECT c.key, c.cnt FROM {p}cnt c, {p}tot t
+      WHERE c.cnt * {k + 1} > t.n
     )"""

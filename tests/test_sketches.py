@@ -738,3 +738,128 @@ class TestKmv:
             SK.kmv_sketch(df, "k", k=0)
         with pytest.raises(ValueError):
             SK.kmv_merge(k=4)
+
+
+class TestHeavyHitters:
+    """Misra-Gries candidate pruning + two-pass exact heavy hitters:
+    the superset guarantee across adversarial partition layouts, exact
+    equality of the guaranteed set to brute force, bounded summary
+    size, plan shape, and DuckDB parity of the oracle chain."""
+
+    def _zipf(self, spark, parts):
+        # deterministic zipf-ish multiset: key i repeated 600 // (i+1)
+        # times -> key 0 has 600 of 1472 total (share 0.41)
+        rows = [(i,) for i in range(12) for _ in range(600 // (i + 1))]
+        return spark.createDataFrame(rows, "k long").repartition(parts)
+
+    def _brute(self, rows, k):
+        from collections import Counter
+
+        c = Counter(v for (v,) in rows)
+        n = sum(c.values())
+        return {key: cnt for key, cnt in c.items() if cnt * (k + 1) > n}
+
+    def test_superset_guarantee_across_layouts(self, spark):
+        rows = [(i,) for i in range(12) for _ in range(600 // (i + 1))]
+        heavy = set(self._brute(rows, 3))
+        assert heavy  # the test must not be vacuous
+        for parts in (1, 3, 7):
+            df = spark.createDataFrame(rows, "k long").repartition(parts)
+            cands = {
+                r["key"] for r in SK.mg_candidates(df, "k", 3).collect()
+            }
+            assert heavy <= cands, (parts, heavy, cands)
+
+    def test_summary_size_bounded(self, spark):
+        df = self._zipf(spark, 5)
+        n_parts = df.rdd.getNumPartitions()
+        got = SK.mg_candidates(df, "k", 4).count()
+        assert got <= 4 * n_parts
+
+    def test_exact_equality_to_brute_force(self, spark):
+        rows = [(i,) for i in range(12) for _ in range(600 // (i + 1))]
+        expected = self._brute(rows, 3)
+        for parts in (1, 4, 9):
+            df = spark.createDataFrame(rows, "k long").repartition(parts)
+            got = {
+                r["key"]: r["cnt"]
+                for r in SK.heavy_hitters_exact(df, "k", 3).collect()
+                if r["guaranteed"]
+            }
+            assert got == expected, parts
+
+    def test_nonguaranteed_counts_are_exact(self, spark):
+        from collections import Counter
+
+        rows = [(i,) for i in range(12) for _ in range(600 // (i + 1))]
+        true = Counter(v for (v,) in rows)
+        df = spark.createDataFrame(rows, "k long").repartition(4)
+        for r in SK.heavy_hitters_exact(df, "k", 3).collect():
+            assert r["cnt"] == true[r["key"]]
+
+    def test_python_mirror_guarantee(self):
+        vals = [i for i in range(12) for _ in range(600 // (i + 1))]
+        summary = SK.mg_candidates_py(vals, 3)
+        heavy = self._brute([(v,) for v in vals], 3)
+        assert set(heavy) <= set(summary)
+        assert len(summary) <= 3
+
+    def test_null_keys_ignored(self, spark):
+        df = spark.createDataFrame(
+            [(1,), (1,), (1,), (None,), (2,)], "k long"
+        )
+        out = SK.heavy_hitters_exact(df, "k", 2).collect()
+        keys = {r["key"] for r in out}
+        assert None not in keys
+        byk = {r["key"]: r for r in out}
+        # N counts non-null rows only: 4; 3*(2+1)=9 > 4 -> guaranteed
+        assert byk[1]["cnt"] == 3 and byk[1]["guaranteed"]
+
+    def test_string_keys(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 9 + [("b",)] * 2 + [("c",)], "k string"
+        )
+        got = {
+            r["key"]: r["guaranteed"]
+            for r in SK.heavy_hitters_exact(df, "k", 2).collect()
+        }
+        assert got["a"] is True  # 9*3 > 12
+
+    def test_candidate_cap_raises(self, spark):
+        df = self._zipf(spark, 5)
+        with pytest.raises(ValueError, match="max_candidates"):
+            SK.heavy_hitters_exact(df, "k", 8, max_candidates=1)
+
+    def test_pass1_plan_no_exchange(self, spark):
+        df = self._zipf(spark, 5)
+        plan = (
+            SK.mg_candidates(df, "k", 4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # repartition() in the fixture is the only exchange; nothing
+        # may sit ABOVE the summarizer (executedPlan prints top-down)
+        above = plan.split("MapInPandas", 1)[0]
+        assert "Exchange" not in above, plan
+
+    def test_duckdb_parity(self, spark):
+        import duckdb as ddb
+
+        rows = [(i,) for i in range(12) for _ in range(600 // (i + 1))]
+        df = spark.createDataFrame(rows, "k long").repartition(6)
+        got = sorted(
+            (r["key"], r["cnt"])
+            for r in SK.heavy_hitters_exact(df, "k", 3).collect()
+            if r["guaranteed"]
+        )
+        con = ddb.connect()
+        con.execute(
+            "CREATE TABLE src AS SELECT unnest(?) AS k",
+            [[v for (v,) in rows]],
+        )
+        oracle = con.execute(
+            f"WITH {SK.heavy_hitters_oracle_sql('src', 'k', 3)}\n"
+            "SELECT key, cnt FROM hh_out ORDER BY key"
+        ).fetchall()
+        assert got == [tuple(r) for r in oracle]
