@@ -3244,6 +3244,10 @@ _MOJI_PASSES_SQL = (
                AS c4_n_sentences
       FROM c4t
     ),
+    {TS.char_entropy_oracle_sql(
+        'documents',
+        "CASE WHEN doc_id % 5 = 0 THEN repeat('z', 64) ELSE text END",
+    ).lstrip()},
     {CLFR.classifier_oracle_sql(
         label_sql="doc_id % 3 <> 0", train_pmille=500, top_k=32,
         bigram_buckets=16,
@@ -3274,9 +3278,11 @@ _MOJI_PASSES_SQL = (
            clf_pred,
            ml_tokens, ml_in_mean_e3, ml_gen_mean_e3, ml_delta_e3, ml_keep,
            {_MOJI_TEXT_SQL} AS moji_text,
-           CAST({_MOJI_PASSES_SQL} AS BIGINT) AS moji_passes
+           CAST({_MOJI_PASSES_SQL} AS BIGINT) AS moji_passes,
+           e.ent_n_chars, e.ent_distinct, e.ent_bits_e3, e.ent_low
     FROM pm JOIN pii USING (doc_id) JOIN c4 USING (doc_id)
          JOIN clf_out USING (doc_id) JOIN ml_out USING (doc_id)
+         JOIN ent_out e USING (doc_id)
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3329,7 +3335,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched kernel; the oracle emits hand-derived expected
     literals (the planted-payload pattern), independently pinned by
     tests/test_mojibake.py. Zero extra joins/shuffles: a doc_id-derived
-    literal column plus one map stage."""
+    literal column plus one map stage.
+
+    ALSO r5 (late): the character-entropy quality signal
+    (textstats.with_char_entropy — integer bitlen surrogate of Shannon
+    entropy, the compressibility-style garbage detector) rides the
+    same row: every doc_id%5==0 swaps in a constant 64-char string so
+    BOTH ent_low verdicts are under the gate; Spark derives the
+    codepoint counts via sort + run boundaries while the oracle uses
+    an independent unnest+groupby formulation
+    (textstats.char_entropy_oracle_sql) — agreement is evidence both
+    derivations are right. Pure projection, zero extra shuffles."""
     docs = _t(spark, sf_dir, "documents")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -3365,11 +3381,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("Final ordinary sentence ends.")),
         ),
     )
+    ent_names = ("ent_n_chars", "ent_distinct", "ent_bits_e3", "ent_low")
+    planted = TS.with_char_entropy(
+        planted.withColumn(
+            "_ent_src",
+            F.when(F.pmod(d, F.lit(5)) == 0, F.lit("z" * 64)).otherwise(
+                F.col("text")
+            ),
+        ),
+        "_ent_src",
+    ).drop("_ent_src")
     c4d = C4.with_c4_rules(
         planted,
         text_col="c4_src",
         bad_words=("badword",),
-        keep=("text", "pii_text"),
+        keep=("text", "pii_text") + ent_names,
     )
     pii = PII.with_pii(c4d, "pii_text").drop("pii_text")
     pii_names = tuple(
@@ -3386,7 +3412,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c4_has_bad_word",
         "c4_keep",
     )
-    out = TS.with_quality(pii, keep=pii_names + c4_names)
+    out = TS.with_quality(pii, keep=pii_names + c4_names + ent_names)
     for c in ("c4_has_brace", "c4_has_lorem", "c4_has_bad_word", "c4_keep"):
         out = out.withColumn(c, F.col(c).cast("long"))
     labeled = docs.withColumn("clf_lab", F.pmod(d, F.lit(3)) != 0)
