@@ -374,6 +374,38 @@ _PR_EDGES_SQL = """predges AS (
              CAST(max(s.df) AS BIGINT) AS pst_max_df
       FROM pst_tdf t JOIN pst_stats s USING (term)
       GROUP BY t.doc_id
+    ),
+    pstseg AS (
+      SELECT term, doc_id // 64 AS seg_id, doc_id,
+             doc_id - coalesce(lag(doc_id) OVER (
+               PARTITION BY term, doc_id // 64 ORDER BY doc_id), 0) AS d
+      FROM pst_tdf
+    ),
+    pstsegsz AS (
+      SELECT term, seg_id,
+             CAST(sum({PST.varint_size_sql('d')}) AS BIGINT) AS nb
+      FROM pstseg GROUP BY term, seg_id
+    ),
+    pstsegmd5 AS (
+      SELECT term, seg_id,
+             md5(string_agg(CAST(b AS VARCHAR), ',' ORDER BY doc_id, g))
+               AS emd5
+      FROM (
+        SELECT term, seg_id, doc_id, g,
+               {PST.varint_byte_sql('d', 'g')} AS b
+        FROM pstseg,
+             unnest(generate_series(1,
+               (length(bin(CAST(d AS BIGINT))) + 6) // 7)) AS t(g)
+      ) GROUP BY term, seg_id
+    ),
+    pstenc AS (
+      SELECT p.doc_id AS pe_id,
+             CAST(sum(z.nb) AS BIGINT) AS pst_enc_bytes,
+             first(m.emd5 ORDER BY p.term) AS pst_enc_md5
+      FROM pst_tdf p
+      JOIN pstsegsz z ON z.term = p.term AND z.seg_id = p.doc_id // 64
+      JOIN pstsegmd5 m ON m.term = p.term AND m.seg_id = p.doc_id // 64
+      GROUP BY p.doc_id
     )
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {string_preparation_sql(spike_text_sql('text'))} AS prepared,
@@ -471,11 +503,14 @@ _PR_EDGES_SQL = """predges AS (
            coalesce(pd.pst_n_terms, 0) AS pst_n_terms,
            coalesce(pd.pst_total_tf, 0) AS pst_total_tf,
            coalesce(pd.pst_max_df, 0) AS pst_max_df,
+           coalesce(pe.pst_enc_bytes, 0) AS pst_enc_bytes,
+           coalesce(pe.pst_enc_md5, '') AS pst_enc_md5,
            coalesce(pb.bm25_e6, 0) AS pst_bm25_e6,
            coalesce(pph.n_phrase_hits, 0) AS pst_phrase_hits,
            coalesce(pnr.n_pairs, 0) AS pst_near_pairs
     FROM pt
     LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
+    LEFT JOIN pstenc pe ON pe.pe_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pb_id, bm25_e6 FROM pst_bm25) pb
            ON pb.pb_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pph_id, n_phrase_hits FROM ph_phrase) pph
@@ -574,7 +609,16 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     THROUGH the index (explode segments -> join per-term df stats ->
     re-aggregate), so segment assembly, ordering, and the stats rollup
     are all under the value hash; the oracle rebuilds (term, doc, tf) +
-    df/cf from scratch."""
+    df/cf from scratch.
+
+    r5r: the varint storage layer (postings.compress_postings — delta +
+    LEB128 over every (term, seg) doc-id list, the Lucene writeVInt
+    shape) rides as pst_enc_bytes (summed encoded size of the doc's
+    terms' segments) and pst_enc_md5 (byte-exact md5 of the
+    alphabetically-first term's segment encoding); the oracle replays
+    gap -> 7-bit-group arithmetic from its rebuilt pst_tdf, so the
+    encoder's BYTES, not just its sizes, sit under the gate. Round-trip
+    decode equality is pinned in tests/test_postings.py."""
     from index_search_monorepo_spark.functions.text import (
         namespace_expr,
         object_id_expr,
@@ -976,6 +1020,46 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pst_n_terms", F.coalesce("pst_n_terms", zero))
         .withColumn("pst_total_tf", F.coalesce("pst_total_tf", zero))
         .withColumn("pst_max_df", F.coalesce("pst_max_df", zero))
+    )
+    # r5r: the varint storage layer rides the same index — every
+    # (term, seg) list is delta+LEB128 encoded by the REAL encoder;
+    # per doc: the summed encoded size of its terms' segments and the
+    # byte-exact md5 of its alphabetically-first term's segment
+    # encoding. The oracle replays gap -> byte-group arithmetic from
+    # the rebuilt pst_tdf, so encoder bytes (not just sizes) are gated.
+    comp = PST.compress_postings(pst_idx).select(
+        "term",
+        "seg_id",
+        "enc_n_bytes",
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.col("enc_bytes"), lambda b: b.cast("string")
+                ),
+            )
+        ).alias("enc_md5"),
+    )
+    pst_enc = (
+        pst_idx.select(
+            "term", "seg_id", F.explode("postings").alias("p")
+        )
+        .select("term", "seg_id", F.col("p.doc_id").alias("pe_id"))
+        .join(comp, ["term", "seg_id"])
+        .groupBy("pe_id")
+        .agg(
+            F.sum("enc_n_bytes").cast("long").alias("pst_enc_bytes"),
+            F.min(F.struct(F.col("term"), F.col("enc_md5")))
+            .getField("enc_md5")
+            .alias("pst_enc_md5"),
+        )
+    )
+    out = (
+        out.join(pst_enc, out["doc_id"] == pst_enc["pe_id"].cast("string"),
+                 "left")
+        .drop("pe_id")
+        .withColumn("pst_enc_bytes", F.coalesce("pst_enc_bytes", zero))
+        .withColumn("pst_enc_md5", F.coalesce("pst_enc_md5", F.lit("")))
     )
     # r5g: ranked retrieval THROUGH the index — bm25_via_postings scores
     # every doc matching 'query' OR 'scan' from index-side stats alone

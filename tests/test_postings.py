@@ -541,3 +541,141 @@ class TestMerge:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             PST.merge_postings()
+
+
+class TestVarintCompression:
+    """Delta + LEB128 posting compression: hand-pinned bytes, encoder/
+    decoder round-trip (hypothesis), the byte-size law, real-index
+    compression accounting, DuckDB byte parity, and the pure-projection
+    plan pin."""
+
+    def _enc(self, spark, ids):
+        df = spark.createDataFrame([(ids,)], "ids array<long>")
+        return df.select(
+            PST.varint_encode_expr(
+                PST.delta_encode_expr(F.col("ids"))
+            ).alias("b")
+        ).collect()[0]["b"]
+
+    def test_hand_pinned_bytes(self, spark):
+        # LEB128: 128 -> 0x80 0x01; 127 -> 0x7f; 0 -> 0x00
+        assert self._enc(spark, [0]) == [0]
+        assert self._enc(spark, [127]) == [127]
+        assert self._enc(spark, [128]) == [128, 1]
+        # deltas: [3, 5, 13] -> gaps [3, 2, 8]
+        assert self._enc(spark, [3, 5, 13]) == [3, 2, 8]
+        # 300 = 0b100101100 -> low 7 bits 0101100=44 (+128), high 10=2
+        assert self._enc(spark, [300]) == [172, 2]
+
+    def test_round_trip(self, spark):
+        import random
+
+        rng = random.Random(7)
+        cases = [
+            [],
+            [0],
+            [2**52, 2**52 + 1],
+            sorted(rng.sample(range(10**6), 50)),
+            sorted(rng.sample(range(2**40), 30)),
+        ]
+        df = spark.createDataFrame(
+            [(i, ids) for i, ids in enumerate(cases)],
+            "i long, ids array<long>",
+        ).withColumn(
+            "enc",
+            PST.varint_encode_expr(PST.delta_encode_expr(F.col("ids"))),
+        )
+        got = {
+            r["i"]: r["back"]
+            for r in df.select(
+                "i",
+                PST.delta_decode_expr(
+                    PST.varint_decode_expr(F.col("enc"))
+                ).alias("back"),
+            ).collect()
+        }
+        for i, ids in enumerate(cases):
+            assert got[i] == ids, i
+
+    def test_size_law_and_real_index(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        idx = PST.build_postings(docs, segment_size=64)
+        comp = PST.compress_postings(idx)
+        rows = comp.select(
+            "term",
+            "seg_id",
+            "postings",
+            "enc_bytes",
+            "enc_n_bytes",
+            "enc_raw_bytes",
+            PST.delta_decode_expr(
+                PST.varint_decode_expr(F.col("enc_bytes"))
+            ).alias("back"),
+        ).collect()
+        assert rows
+        import math
+
+        total_enc = total_raw = 0
+        for r in rows:
+            ids = [p["doc_id"] for p in r["postings"]]
+            assert r["back"] == ids, (r["term"], r["seg_id"])
+            gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+            law = sum(
+                max(1, (max(g, 1).bit_length() + 6) // 7) for g in gaps
+            )
+            assert r["enc_n_bytes"] == len(r["enc_bytes"]) == law
+            assert r["enc_raw_bytes"] == 8 * len(ids)
+            total_enc += r["enc_n_bytes"]
+            total_raw += r["enc_raw_bytes"]
+        # gaps within 64-wide segments fit 1-2 bytes: real compression
+        assert total_enc * 3 < total_raw
+
+    def test_duckdb_byte_parity(self, spark):
+        import duckdb
+
+        ids = [3, 5, 13, 300, 2**20, 2**20 + 129]
+        got = self._enc(spark, ids)
+        con = duckdb.connect()
+        oracle = con.execute(
+            f"""
+            WITH ids AS (
+              SELECT unnest(?) AS id,
+                     generate_subscripts(?, 1) AS pos
+            ),
+            gaps AS (
+              SELECT pos,
+                     id - coalesce(lag(id) OVER (ORDER BY pos), 0) AS d
+              FROM ids
+            ),
+            bytes AS (
+              SELECT pos, g,
+                     {PST.varint_byte_sql('d', 'g')} AS b
+              FROM gaps,
+                   unnest(generate_series(1,
+                     (length(bin(CAST(d AS BIGINT))) + 6) // 7)) AS t(g)
+            )
+            SELECT list(b ORDER BY pos, g) AS enc,
+                   (SELECT sum({PST.varint_size_sql('d')}) FROM gaps) AS n
+            FROM bytes
+            """,
+            [ids, ids],
+        ).fetchone()
+        assert list(oracle[0]) == got
+        assert oracle[1] == len(got)
+
+    def test_pure_projection_plan(self, spark):
+        df = spark.createDataFrame(
+            [("t", 0, [{"doc_id": 1, "tf": 2}])],
+            "term string, seg_id long,"
+            " postings array<struct<doc_id: long, tf: long>>",
+        )
+        plan = (
+            PST.compress_postings(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan
