@@ -44,6 +44,7 @@ from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import layout as LY
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
+from index_search_monorepo_spark.operators import multipattern as MPAT
 from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import frontier as FRO
 from index_search_monorepo_spark.operators import urlnorm as UN
@@ -2600,6 +2601,9 @@ _PASSAGE = (
 )
 
 
+_MP_PATTERNS = ("lorem ipsum", "badphrase", "sers", "the ")
+
+
 @register(
     "dedup_simhash",
     f"""
@@ -2685,7 +2689,16 @@ _PASSAGE = (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_passages,
              CAST(sum(n_words) AS BIGINT) AS dup_passage_words
       FROM ppass GROUP BY doc_id
-    )
+    ),
+    mpsrc AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+                     WHEN 1 THEN ' lorem ipsum dolor'
+                     WHEN 2 THEN ' xbadphrasex' ELSE '' END AS mp_src
+      FROM documents
+    ),
+    {MPAT.pattern_matches_oracle_sql(
+        _MP_PATTERNS, 'mpsrc', 'mp_src').lstrip()}
     SELECT s.doc_id, s.simhash,
            md5(coalesce(list_aggregate(c.kept, 'string_agg', chr(10)), ''))
              AS line_cleaned_md5,
@@ -2693,9 +2706,11 @@ _PASSAGE = (
            coalesce(pagg.n_dup_passages, CAST(0 AS BIGINT))
              AS n_dup_passages,
            coalesce(pagg.dup_passage_words, CAST(0 AS BIGINT))
-             AS dup_passage_words
+             AS dup_passage_words,
+           m.mp_n_matches, m.mp_n_patterns, m.mp_first_pattern, m.mp_hit
     FROM sim s JOIN lclean c USING (doc_id)
     LEFT JOIN pagg USING (doc_id)
+    JOIN mp_out m USING (doc_id)
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2708,7 +2723,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace preserved; broadcast one-row frequent set, corpus never
     shuffles — see TestLineDedup plan pin). The oracle recomputes the
     frequent set and the strip in DuckDB and hashes the cleaned text
-    byte-for-byte; n_lines_dropped is integer-exact."""
+    byte-for-byte; n_lines_dropped is integer-exact.
+
+    ALSO r5 (late): Aho-Corasick multi-pattern blocklist matching
+    (operators/multipattern.py — the substring engine for pattern sets
+    too large for a regex union; one automaton pass per doc, O(len +
+    matches) regardless of pattern count) rides the same row: a
+    multi-word phrase ('lorem ipsum'), an inside-a-word substring
+    ('badphrase' in 'xbadphrasex'), and two naturally-occurring
+    patterns run over text + a doc_id%4-cycling suffix; all-occurrences
+    counts (overlaps included), distinct-pattern counts, and the
+    lexicographically-first hit are value-gated against an independent
+    per-pattern position-scan oracle. One broadcast automaton + one
+    nondeterministic-pinned Arrow stage, zero extra shuffles."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     planted = docs.withColumn(
@@ -2752,12 +2779,30 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("dup_passage_words"),
         )
     )
+    # r5r: Aho-Corasick blocklist matching rides the same row — a
+    # multi-word phrase, an inside-a-word substring and two natural-
+    # text patterns run the REAL automaton kernel over text + a
+    # doc_id%4-cycling planted suffix; the oracle replays ALL-
+    # occurrences counts via independent per-pattern position scans.
+    mp_src = F.concat(
+        F.col("text"),
+        F.when(F.pmod(d, F.lit(4)) == 1, F.lit(" lorem ipsum dolor"))
+        .when(F.pmod(d, F.lit(4)) == 2, F.lit(" xbadphrasex"))
+        .otherwise(F.lit("")),
+    )
+    mp = MPAT.with_pattern_matches(
+        docs.withColumn("_mp_src", mp_src), _MP_PATTERNS, "_mp_src"
+    ).select(
+        "doc_id", "mp_n_matches", "mp_n_patterns", "mp_first_pattern",
+        "mp_hit",
+    )
     return (
         base.join(pagg, "doc_id", "left")
         .withColumn("n_dup_passages", F.coalesce("n_dup_passages", F.lit(0)))
         .withColumn(
             "dup_passage_words", F.coalesce("dup_passage_words", F.lit(0))
         )
+        .join(mp, "doc_id")
     )
 
 
