@@ -41,6 +41,7 @@ from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
 from index_search_monorepo_spark.operators import cooc as CO
 from index_search_monorepo_spark.operators import dedup as D
+from index_search_monorepo_spark.operators import expectations as EXP
 from index_search_monorepo_spark.operators import layout as LY
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
@@ -1294,33 +1295,78 @@ def q_rights_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NEW r5: the Deequ-style expectations pass rides the same entry — seven
+# rules (one per check kind) compiled into ONE aggregation over the same
+# filtered rows, grouped at the entry's own grain, joined back as
+# chk_*_obs/chk_*_ok BIGINT columns. The DuckDB mirror replays the exact
+# integer arithmetic via expectations.checks_select_sql (same spec object).
+_PRICING_CHECKS = [
+    {"rule_id": "chk_qty_nn", "kind": "completeness", "column": "l_quantity",
+     "min_permille": 1000},
+    {"rule_id": "chk_part_uniq", "kind": "uniqueness", "column": "l_partkey",
+     "min_permille": 1},
+    {"rule_id": "chk_line_key", "kind": "key_unique",
+     "columns": ["l_orderkey", "l_linenumber"]},
+    {"rule_id": "chk_price_rng", "kind": "bounds", "column": "price_cents",
+     "lo": 100_000, "hi": 10_000_000},
+    {"rule_id": "chk_flag_dom", "kind": "in_set", "column": "l_returnflag",
+     "values": ["A", "N", "R"]},
+    {"rule_id": "chk_status_fmt", "kind": "pattern", "column": "l_linestatus",
+     "regex": "^[OF]$", "min_permille": 1000},
+    {"rule_id": "chk_nrows", "kind": "row_count", "min_rows": 1,
+     "max_rows": 10**12},
+]
+
+
 @register(
     "pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
-             AS sum_base_price_cents,
-           CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
-             // CAST(count(*) AS BIGINT) AS avg_disc_e4,
-           CAST(count(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    f"""
+    WITH filt AS (
+      SELECT *,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    ),
+    chk AS (
+      SELECT l_returnflag, l_linestatus,
+             {",".join(EXP.checks_select_sql(_PRICING_CHECKS))}
+      FROM filt GROUP BY l_returnflag, l_linestatus
+    ),
+    base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(sum(price_cents) AS BIGINT) AS sum_base_price_cents,
+             CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS avg_disc_e4,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM filt
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT b.*, {",".join(f"c.{c['rule_id']}_obs, c.{c['rule_id']}_ok"
+                          for c in _PRICING_CHECKS)}
+    FROM base b JOIN chk c USING (l_returnflag, l_linestatus)
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A9 partial+final aggregation (TPC-H Q1 shape); integer-cents sums
-    for cross-engine exactness."""
+    for cross-engine exactness.
+
+    NEW r5: data-quality expectations ride the same rows — the real
+    operators/expectations.check_constraints single-pass compile (Deequ
+    shape; reference's imperative ingest checks
+    full_text_document_generator.py:32,101 declared as rules), one rule
+    per kind, grouped at the entry grain and joined back (6-row side →
+    AQE broadcast)."""
     li = _t(spark, sf_dir, "lineitem")
     price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    disc_e4 = F.round(F.col("l_discount") * 10000, 0).cast("long")
-    return (
-        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
-        .groupBy("l_returnflag", "l_linestatus")
+    filt = li.filter(
+        F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+    ).withColumn("price_cents", price_cents)
+    base = (
+        filt.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
-            F.sum(price_cents).cast("long").alias("sum_base_price_cents"),
+            F.sum("price_cents").cast("long").alias("sum_base_price_cents"),
             F.expr(
                 "CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT))"
                 " DIV count(*) AS BIGINT)"
@@ -1328,6 +1374,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("count_order"),
         )
     )
+    chk = EXP.check_constraints(
+        filt,
+        _PRICING_CHECKS,
+        group_cols=["l_returnflag", "l_linestatus"],
+        as_columns=True,
+    )
+    return base.join(chk, ["l_returnflag", "l_linestatus"])
 
 
 @register(
