@@ -314,3 +314,194 @@ def streaming_exact_dedup(
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_key"]
     )
+
+
+# ------------------------------------------------------- streaming LSH --
+
+LSH_VERDICT_SCHEMA = StructType(
+    [
+        StructField("band_no", IntegerType()),
+        StructField("bucket", StringType()),
+        StructField("doc_id", StringType()),
+        StructField("first_doc_id", StringType()),
+    ]
+)
+
+_LSH_CLAIM_STATE = StructType([StructField("first_doc_id", StringType())])
+
+
+def streaming_lsh_bands(
+    stream: DataFrame,
+    text_col: str = "text_concat",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    k: int | None = None,
+    band_size: int = 2,
+    n: int = 4,
+) -> DataFrame:
+    """MinHash banding as PURE expressions, legal on a streaming DataFrame.
+
+    Bit-identical bucket spec to the batch path
+    (operators/dedup.minhash_signatures + lsh_candidate_pairs:
+    sig_i = min over word-n-shingles of md5(i || '|' || shingle),
+    bucket = md5(sig values concat_ws '|') per band) so a bucket claimed
+    by the stream is THE SAME bucket batch LSH would land the document
+    in — streaming verdicts and batch candidate pairs are comparable.
+    The shingle array binds once behind a Project boundary (CLAUDE.md
+    lesson #1) exactly as in the batch operator.
+    """
+    from index_search_monorepo_spark.operators.dedup import (
+        MINHASH_K,
+        word_shingles_expr,
+    )
+
+    k = k or MINHASH_K
+    n_bands = k // band_size
+    shingled = stream.withColumn(
+        "_sh", word_shingles_expr(F.col(text_col), n)
+    )
+
+    def sig_fn(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sigs = shingled.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("ts"),
+        *[
+            F.array_min(F.transform(F.col("_sh"), sig_fn(i))).alias(f"sig_{i}")
+            for i in range(k)
+        ],
+    )
+    return sigs.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"sig_{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bb.band_no", "bb.bucket", "doc_id", "ts")
+
+
+def streaming_lsh_dedup(
+    stream: DataFrame,
+    text_col: str = "text_concat",
+    id_col: str = "doc_id",
+    ts_col: str = "ingest_ts",
+    k: int | None = None,
+    band_size: int = 2,
+    n: int = 4,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Online MinHash-LSH near-duplicate detection across micro-batches.
+
+    The streaming counterpart of operators/dedup.lsh_candidate_pairs: each
+    arriving document's signature is banded (streaming_lsh_bands, same
+    bucket spec as batch); keyed state per (band_no, bucket) remembers the
+    FIRST document that ever claimed the bucket. The operator emits one
+    verdict row per (document, band): ``first_doc_id`` is the claimer — a
+    later near-duplicate sees ``first_doc_id != doc_id`` on every colliding
+    band, across batch boundaries. Fold to document grain per micro-batch
+    with :func:`fold_lsh_verdicts` inside foreachBatch (all of one
+    document's band rows land in its own micro-batch, so the per-batch
+    fold is complete — no second stateful operator needed).
+
+    Scale/state: state is ONE short string per distinct occupied bucket —
+    the same cardinality the batch LSH join shuffles, amortized over the
+    stream's lifetime. Unbounded ingest needs the TTL: ``state_ttl_ms``
+    arms a processing-time timeout that forgets buckets idle longer than
+    the TTL (the dropDuplicatesWithinWatermark trade restated: a
+    duplicate arriving after its bucket expired is re-admitted; batch
+    dedup C1/C8 remains the exactness backstop). Leave it None for
+    drain-mode (availableNow) runs, which must not schedule timeout
+    cleanup batches.
+
+    Within-batch determinism: rows in one bucket group are processed in
+    (ts, doc_id) order, so the first-arrival winner is stable under
+    partition/batch nondeterminism. Errors stay rows; an empty shingle set
+    (text shorter than the shingle width) still produces a signature
+    (md5 of empty min = NULL sigs fold to a shared bucket), and such docs
+    collide only with other sub-shingle docs — filter upstream when that
+    is noise.
+    """
+    import pandas as pd
+
+    bands = streaming_lsh_bands(
+        stream, text_col, id_col, ts_col, k=k, band_size=band_size, n=n
+    )
+
+    def claim(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if first is not None and state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        rows = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "doc_id"], kind="mergesort"
+        )
+        firsts = []
+        for doc in rows["doc_id"]:
+            if first is None:
+                first = doc
+            firsts.append(first)
+        state.update((first,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "band_no": int(key[0]),
+                "bucket": key[1],
+                "doc_id": rows["doc_id"].to_numpy(),
+                "first_doc_id": firsts,
+            }
+        )
+
+    return bands.groupBy("band_no", "bucket").applyInPandasWithState(
+        claim,
+        outputStructType=LSH_VERDICT_SCHEMA,
+        stateStructType=_LSH_CLAIM_STATE,
+        outputMode="append",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if state_ttl_ms is not None else "NoTimeout"
+        ),
+    )
+
+
+def fold_lsh_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Document-grain fold of streaming LSH band verdicts (run as a BATCH
+    op inside foreachBatch, or over the sunk verdict table): a document is
+    a near-duplicate when ANY of its bands was first claimed by a
+    different document; ``dup_of`` is the lexicographically smallest such
+    claimer (deterministic canonical choice, matching batch
+    dedup_filtered_corpus's keep-min convention)."""
+    return (
+        verdicts.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("first_doc_id") != F.col("doc_id"),
+                    F.col("first_doc_id"),
+                )
+            ).alias("dup_of"),
+            F.count("*").cast("long").alias("n_bands"),
+        )
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

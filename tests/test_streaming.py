@@ -683,3 +683,144 @@ def test_streaming_hll_sketch_parity(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_lsh_dedup_cross_batch(spark, tmp_path):
+    """Online LSH: a near-duplicate arriving in a LATER micro-batch is
+    flagged against the batch-1 original (keyed bucket state crosses
+    batches); fresh docs claim their own buckets. Streaming dup pairs are
+    a subset of batch LSH candidate pairs on the same corpus (same bucket
+    spec)."""
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from index_search_monorepo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+    from index_search_monorepo_spark.streaming.incremental import (
+        fold_lsh_verdicts,
+        streaming_lsh_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text_concat", StringType()),
+            StructField("ingest_ts", LongType()),
+        ]
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while seven wizards brew strong coffee at dawn every single "
+        "day of the long cold winter season in the northern mountain town"
+    )
+    variant = base.replace("coffee", "tea")  # near-dup: one word differs
+    fresh = (
+        "completely different subject matter entirely unrelated words "
+        "about database systems query optimization and distributed "
+        "shuffle exchange partitioning strategies for analytical engines"
+    )
+    b1 = [("docA", base, 100), ("docB", fresh, 101)]
+    b2 = [("docC", variant, 200), ("docC2", base, 201)]
+    land = tmp_path / "docs"
+    land.mkdir()
+    for i, batch in enumerate((b1, b2)):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(str(stage))
+        shutil.copy(next(stage.glob("*.parquet")), land / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+    )
+    q = (
+        streaming_lsh_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_verdicts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    verdicts = spark.sql("SELECT * FROM lsh_verdicts")
+    folded = {r["doc_id"]: r for r in fold_lsh_verdicts(verdicts).collect()}
+    assert set(folded) == {"docA", "docB", "docC", "docC2"}
+    # batch-1 docs claimed their own buckets
+    assert not folded["docA"]["is_dup"] and not folded["docB"]["is_dup"]
+    # exact copy in batch 2 collides on EVERY band with docA
+    assert folded["docC2"]["is_dup"] and folded["docC2"]["dup_of"] == "docA"
+    # one-word variant collides on at least one band -> near-dup of docA
+    assert folded["docC"]["is_dup"] and folded["docC"]["dup_of"] == "docA"
+    # parity: every streaming dup pair is a batch LSH candidate pair
+    corpus = spark.createDataFrame(b1 + b2, schema)
+    batch_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(corpus, text_col="text_concat").collect()
+    }
+    for doc, row in folded.items():
+        if row["is_dup"]:
+            pair = tuple(sorted((doc, row["dup_of"])))
+            assert pair in batch_pairs
+
+
+def test_streaming_lsh_within_batch_determinism(spark, tmp_path):
+    """Two copies in the SAME micro-batch: the (ts, doc_id)-first row wins
+    the bucket deterministically."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from index_search_monorepo_spark.streaming.incremental import (
+        fold_lsh_verdicts,
+        streaming_lsh_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text_concat", StringType()),
+            StructField("ingest_ts", LongType()),
+        ]
+    )
+    text = (
+        "identical content rows landing in one micro batch must choose "
+        "one deterministic winner by timestamp then id ordering rules"
+    )
+    land = tmp_path / "docs"
+    land.mkdir()
+    spark.createDataFrame(
+        [("z_late", text, 5), ("a_early", text, 3)], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import shutil
+
+    shutil.copy(
+        next((tmp_path / "stage").glob("*.parquet")), land / "b0.parquet"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(land))
+    q = (
+        streaming_lsh_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_verdicts2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = {
+        r["doc_id"]: r
+        for r in fold_lsh_verdicts(
+            spark.sql("SELECT * FROM lsh_verdicts2")
+        ).collect()
+    }
+    assert not folded["a_early"]["is_dup"]
+    assert folded["z_late"]["is_dup"] and folded["z_late"]["dup_of"] == "a_early"
