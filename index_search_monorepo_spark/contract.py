@@ -4556,6 +4556,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'sample') for the doc_fingerprint gate's sampled flag
 _SAMPLE_HASH_SQL = PK.hash_key_sql("doc_id", "sample")
 
+# NEW r5: leakage-safe group split rides the same gate — fold on the
+# documents' SOURCE feed (never doc_id) so same-source docs share a split
+_SPLIT_FOLD_SQL, _SPLIT_CASE_SQL = PK.group_split_sql("source")
+
 
 @register(
     "doc_fingerprint",
@@ -4598,8 +4602,12 @@ _SAMPLE_HASH_SQL = PK.hash_key_sql("doc_id", "sample")
            CAST(CASE WHEN coalesce(h.n_contaminated_shingles, 0) >= 1
                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
            CAST(CASE WHEN {_SAMPLE_HASH_SQL} % 1000 < 100
-                THEN 1 ELSE 0 END AS BIGINT) AS sampled_100pmille
+                THEN 1 ELSE 0 END AS BIGINT) AS sampled_100pmille,
+           s.split_fold, s.split
     FROM fp f LEFT JOIN hits h USING (doc_id)
+    JOIN (SELECT doc_id, {_SPLIT_FOLD_SQL} AS split_fold,
+                 {_SPLIT_CASE_SQL} AS split
+          FROM documents) s USING (doc_id)
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4624,7 +4632,13 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sampled_100pmille"),
     )
-    return TS.with_fingerprint(docs).join(decon, "doc_id")
+    # NEW r5: leakage-safe split — the REAL with_group_split keyed on the
+    # source feed (group members can never straddle train/eval); join-free
+    # map-side column in the operator, joined here only for the gate grain
+    split = PK.with_group_split(docs, "source").select(
+        "doc_id", "split_fold", "split"
+    )
+    return TS.with_fingerprint(docs).join(decon, "doc_id").join(split, "doc_id")
 
 
 # multimodal gate corpus: EVEN doc_ids carry a REAL binary PPM payload with

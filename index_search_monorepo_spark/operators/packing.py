@@ -703,3 +703,87 @@ def chunk_oracle_fragments(
             f" ELSE {n} - (({n_chunks}) - 1) * {stride} END AS BIGINT)"
         ),
     }
+
+
+# ------------------------------------------------------- group-aware split --
+
+
+def with_group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 980),
+        ("val", 10),
+        ("test", 10),
+    ),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the fold is computed on a
+    GROUP key (domain, source feed, dedup cluster id), never on the
+    document id, so every member of a group lands in the SAME split —
+    near-duplicates and same-source documents cannot straddle train and
+    eval, the contamination path a doc-keyed split leaves open (the same
+    failure class decontaminate() guards against, applied to the split
+    boundary itself).
+
+    ``splits`` are (name, permille) in order; permilles must be positive
+    and sum to exactly 1000 — the assignment covers the fold space with
+    no gap and no overlap. Adds ``{out_col}_fold`` (BIGINT in [0, 1000),
+    the md5 fold of the salted group key — hash_key_expr, the module's
+    shared sampling primitive) and ``{out_col}`` (VARCHAR split name).
+
+    Scale: join-free, shuffle-free, one md5 per row — the split of a
+    100 TB corpus costs a map-side projection, and the assignment is
+    reproducible from (group key, salt) alone: re-runs, backfills, and
+    incremental batches agree without coordination. Different salts give
+    independent fold spaces (fresh split redraws)."""
+    names = [nm for nm, _ in splits]
+    weights = [w for _, w in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    if any(w <= 0 for w in weights) or sum(weights) != 1000:
+        raise ValueError(
+            f"split permilles must be positive and sum to 1000: {splits}"
+        )
+    fold_col = f"{out_col}_fold"
+    out = df.withColumn(
+        fold_col, (hash_key_expr(F.col(group_col), salt) % 1000).cast("long")
+    )
+    cum = 0
+    case = None
+    for nm, w in splits[:-1]:
+        cum += w
+        cond = F.col(fold_col) < cum
+        case = F.when(cond, F.lit(nm)) if case is None else case.when(
+            cond, F.lit(nm)
+        )
+    last = F.lit(splits[-1][0])
+    return out.withColumn(
+        out_col, last if case is None else case.otherwise(last)
+    )
+
+
+def group_split_sql(
+    group_sql: str,
+    splits: tuple[tuple[str, int], ...] = (
+        ("train", 980),
+        ("val", 10),
+        ("test", 10),
+    ),
+    salt: str = "split",
+) -> tuple[str, str]:
+    """DuckDB mirror of with_group_split: returns (fold_sql, case_sql)
+    over the same md5 fold (hash_key_sql) and threshold chain."""
+    fold = f"({hash_key_sql(group_sql, salt)} % 1000)"
+    cum = 0
+    whens = []
+    for nm, w in splits[:-1]:
+        cum += w
+        whens.append(f"WHEN {fold} < {cum} THEN '{nm}'")
+    case = (
+        f"(CASE {' '.join(whens)} ELSE '{splits[-1][0]}' END)"
+        if whens
+        else f"'{splits[-1][0]}'"
+    )
+    return f"CAST({fold} AS BIGINT)", case

@@ -301,3 +301,63 @@ class TestFfdBinPacking:
         head = plan.split("== Initial Plan ==")[0]
         assert head.count("Exchange") == 1, head
         assert head.count("FlatMapGroupsInPandas") == 1, head
+
+
+def test_group_split_leakage_safe(spark):
+    """All members of a group land in the SAME split; folds are a function
+    of (group, salt) only; permilles validate."""
+    import pandas as pd
+    import pytest
+
+    from index_search_monorepo_spark.operators import packing as PK
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "grp": [f"domain{i % 23}.example" for i in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = PK.with_group_split(df, "grp").toPandas()
+    # leakage safety: one split per group, regardless of doc_id
+    per_group = out.groupby("grp")["split"].nunique()
+    assert (per_group == 1).all()
+    per_group_fold = out.groupby("grp")["split_fold"].nunique()
+    assert (per_group_fold == 1).all()
+    assert set(out["split"]).issubset({"train", "val", "test"})
+    # deterministic across calls and independent across salts
+    out2 = PK.with_group_split(df, "grp").toPandas()
+    assert (out["split_fold"].to_numpy() == out2["split_fold"].to_numpy()).all()
+    redraw = PK.with_group_split(df, "grp", salt="split2").toPandas()
+    assert (out["split_fold"].to_numpy() != redraw["split_fold"].to_numpy()).any()
+    with pytest.raises(ValueError, match="sum to 1000"):
+        PK.with_group_split(df, "grp", splits=(("a", 500), ("b", 400)))
+    with pytest.raises(ValueError, match="duplicate split names"):
+        PK.with_group_split(df, "grp", splits=(("a", 500), ("a", 500)))
+
+
+def test_group_split_duckdb_parity(spark):
+    import duckdb
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators import packing as PK
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(60), "grp": [f"g{i % 11}" for i in range(60)]}
+    )
+    splits = (("train", 900), ("heldout", 100))
+    got = (
+        PK.with_group_split(spark.createDataFrame(pdf), "grp", splits=splits)
+        .orderBy("doc_id")
+        .toPandas()[["doc_id", "split_fold", "split"]]
+    )
+    fold_sql, case_sql = PK.group_split_sql("grp", splits=splits)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    oracle = con.execute(
+        f"SELECT doc_id, {fold_sql} AS split_fold, {case_sql} AS split "
+        f"FROM t ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), oracle, check_dtype=False
+    )
