@@ -4633,12 +4633,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sampled_100pmille"),
     )
     # NEW r5: leakage-safe split — the REAL with_group_split keyed on the
-    # source feed (group members can never straddle train/eval); join-free
-    # map-side column in the operator, joined here only for the gate grain
-    split = PK.with_group_split(docs, "source").select(
-        "doc_id", "split_fold", "split"
-    )
-    return TS.with_fingerprint(docs).join(decon, "doc_id").join(split, "doc_id")
+    # source feed (group members can never straddle train/eval); join-free:
+    # the map-side split columns ride the fingerprint projection via keep
+    return TS.with_fingerprint(
+        PK.with_group_split(docs, "source"), keep=("split_fold", "split")
+    ).join(decon, "doc_id")
 
 
 # multimodal gate corpus: EVEN doc_ids carry a REAL binary PPM payload with

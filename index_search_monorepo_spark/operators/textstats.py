@@ -544,11 +544,17 @@ def with_lang_id_full(
 
 
 def with_fingerprint(
-    df: DataFrame, text_col: str = "text", shingle_len: int = 8, stride: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_len: int = 8,
+    stride: int = 4,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Document fingerprint: min-MD5 over overlapping character shingles
     (winnowing-style rolling fingerprint, MinHash k=1 over char n-grams).
-    Robust to small edits at the tail; exact string output."""
+    Robust to small edits at the tail; exact string output. ``keep``
+    carries extra input columns through (module keep convention) so
+    composed per-doc columns ride without a join."""
     text = F.col(text_col)
     n_sh = F.greatest(
         F.ceil((F.length(text) - F.lit(shingle_len) + 1) / F.lit(float(stride))),
@@ -562,6 +568,7 @@ def with_fingerprint(
         "doc_id",
         F.array_min(shingles).alias("fingerprint"),
         n_sh.cast("long").alias("n_shingles"),
+        *keep,
     )
 
 
