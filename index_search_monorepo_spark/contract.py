@@ -4145,9 +4145,20 @@ _NFC_FRAGS = UNORM.nfc_oracle_fragments("nsrc")
              {_NFC_FRAGS["nfc_changed"]} AS nfc_changed,
              {_NFC_FRAGS["nfc_chars"]} AS nfc_chars
       FROM nfcsrc
+    ),
+    {SKCH.hist_oracle_sql('n_chars', 'documents', 0, 4096, 64,
+                          group_sql='lang').lstrip()},
+    {SKCH.hist_quantile_oracle_sql(100, 0, 4096, 64, group_sql='lang',
+                                   prefix='adpt_').lstrip()},
+    adpt AS (
+      SELECT d.doc_id, CAST(q.q_est AS BIGINT) AS adpt_thr,
+             CAST(CASE WHEN d.n_chars >= q.q_est THEN 1 ELSE 0 END
+                  AS BIGINT) AS adpt_keep
+      FROM documents d JOIN adpt_q q USING (lang)
     )
-    SELECT m.*, n.nfc_text, n.nfc_changed, n.nfc_chars
-    FROM mix_out m JOIN nfc n USING (doc_id)
+    SELECT m.*, n.nfc_text, n.nfc_changed, n.nfc_chars,
+           a.adpt_thr, a.adpt_keep
+    FROM mix_out m JOIN nfc n USING (doc_id) JOIN adpt a USING (doc_id)
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4192,7 +4203,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "_nsrc",
     ).select("doc_id", "nfc_text", "nfc_changed", "nfc_chars")
-    return mixed.join(nfc, "doc_id")
+    # NEW r5 (late): per-language adaptive length cutoff — the REAL
+    # textstats.with_adaptive_quality (histogram-sketch p100-permille per
+    # lang stratum, one-row broadcast threshold map); the oracle replays
+    # the hist bucket fold + running-count quantile pick per lang.
+    adpt = TS.with_adaptive_quality(
+        docs, "n_chars", "lang", q_pmille=100, lo=0, hi=4096, n_buckets=64
+    ).select("doc_id", "adpt_thr", "adpt_keep")
+    return mixed.join(nfc, "doc_id").join(adpt, "doc_id")
 
 
 

@@ -780,3 +780,102 @@ def char_entropy_oracle_sql(
                AS BIGINT) AS {p}low
       FROM {source_cte} s LEFT JOIN {p}agg a USING (doc_id)
     )"""
+
+
+# ------------------------------------------------- adaptive quality cutoff --
+
+
+def adaptive_quality_threshold(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q_pmille: int = 100,
+    lo: int = 0,
+    hi: int = 1024,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-group score threshold at the q_pmille-th quantile, from the
+    mergeable histogram sketch (sketches.hist_sketch/hist_quantile_est):
+    (group_col, score_thr, group_n). Absolute quality cutoffs are
+    miscalibrated across languages/domains — a diversity score that means
+    'boilerplate' in English is normal in an agglutinative language — so
+    corpus filters in practice set the cutoff per stratum at a fixed
+    percentile (the FineWeb/RefinedWeb adaptive-threshold recipe). The
+    sketch keeps the pass map-side: raw scores never shuffle, the
+    exchange carries ≤ n_buckets rows per group, and the estimate is
+    deterministic with error ≤ one bucket width (the documented
+    hist_quantile_est bound)."""
+    from index_search_monorepo_spark.operators.sketches import (
+        hist_quantile_est,
+        hist_sketch,
+    )
+
+    sk = hist_sketch(df, score_col, lo, hi, n_buckets, group_cols=[group_col])
+    return hist_quantile_est(
+        sk, q_pmille, lo, hi, n_buckets, group_cols=[group_col]
+    ).select(
+        group_col,
+        F.col("q_est").alias("score_thr"),
+        F.col("n").alias("group_n"),
+    )
+
+
+def with_adaptive_quality(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q_pmille: int = 100,
+    lo: int = 0,
+    hi: int = 1024,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Adds ``adpt_thr`` (the row's group threshold) and ``adpt_keep``
+    (BIGINT 1 when score >= threshold) — flag-don't-drop so the verdict
+    is auditable and oracle-checkable at doc grain; compose with
+    ``.filter("adpt_keep = 1")`` (adaptive_quality_filter) to excise.
+
+    The per-group threshold table rides back as a ONE-ROW broadcast map
+    (map_from_entries + crossJoin(broadcast) + try_element_at — the
+    with_mixture_sampling convention, CLAUDE.md lesson #10): the corpus
+    never shuffles, and when group_col is an expensive derived column
+    (lang_id output) it is referenced only inside one Project. A NULL
+    group looks up a NULL threshold → adpt_keep=0 (quarantine, not
+    crash); bucket NULLs to a sentinel stratum upstream when they should
+    participate."""
+    thr = adaptive_quality_threshold(
+        df, score_col, group_col, q_pmille, lo, hi, n_buckets
+    )
+    thr_map = thr.filter(F.col(group_col).isNotNull()).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(group_col), F.col("score_thr")))
+        ).alias("_adpt_thrs")
+    )
+    out = (
+        df.crossJoin(F.broadcast(thr_map))
+        .withColumn(
+            "adpt_thr", F.try_element_at(F.col("_adpt_thrs"), F.col(group_col))
+        )
+        .drop("_adpt_thrs")
+    )
+    return out.withColumn(
+        "adpt_keep",
+        F.when(F.col(score_col) >= F.col("adpt_thr"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def adaptive_quality_filter(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    q_pmille: int = 100,
+    lo: int = 0,
+    hi: int = 1024,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Drop rows below their group's adaptive quantile cutoff (keeps the
+    adpt_thr evidence column; see with_adaptive_quality)."""
+    return with_adaptive_quality(
+        df, score_col, group_col, q_pmille, lo, hi, n_buckets
+    ).filter(F.col("adpt_keep") == 1)

@@ -904,3 +904,57 @@ class TestSemanticDedup:
             semantic_dedup(
                 self._emb(spark), init_ids=[1, 10], max_cell_rows=2
             )
+
+
+def test_adaptive_quality_threshold_per_group(spark):
+    """Per-group quantile cutoffs: each language gets its OWN threshold
+    (an absolute cutoff would drop all of the short-scored language);
+    verdicts match the independent Python histogram mirror."""
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators.sketches import (
+        hist_quantile_py,
+        hist_sketch_py,
+    )
+
+    # lang A scores cluster high (600..790), lang B low (100..290)
+    rows = [("a%d" % i, "A", 600 + i * 10) for i in range(20)]
+    rows += [("b%d" % i, "B", 100 + i * 10) for i in range(20)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "score"])
+    df = spark.createDataFrame(pdf)
+    out = TS.with_adaptive_quality(
+        df, "score", "lang", q_pmille=250, lo=0, hi=1024, n_buckets=64
+    ).toPandas()
+    for lang in ("A", "B"):
+        vals = pdf[pdf["lang"] == lang]["score"].tolist()
+        expect = hist_quantile_py(
+            hist_sketch_py(vals, 0, 1024, 64), 250, 0, 1024, 64
+        )
+        sub = out[out["lang"] == lang]
+        assert (sub["adpt_thr"] == expect).all()
+        assert (
+            (sub["score"] >= expect).astype(int)
+            == sub["adpt_keep"].astype(int)
+        ).all()
+    # each group keeps most of itself: per-group cutoffs, not global
+    kept = out[out["adpt_keep"] == 1]
+    assert (kept["lang"] == "B").sum() >= 14  # global p25 would keep ~0 of B
+    assert (kept["lang"] == "A").sum() >= 14
+    # filter wrapper drops exactly the flagged rows
+    n_kept = TS.adaptive_quality_filter(
+        df, "score", "lang", q_pmille=250, lo=0, hi=1024, n_buckets=64
+    ).count()
+    assert n_kept == len(kept)
+
+
+def test_adaptive_quality_null_group_quarantined(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": ["x", "y"], "lang": ["A", None], "score": [500, 500]}
+    )
+    out = TS.with_adaptive_quality(
+        spark.createDataFrame(pdf), "score", "lang"
+    ).toPandas()
+    row = out[out["doc_id"] == "y"].iloc[0]
+    assert pd.isna(row["adpt_thr"]) and row["adpt_keep"] == 0
