@@ -1326,25 +1326,16 @@ _PRICING_CHECKS = [
              CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
       FROM lineitem
       WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
-    ),
-    chk AS (
-      SELECT l_returnflag, l_linestatus,
-             {",".join(EXP.checks_select_sql(_PRICING_CHECKS))}
-      FROM filt GROUP BY l_returnflag, l_linestatus
-    ),
-    base AS (
-      SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-             CAST(sum(price_cents) AS BIGINT) AS sum_base_price_cents,
-             CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
-               // CAST(count(*) AS BIGINT) AS avg_disc_e4,
-             CAST(count(*) AS BIGINT) AS count_order
-      FROM filt
-      GROUP BY l_returnflag, l_linestatus
     )
-    SELECT b.*, {",".join(f"c.{c['rule_id']}_obs, c.{c['rule_id']}_ok"
-                          for c in _PRICING_CHECKS)}
-    FROM base b JOIN chk c USING (l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(price_cents) AS BIGINT) AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS avg_disc_e4,
+           CAST(count(*) AS BIGINT) AS count_order,
+           {",".join(EXP.checks_select_sql(_PRICING_CHECKS))}
+    FROM filt
+    GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,16 +1346,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/expectations.check_constraints single-pass compile (Deequ
     shape; reference's imperative ingest checks
     full_text_document_generator.py:32,101 declared as rules), one rule
-    per kind, grouped at the entry grain and joined back (6-row side →
-    AQE broadcast)."""
+    per kind. The base rollup rides the SAME aggregation via extra_aggs
+    — one scan, one Aggregate (plus the distinct rules' Expand), zero
+    joins."""
     li = _t(spark, sf_dir, "lineitem")
     price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     filt = li.filter(
         F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
     ).withColumn("price_cents", price_cents)
-    base = (
-        filt.groupBy("l_returnflag", "l_linestatus")
-        .agg(
+    return EXP.check_constraints(
+        filt,
+        _PRICING_CHECKS,
+        group_cols=["l_returnflag", "l_linestatus"],
+        as_columns=True,
+        extra_aggs=[
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
             F.sum("price_cents").cast("long").alias("sum_base_price_cents"),
             F.expr(
@@ -1372,15 +1367,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV count(*) AS BIGINT)"
             ).alias("avg_disc_e4"),
             F.count("*").cast("long").alias("count_order"),
-        )
+        ],
     )
-    chk = EXP.check_constraints(
-        filt,
-        _PRICING_CHECKS,
-        group_cols=["l_returnflag", "l_linestatus"],
-        as_columns=True,
-    )
-    return base.join(chk, ["l_returnflag", "l_linestatus"])
 
 
 @register(

@@ -187,6 +187,24 @@ def _agg_exprs(i: int, c: dict) -> list[Column]:
     raise AssertionError(kind)
 
 
+def _agg_aliases(i: int, c: dict) -> list[str]:
+    """Internal metric column names _agg_exprs(i, c) produces."""
+    kind = c["kind"]
+    if kind == "completeness":
+        return [f"_c{i}_nn"]
+    if kind == "uniqueness":
+        return [f"_c{i}_nn", f"_c{i}_nd"]
+    if kind == "key_unique":
+        return [f"_c{i}_nd"]
+    if kind == "row_count":
+        return []
+    if kind in ("bounds", "in_set"):
+        return [f"_c{i}_viol"]
+    if kind == "pattern":
+        return [f"_c{i}_nn", f"_c{i}_match"]
+    raise AssertionError(kind)
+
+
 def _post_exprs(i: int, c: dict) -> tuple[Column, Column]:
     """(observed, ok) expressions over the aggregated row."""
     kind = c["kind"]
@@ -218,18 +236,28 @@ def check_constraints(
     checks: list[dict],
     group_cols: list[str] | None = None,
     as_columns: bool = False,
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Evaluate all checks in ONE aggregation pass over ``df``.
 
     Default output is rule grain (one row per rule, per group when
     ``group_cols`` is given). ``as_columns=True`` pivots to one row per
     group with ``{rule_id}_obs`` / ``{rule_id}_ok`` BIGINT columns.
+
+    ``extra_aggs`` (column mode only): caller aggregate expressions that
+    ride the SAME groupBy().agg() — a rollup and its quality checks in
+    one scan instead of two (at 100 TB the metrics pass shares the pass
+    that was already touching every byte). Their aliased columns come
+    first in the output, after the group keys.
     """
     checks = [_norm_check(c) for c in checks]
     ids = [c["rule_id"] for c in checks]
     if len(set(ids)) != len(ids):
         raise ValueError(f"duplicate rule_id in checks: {ids}")
+    if extra_aggs and not as_columns:
+        raise ValueError("extra_aggs requires as_columns=True")
     aggs: list[Column] = [F.count(F.lit(1)).cast("long").alias("_total")]
+    aggs.extend(extra_aggs or [])
     for i, c in enumerate(checks):
         aggs.extend(_agg_exprs(i, c))
     grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
@@ -237,6 +265,14 @@ def check_constraints(
     group_sel = [F.col(g) for g in (group_cols or [])]
     if as_columns:
         sel = list(group_sel)
+        hidden = {"_total"} | {
+            a for i, c in enumerate(checks) for a in _agg_aliases(i, c)
+        }
+        sel.extend(
+            F.col(name)
+            for name in agg.columns
+            if name not in hidden and name not in (group_cols or [])
+        )
         for i, c in enumerate(checks):
             obs, ok = _post_exprs(i, c)
             sel.append(obs.alias(f"{c['rule_id']}_obs"))

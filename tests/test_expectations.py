@@ -162,3 +162,41 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="non-empty 'values'"):
         EXP._norm_check({"rule_id": "x", "kind": "in_set", "column": "c",
                          "values": []})
+
+
+def test_extra_aggs_single_pass(spark):
+    """A rollup and its checks share ONE aggregation: one scan, no join;
+    extra agg columns come first."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from pyspark.sql import functions as F
+
+    out = EXP.check_constraints(
+        li,
+        [
+            {"rule_id": "qn", "kind": "completeness", "column": "l_quantity"},
+            {"rule_id": "pu", "kind": "uniqueness", "column": "l_partkey",
+             "min_permille": 1},
+        ],
+        group_cols=["l_returnflag"],
+        as_columns=True,
+        extra_aggs=[F.count("*").cast("long").alias("n_rows")],
+    )
+    assert out.columns == [
+        "l_returnflag", "n_rows", "qn_obs", "qn_ok", "pu_obs", "pu_ok",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    rows = {r["l_returnflag"]: r for r in out.collect()}
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert {k: v["n_rows"] for k, v in rows.items()} == totals
+    with pytest.raises(ValueError, match="extra_aggs requires"):
+        EXP.check_constraints(
+            li, [{"rule_id": "x", "kind": "row_count"}],
+            extra_aggs=[F.count("*").alias("n")],
+        )
