@@ -260,3 +260,51 @@ class TestCompaction:
         assert [f["file"] for f in m1["files"]] == [
             f["file"] for f in m0["files"]
         ]
+
+
+def test_write_audit_publish_gate(spark, tmp_path):
+    """WAP: a batch failing its declared contract never becomes a readable
+    version (refusal is a status row + a recorded audit, not an
+    exception); a clean batch publishes with its audit on file;
+    allow_failed=True publishes AND keeps the failed audit (auditable
+    override)."""
+    import json
+
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators import snapshots as SNAP
+    from index_search_monorepo_spark.plans.pipeline import (
+        publish_snapshot_audited,
+    )
+
+    table = str(tmp_path / "tbl")
+    checks = [
+        {"rule_id": "id_nn", "kind": "completeness", "column": "id",
+         "min_permille": 1000},
+        {"rule_id": "nrows", "kind": "row_count", "min_rows": 2,
+         "max_rows": 1000},
+    ]
+    good = spark.createDataFrame(
+        pd.DataFrame({"id": ["a", "b", "c"], "v": [1, 2, 3]})
+    )
+    r1 = publish_snapshot_audited(spark, good, table, checks)
+    assert r1["published"] and r1["version"] == 1 and r1["failed"] == []
+    audit1 = json.loads(open(r1["audit_path"]).read())
+    assert audit1["failed"] == [] and len(audit1["rules"]) == 2
+    # bad batch: a NULL id violates completeness -> refused, version holds
+    bad = spark.createDataFrame(
+        pd.DataFrame({"id": ["d", None, "e"], "v": [4, 5, 6]})
+    )
+    r2 = publish_snapshot_audited(spark, bad, table, checks)
+    assert not r2["published"] and r2["failed"] == ["id_nn"]
+    assert SNAP.current_version(table) == 1
+    assert "refused-0001" in r2["audit_path"]
+    # override: publishes v2, failed audit stays on record
+    r3 = publish_snapshot_audited(
+        spark, bad, table, checks, allow_failed=True
+    )
+    assert r3["published"] and r3["version"] == 2
+    assert r3["failed"] == ["id_nn"]
+    audit3 = json.loads(open(r3["audit_path"]).read())
+    assert audit3["failed"] == ["id_nn"] and audit3["overridden"]
+    assert SNAP.current_version(table) == 2

@@ -824,3 +824,91 @@ def test_streaming_lsh_within_batch_determinism(spark, tmp_path):
     }
     assert not folded["a_early"]["is_dup"]
     assert folded["z_late"]["is_dup"] and folded["z_late"]["dup_of"] == "a_early"
+
+
+def test_streaming_lsh_state_ttl_expires(spark, tmp_path):
+    """TTL-bounded bucket state: after the processing-time timeout fires,
+    a re-arrival of the same content claims the bucket fresh (the
+    dropDuplicatesWithinWatermark trade restated for LSH state)."""
+    import shutil
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from index_search_monorepo_spark.streaming.incremental import (
+        fold_lsh_verdicts,
+        streaming_lsh_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text_concat", StringType()),
+            StructField("ingest_ts", LongType()),
+        ]
+    )
+    text = (
+        "bucket state must expire after the processing time timeout so a "
+        "late duplicate is readmitted as the new first claimer of it all"
+    )
+    land = tmp_path / "docs"
+    land.mkdir()
+    spark.createDataFrame([("orig", text, 1)], schema).coalesce(1).write.parquet(
+        str(tmp_path / "s0")
+    )
+    shutil.copy(next((tmp_path / "s0").glob("*.parquet")), land / "b0.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            streaming_lsh_dedup(
+                spark.readStream.schema(schema).parquet(str(land)),
+                state_ttl_ms=1,
+            )
+            .writeStream.format("memory")
+            .queryName("lsh_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 seconds")
+            .start()
+        )
+        return q
+
+    q = run_once()
+    try:
+        # batch 1 lands; then let the 1 ms TTL pass a few trigger cycles so
+        # the timeout batch evicts the bucket state
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM lsh_ttl").collect()[0]["c"] > 0:
+                break
+            time.sleep(1)
+        time.sleep(4)  # > TTL + trigger interval: state eviction batches run
+        spark.createDataFrame(
+            [("late_copy", text, 99)], schema
+        ).coalesce(1).write.parquet(str(tmp_path / "s1"))
+        shutil.copy(
+            next((tmp_path / "s1").glob("*.parquet")), land / "b1.parquet"
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql(
+                "SELECT count(*) c FROM lsh_ttl WHERE doc_id = 'late_copy'"
+            ).collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    folded = {
+        r["doc_id"]: r
+        for r in fold_lsh_verdicts(spark.sql("SELECT * FROM lsh_ttl")).collect()
+    }
+    assert "late_copy" in folded, "second batch never processed"
+    # the original's buckets expired -> the late copy claims fresh
+    assert not folded["late_copy"]["is_dup"]
