@@ -2930,11 +2930,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, dst FROM edges
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+      SELECT CAST(src AS BIGINT) AS doc_id,
+             CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+             least(src, min(dst)) = src AS is_canonical
+      FROM reach GROUP BY src
     )
-    SELECT CAST(src AS BIGINT) AS doc_id,
-           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
-           least(src, min(dst)) = src AS is_canonical
-    FROM reach GROUP BY src
+    SELECT cl.doc_id, cl.cluster_id, cl.is_canonical,
+           row_number() OVER (
+             PARTITION BY cl.cluster_id
+             ORDER BY len(c.text) DESC, cl.doc_id ASC) = 1
+             AS best_canonical
+    FROM cl JOIN corpus c USING (doc_id)
     """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2942,10 +2950,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECISION step: cluster_id = component-min doc_id, is_canonical marks
     the one kept row per cluster. Spark side is iterative min-label
     propagation (O(diameter) rounds of equality joins on the PAIR set);
-    oracle is a DuckDB recursive-CTE transitive closure."""
-    return D.duplicate_clusters(
-        D.simhash_near_dup_pairs(planted_documents(spark, sf_dir))
-    )
+    oracle is a DuckDB recursive-CTE transitive closure.
+
+    NEW r5 (late): quality-aware canonical election rides the same rows —
+    the REAL dedup.elect_canonicals re-picks each cluster's keeper by
+    highest text length (ties -> min doc_id) as `best_canonical`; the
+    oracle replays the same window election. The flags genuinely diverge
+    under the gate (26 of 355 rows at sf0.001): organic SimHash clusters
+    where a longer member carries a higher doc_id elect differently than
+    min-id."""
+    docs = planted_documents(spark, sf_dir)
+    clusters = D.duplicate_clusters(D.simhash_near_dup_pairs(docs))
+    best = D.elect_canonicals(
+        clusters,
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        "n_chars",
+    ).select("doc_id", F.col("is_canonical").alias("best_canonical"))
+    return clusters.join(best, "doc_id")
 
 
 @register(

@@ -978,3 +978,39 @@ def excise_passages(
         )
         .drop("_cuts", "_toks", "_kept")
     )
+
+
+def elect_canonicals(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical election: re-pick each cluster's keeper as
+    the member with the HIGHEST integer score (length, quality per-mille,
+    OCR confidence), ties to the smallest doc_id — instead of
+    duplicate_clusters' default smallest-id member. Min-id keeps an
+    arbitrary copy; at web scale that systematically keeps the
+    first-crawled (often worst) version, so production dedup keeps the
+    best copy (the RefinedWeb/CCNet convention: prefer the longest /
+    highest-quality member).
+
+    One window over cluster_id, rows = CLUSTER MEMBERS only (documents
+    untouched by pair evidence never enter; corpus text never enters —
+    scores arrive as a slim (doc_id, score) frame). Missing scores rank
+    last; the smallest-id tie-break keeps the election deterministic and
+    makes this a drop-in upstream of drop_duplicates_by_cluster (same
+    output schema as duplicate_clusters).
+    """
+    from pyspark.sql import Window
+
+    s = scores.select(F.col(doc_id_col), F.col(score_col).alias("_sc"))
+    j = clusters.select(doc_id_col, "cluster_id").join(
+        s, doc_id_col, "left"
+    ).withColumn("_sc", F.coalesce(F.col("_sc").cast("long"), F.lit(-(2**62))))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_sc").desc(), F.col(doc_id_col).asc()
+    )
+    return j.withColumn("is_canonical", F.row_number().over(w) == 1).select(
+        doc_id_col, "cluster_id", "is_canonical"
+    )

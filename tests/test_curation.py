@@ -958,3 +958,41 @@ def test_adaptive_quality_null_group_quarantined(spark):
     ).toPandas()
     row = out[out["doc_id"] == "y"].iloc[0]
     assert pd.isna(row["adpt_thr"]) and row["adpt_keep"] == 0
+
+
+def test_elect_canonicals_keeps_best_copy(spark):
+    """Quality-aware election: the highest-scoring cluster member wins
+    (ties -> min doc_id); docs without a score rank last; output is a
+    drop-in for drop_duplicates_by_cluster."""
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators import dedup as D
+
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 5, 9, 20, 21],
+                "cluster_id": [1, 1, 1, 20, 20],
+                "is_canonical": [True, False, False, True, False],
+            }
+        )
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 5, 20, 21], "n_chars": [10, 900, 7, 7]})
+    )
+    out = D.elect_canonicals(clusters, scores, "n_chars")
+    got = {r["doc_id"]: r for r in out.collect()}
+    # cluster 1: doc 5 has the best score (doc 9 unscored -> last)
+    assert got[5]["is_canonical"] and not got[1]["is_canonical"]
+    assert not got[9]["is_canonical"]
+    # cluster 20: tie on score -> min doc_id
+    assert got[20]["is_canonical"] and not got[21]["is_canonical"]
+    # composes with the drop step: keeps untouched docs + elected winners
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 5, 9, 20, 21, 99], "text": ["x"] * 6})
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.drop_duplicates_by_cluster(docs, out).collect()
+    }
+    assert kept == {5, 20, 99}
