@@ -1123,7 +1123,21 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {quoteattr_sql(
                "array_to_string(list_filter(" + _TOKS + ", x -> len(x) > 3), ' ')"
-           )} AS allfields
+           )} AS allfields,
+           CASE doc_id % 10
+             WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-16be'
+             WHEN 3 THEN 'utf-8-sig' WHEN 4 THEN 'latin-1'
+             WHEN 7 THEN 'latin-1' WHEN 8 THEN 'empty'
+             WHEN 9 THEN 'ascii' ELSE 'utf-8' END AS cs_charset,
+           CASE doc_id % 10
+             WHEN 6 THEN 'text/html' WHEN 7 THEN 'image/png'
+             WHEN 8 THEN 'inode/x-empty' ELSE 'text/plain'
+           END AS cs_mime,
+           CASE doc_id % 10
+             WHEN 7 THEN md5('') WHEN 8 THEN md5('')
+             WHEN 9 THEN md5(text)
+             WHEN 6 THEN md5('<html><p>' || text || 'é')
+             ELSE md5(text || 'é') END AS cs_text_md5
     FROM documents
     """,
 )
@@ -1131,14 +1145,63 @@ def q_allfields_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 fold shape (full_text_document_generator.py:111-142): keep
     'datafields' passing a predicate (here len>3, standing in for tag>99),
     space-join, final quoteattr. The real MARC-XML fold is golden-tested in
-    tests/test_allfields.py; this is its SQL-checkable projection."""
+    tests/test_allfields.py; this is its SQL-checkable projection.
+
+    NEW r5 (late): byte-level intake (functions/charset.py) rides the
+    same rows — per doc a payload is CONSTRUCTED in a deterministic
+    planted encoding class (plain/BOM'd utf-8, BOM-less utf-16le via the
+    parity rule, BOM'd utf-16be, latin-1, utf-16-decoded html, png
+    magic, empty, pure ascii), the REAL sniff+detect+decode kernel runs
+    (one Arrow batch pass), and the oracle pins the planted labels plus
+    the decoded text's md5 — a byte-exact decode round-trip per class.
+    The corpus is pure ASCII (checked at generation), so the planted
+    'é' is the only multi-byte evidence and every label is derivable at
+    registration time."""
     docs = _t(spark, sf_dir, "documents")
+    from index_search_monorepo_spark.functions import charset as CSET
+
+    d = F.col("doc_id")
+    m10 = F.pmod(d, F.lit(10))
+    t2 = F.concat(F.col("text"), F.lit("é"))
+    payload = (
+        F.when(m10 == 1, F.encode(t2, "UTF-16LE"))
+        .when(
+            m10 == 2,
+            F.concat(F.unhex(F.lit("FEFF")), F.encode(t2, "UTF-16BE")),
+        )
+        .when(
+            m10 == 3,
+            F.concat(F.unhex(F.lit("EFBBBF")), F.encode(t2, "UTF-8")),
+        )
+        .when(m10 == 4, F.encode(t2, "ISO-8859-1"))
+        .when(
+            m10 == 6,
+            F.encode(F.concat(F.lit("<html><p>"), t2), "UTF-8"),
+        )
+        .when(
+            m10 == 7,
+            F.concat(
+                F.unhex(F.lit("89504E470D0A1A0A")), F.encode(t2, "UTF-8")
+            ),
+        )
+        .when(m10 == 8, F.encode(F.lit(""), "UTF-8"))
+        .when(m10 == 9, F.encode(F.col("text"), "UTF-8"))
+        .otherwise(F.encode(t2, "UTF-8"))
+    )
+    intake = CSET.with_intake(
+        docs.select("doc_id", "text", payload.alias("_payload")), "_payload"
+    )
     joined = F.array_join(
         F.filter(TS.tokens_expr(F.col("text")), lambda t: F.length(t) > 3), " "
     )
-    return docs.select(
+    return intake.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         quoteattr_expr(joined).alias("allfields"),
+        F.col("intake.charset").alias("cs_charset"),
+        F.col("intake.mime").alias("cs_mime"),
+        F.md5(
+            F.encode(F.coalesce(F.col("intake.text"), F.lit("")), "UTF-8")
+        ).alias("cs_text_md5"),
     )
 
 
