@@ -366,6 +366,7 @@ _PR_EDGES_SQL = """predges AS (
                     extra_cols=('doc_id',))})),
     {PST.postings_oracle_sql(segment_size=64).lstrip()},
     {PST.bm25_postings_oracle_sql(["query", "scan"]).lstrip()},
+    {PST.tfidf_keywords_oracle_sql(3).lstrip()},
     {PST.positional_oracle_sql().lstrip()},
     {PST.phrase_oracle_sql(["part", "filter"]).lstrip()},
     {PST.proximity_oracle_sql("part", "filter", 3).lstrip()},
@@ -509,8 +510,12 @@ _PR_EDGES_SQL = """predges AS (
            coalesce(pe.pst_enc_md5, '') AS pst_enc_md5,
            coalesce(pb.bm25_e6, 0) AS pst_bm25_e6,
            coalesce(pph.n_phrase_hits, 0) AS pst_phrase_hits,
-           coalesce(pnr.n_pairs, 0) AS pst_near_pairs
+           coalesce(pnr.n_pairs, 0) AS pst_near_pairs,
+           coalesce(kw.kw_terms, '') AS kw_terms,
+           coalesce(kw.kw_top, '') AS kw_top,
+           coalesce(kw.kw_top_score, 0) AS kw_top_score
     FROM pt
+    LEFT JOIN pst_kw kw ON kw.kw_id = pt.doc_id
     LEFT JOIN pstdoc pd ON pd.pd_id = pt.doc_id
     LEFT JOIN pstenc pe ON pe.pe_id = pt.doc_id
     LEFT JOIN (SELECT doc_id AS pb_id, bm25_e6 FROM pst_bm25) pb
@@ -1111,6 +1116,23 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "left")
         .drop("pnr_id")
         .withColumn("pst_near_pairs", F.coalesce("pst_near_pairs", zero))
+    )
+    # r5s: tf-idf keyword extraction through the SAME merged index — the
+    # top-3 terms per doc (tf x bitlen-idf, term-asc ties), so df stats,
+    # the corpus-N rollup, the window rank and the rank-ordered fold are
+    # all value-gated; the oracle replays score -> row_number -> agg
+    # from its rebuilt pst_tdf (postings.tfidf_keywords_oracle_sql).
+    pst_kw = PST.tfidf_keywords(pst_idx, k=3).select(
+        F.col("doc_id").alias("pkw_id"), "kw_terms", "kw_top",
+        "kw_top_score",
+    )
+    out = (
+        out.join(pst_kw, out["doc_id"] == pst_kw["pkw_id"].cast("string"),
+                 "left")
+        .drop("pkw_id")
+        .withColumn("kw_terms", F.coalesce("kw_terms", F.lit("")))
+        .withColumn("kw_top", F.coalesce("kw_top", F.lit("")))
+        .withColumn("kw_top_score", F.coalesce("kw_top_score", zero))
     )
     return out.join(routed, out["doc_id"] == routed["r_id"].cast("string")).select(
         out["*"], "route", "err_service", "err_message", "err_ts"

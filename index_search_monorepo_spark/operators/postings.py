@@ -739,3 +739,92 @@ def varint_byte_sql(d_sql: str, g_sql: str) -> str:
         f" + CASE WHEN {d_sql} // (1::BIGINT << (7 * ({g_sql}))) > 0"
         f" THEN 128 ELSE 0 END AS BIGINT)"
     )
+
+
+def tfidf_keywords(
+    postings: DataFrame,
+    k: int = 3,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document top-k keyword extraction THROUGH the index:
+    score = tf * bitlen((2N+1) DIV (2df+1)) — the same integer idf
+    surrogate as bm25_via_postings, without length normalization
+    (keywords rank terms WITHIN one document, where dl is a constant
+    factor). Ties break term-ascending so the selection is deterministic
+    and oracle-replayable. Returns (doc_id, kw_terms — the top-k comma
+    string in rank order, kw_top, kw_top_score).
+
+    Plan shape: flat (term, doc, tf) rows join the term-grain df stats
+    on term — a SHUFFLE join by design (the vocabulary of a 100 TB
+    corpus is itself large; never broadcast it — contrast
+    bm25_via_postings, whose df side is pre-filtered to the query's
+    terms), then one window partitioned by doc_id over postings-
+    cardinality rows. Document text is never touched. Pass the
+    precomputed forward rollup via doc_stats to skip the N pass."""
+    from pyspark.sql import Window
+
+    from index_search_monorepo_spark.operators.lm import bitlen_expr
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    flat = postings.select("term", F.explode("postings").alias("p")).select(
+        "term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf")
+    )
+    if doc_stats is None:
+        doc_stats = doc_length_stats(postings)
+    corpus = doc_stats.agg(F.count("*").cast("long").alias("_N"))
+    dfs = postings_stats(postings).select("term", "df")
+    scored = (
+        flat.join(dfs, "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_score",
+            (
+                F.col("tf")
+                * bitlen_expr(F.expr("(2 * _N + 1) DIV (2 * df + 1)"))
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    top = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return top.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rn", "term"))),
+                lambda s: s["term"],
+            ),
+            ",",
+        ).alias("kw_terms"),
+        F.min(F.struct("_rn", "term"))["term"].alias("kw_top"),
+        F.max("_score").cast("long").alias("kw_top_score"),
+    )
+
+
+def tfidf_keywords_oracle_sql(k: int = 3) -> str:
+    """DuckDB CTE chain mirroring tfidf_keywords; append AFTER
+    postings_oracle_sql + bm25_postings_oracle_sql (needs pst_tdf,
+    pst_stats, pst_corpus). Exposes pst_kw: (doc_id, kw_terms, kw_top,
+    kw_top_score)."""
+    idf = "CAST(length(bin((2 * n + 1) // (2 * df + 1))) AS BIGINT)"
+    return f"""
+    pst_kwsc AS (
+      SELECT t.doc_id, t.term, CAST(t.tf * {idf} AS BIGINT) AS sc
+      FROM pst_tdf t JOIN pst_stats s USING (term) CROSS JOIN pst_corpus
+    ),
+    pst_kwr AS (
+      SELECT doc_id, term, sc,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sc DESC, term ASC) AS rn
+      FROM pst_kwsc
+    ),
+    pst_kw AS (
+      SELECT doc_id AS kw_id,
+             string_agg(term, ',' ORDER BY rn) AS kw_terms,
+             first(term ORDER BY rn) AS kw_top,
+             CAST(max(sc) AS BIGINT) AS kw_top_score
+      FROM pst_kwr WHERE rn <= {k} GROUP BY doc_id
+    )"""

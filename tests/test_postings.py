@@ -679,3 +679,43 @@ class TestVarintCompression:
         )
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+def test_tfidf_keywords_hand_checked(spark):
+    """Top-k keywords: rare terms outrank common ones by the bitlen idf;
+    within a tie band, higher tf wins, then term-asc; k bounds output."""
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators.postings import (
+        build_postings,
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "common rare common zebra",
+                    "common common apple apple apple",
+                    "common banana",
+                    "common cherry cherry",
+                ],
+            }
+        )
+    )
+    idx = build_postings(docs, segment_size=64)
+    out = {r["doc_id"]: r for r in tfidf_keywords(idx, k=2).collect()}
+    # N=4. df: common=4 -> idf bitlen((9)//(9))=bitlen(1)=1;
+    # singletons df=1 -> bitlen(9//3=3)=2.
+    # doc 0: rare(1*2)=2, zebra 2, common tf2 -> 2*1=2: three-way score
+    # tie at 2 -> term asc: ['common','rare'] ... wait common tf=2 score 2,
+    # rare 2, zebra 2 -> asc: common, rare.
+    assert out[0]["kw_terms"] == "common,rare"
+    # doc 1: apple tf3 df1 -> 6; common tf2 -> 2 -> ['apple','common']
+    assert out[1]["kw_terms"] == "apple,common"
+    assert out[1]["kw_top"] == "apple" and out[1]["kw_top_score"] == 6
+    # doc 2: banana 2 > common 1
+    assert out[2]["kw_terms"] == "banana,common"
+    # doc 3: cherry tf2 -> 4 > common 1
+    assert out[3]["kw_top"] == "cherry" and out[3]["kw_top_score"] == 4
