@@ -367,29 +367,40 @@ def minhash_signatures(
     return shingled.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     df: DataFrame,
     text_col: str = "text",
     k: int = MINHASH_K,
     band_size: int = 2,
     n: int = 4,
-    persist_bands: bool = True,
-    cache_registry: list | None = None,
+    spread: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
-    on md5(band values), emit distinct candidate pairs per shared bucket.
-    The bucket join is an equality shuffle join; band hashing keeps bucket
-    keys uniform unless documents truly collide.
+    """The ONE LSH band/bucket spec: (doc_id, band_no, bucket, *keep) with
+    sig_i = min over word-n-shingles of md5(i || '|' || shingle) and
+    bucket = md5(band's sigs concat_ws '|'). Shared by the batch pair
+    join (lsh_candidate_pairs), the persisted band index
+    (lsh_band_index / incremental_lsh_dedup), and the streaming claimer
+    (streaming/incremental.streaming_lsh_bands) so buckets from all
+    three paths are directly comparable. Pure expressions (streaming-
+    legal when spread=False); the shingle array binds once behind a
+    Project boundary (CLAUDE.md lesson #1)."""
+    base = _spread(df) if spread else df
+    shingled = base.withColumn("_sh", word_shingles_expr(F.col(text_col), n))
 
-    persist_bands=True pins the tiny (doc_id, band_no, bucket) frame before
-    the self-join: both join sides consume it, and without persist each
-    side re-runs the dominant tokenize -> shingle -> k x md5 MinHash pass
-    (plan-audited, round 2). Rows are three short columns — negligible
-    storage next to 2x signature compute. Pass cache_registry=[] and call
-    `release_caches` after materializing to free the cached frame."""
-    sigs = minhash_signatures(df, text_col, k, n)
+    def sig_fn(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    sigs = shingled.select(
+        "doc_id",
+        *keep,
+        *[
+            F.array_min(F.transform(F.col("_sh"), sig_fn(i))).alias(f"sig_{i}")
+            for i in range(k)
+        ],
+    )
     n_bands = k // band_size
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -410,7 +421,31 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band_no", "bb.bucket")
+        *keep,
+    ).select("doc_id", "bb.band_no", "bb.bucket", *keep)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    band_size: int = 2,
+    n: int = 4,
+    persist_bands: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
+    on md5(band values), emit distinct candidate pairs per shared bucket.
+    The bucket join is an equality shuffle join; band hashing keeps bucket
+    keys uniform unless documents truly collide.
+
+    persist_bands=True pins the tiny (doc_id, band_no, bucket) frame before
+    the self-join: both join sides consume it, and without persist each
+    side re-runs the dominant tokenize -> shingle -> k x md5 MinHash pass
+    (plan-audited, round 2). Rows are three short columns — negligible
+    storage next to 2x signature compute. Pass cache_registry=[] and call
+    `release_caches` after materializing to free the cached frame."""
+    bands = lsh_bands(df, text_col, k, band_size, n)
     if persist_bands:
         bands = _persist(bands, cache_registry)
     a = bands.alias("a")
@@ -1014,3 +1049,91 @@ def elect_canonicals(
     return j.withColumn("is_canonical", F.row_number().over(w) == 1).select(
         doc_id_col, "cluster_id", "is_canonical"
     )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    band_size: int = 2,
+    n: int = 4,
+) -> DataFrame:
+    """The persisted LSH bucket index: (band_no, bucket, first_doc_id) —
+    one row per occupied bucket, claimer = smallest doc_id. Write this
+    next to the corpus snapshot; a daily delta then dedups against the
+    WHOLE corpus by joining its own bands against this table
+    (incremental_lsh_dedup) instead of rescanning corpus text — the
+    batch analog of streaming_lsh_dedup's keyed state, durable across
+    runs. Size = occupied buckets (≤ n_bands × corpus), three short
+    columns."""
+    return (
+        lsh_bands(df, text_col, k, band_size, n)
+        .groupBy("band_no", "bucket")
+        .agg(F.min("doc_id").alias("first_doc_id"))
+    )
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    band_size: int = 2,
+    n: int = 4,
+    cache_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a delta against the corpus WITHOUT rescanning the corpus:
+    the delta's bands join the persisted bucket index (equality join on
+    (band_no, bucket) — only the delta's band rows and matched index
+    rows shuffle; corpus text never enters). Within-delta duplicates are
+    caught in the same pass: a bucket absent from the index is claimed
+    by the delta's smallest doc_id.
+
+    Returns (verdicts, index_delta):
+      verdicts    — doc grain: (doc_id, dup_of, n_bands, is_dup) with
+                    dup_of = smallest other claimer across the doc's
+                    bands (matching fold_lsh_verdicts / the
+                    drop-min-keep convention).
+      index_delta — (band_no, bucket, first_doc_id) rows for buckets the
+                    delta claimed FIRST; union/merge-upsert them into
+                    the index for the next run (snapshot-table shape:
+                    the index itself versions like any output).
+
+    The delta's band frame is persisted (verdicts + index_delta both
+    consume it; without the pin each materialization re-runs the
+    MinHash pass — the lsh_candidate_pairs lesson)."""
+    nb = _persist(
+        lsh_bands(new_docs, text_col, k, band_size, n), cache_registry
+    )
+    idx = index.select(
+        "band_no", "bucket", F.col("first_doc_id").alias("_idx_first")
+    )
+    delta_first = nb.groupBy("band_no", "bucket").agg(
+        F.min("doc_id").alias("_delta_first")
+    )
+    v = (
+        nb.join(idx, ["band_no", "bucket"], "left")
+        .join(delta_first, ["band_no", "bucket"])
+        .withColumn(
+            "first_doc_id", F.coalesce("_idx_first", "_delta_first")
+        )
+    )
+    verdicts = (
+        v.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("first_doc_id") != F.col("doc_id"),
+                    F.col("first_doc_id"),
+                )
+            ).alias("dup_of"),
+            F.count("*").cast("long").alias("n_bands"),
+        )
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+    index_delta = (
+        v.filter(F.col("_idx_first").isNull())
+        .select("band_no", "bucket", F.col("_delta_first").alias("first_doc_id"))
+        .distinct()
+    )
+    return verdicts, index_delta

@@ -339,62 +339,24 @@ def streaming_lsh_bands(
     band_size: int = 2,
     n: int = 4,
 ) -> DataFrame:
-    """MinHash banding as PURE expressions, legal on a streaming DataFrame.
-
-    Bit-identical bucket spec to the batch path
-    (operators/dedup.minhash_signatures + lsh_candidate_pairs:
-    sig_i = min over word-n-shingles of md5(i || '|' || shingle),
-    bucket = md5(sig values concat_ws '|') per band) so a bucket claimed
-    by the stream is THE SAME bucket batch LSH would land the document
-    in — streaming verdicts and batch candidate pairs are comparable.
-    The shingle array binds once behind a Project boundary (CLAUDE.md
-    lesson #1) exactly as in the batch operator.
-    """
-    from index_search_monorepo_spark.operators.dedup import (
-        MINHASH_K,
-        word_shingles_expr,
-    )
+    """MinHash banding legal on a streaming DataFrame: a thin delegation
+    to the ONE batch bucket spec (operators/dedup.lsh_bands with
+    spread=False — pure expressions, no repartition) so a bucket claimed
+    by the stream is THE SAME bucket batch LSH / the persisted band
+    index (lsh_band_index) would land the document in — streaming
+    verdicts, batch candidate pairs, and incremental-index verdicts are
+    all directly comparable."""
+    from index_search_monorepo_spark.operators.dedup import MINHASH_K, lsh_bands
 
     k = k or MINHASH_K
-    n_bands = k // band_size
-    shingled = stream.withColumn(
-        "_sh", word_shingles_expr(F.col(text_col), n)
-    )
-
-    def sig_fn(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    sigs = shingled.select(
+    src = stream.select(
         F.col(id_col).alias("doc_id"),
         F.col(ts_col).alias("ts"),
-        *[
-            F.array_min(F.transform(F.col("_sh"), sig_fn(i))).alias(f"sig_{i}")
-            for i in range(k)
-        ],
+        F.col(text_col),
     )
-    return sigs.select(
-        "doc_id",
-        "ts",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"sig_{b * band_size + j}")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("bb.band_no", "bb.bucket", "doc_id", "ts")
+    return lsh_bands(
+        src, text_col, k, band_size, n, spread=False, keep=("ts",)
+    ).select("band_no", "bucket", "doc_id", "ts")
 
 
 def streaming_lsh_dedup(

@@ -996,3 +996,68 @@ def test_elect_canonicals_keeps_best_copy(spark):
         for r in D.drop_duplicates_by_cluster(docs, out).collect()
     }
     assert kept == {5, 20, 99}
+
+
+def test_incremental_lsh_dedup_against_index(spark):
+    """Daily-delta dedup without rescanning the corpus: a delta copy of a
+    day-0 doc flags against the index; a fresh doc claims new buckets
+    (returned as index_delta); within-delta copies resolve to the
+    delta's min id; bucket spec matches batch LSH exactly."""
+    import pandas as pd
+
+    from index_search_monorepo_spark.operators import dedup as D
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while seven wizards brew strong coffee at dawn every day"
+    )
+    fresh_text = (
+        "entirely different content about distributed query engines and "
+        "partition pruning strategies for columnar analytical storage"
+    )
+    third_text = (
+        "yet another unrelated document discussing garden vegetables "
+        "tomato cucumber pumpkin squash and late season frost protection"
+    )
+    day0 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a1", "a2"],
+                      "text": [base_text, fresh_text]})
+    )
+    index = D.lsh_band_index(day0)
+    n_idx = index.count()
+    assert n_idx > 0
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["b_copy", "b_new", "b_new_copy"],
+                "text": [base_text, third_text, third_text],
+            }
+        )
+    )
+    verdicts, index_delta = D.incremental_lsh_dedup(delta, index)
+    got = {r["doc_id"]: r for r in verdicts.collect()}
+    # copy of a corpus doc -> dup of the index claimer, across the index
+    assert got["b_copy"]["is_dup"] and got["b_copy"]["dup_of"] == "a1"
+    # within-delta pair on fresh buckets -> min doc_id claims
+    assert not got["b_new"]["is_dup"]
+    assert got["b_new_copy"]["is_dup"]
+    assert got["b_new_copy"]["dup_of"] == "b_new"
+    # index_delta: only buckets the delta claimed first, claimed by b_new
+    nd = index_delta.collect()
+    assert len(nd) > 0
+    assert all(r["first_doc_id"] == "b_new" for r in nd)
+    # no overlap with existing index buckets
+    assert index_delta.join(
+        index, ["band_no", "bucket"], "inner"
+    ).count() == 0
+    # merged index dedups a re-arrival of the delta's fresh doc
+    merged = index.unionByName(index_delta)
+    v2, d2 = D.incremental_lsh_dedup(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": ["c_copy"], "text": [third_text]})
+        ),
+        merged,
+    )
+    row = v2.collect()[0]
+    assert row["is_dup"] and row["dup_of"] == "b_new"
+    assert d2.count() == 0
