@@ -2678,18 +2678,87 @@ def _minhash_sig_sql(i: int) -> str:
 @register(
     "dedup_minhash",
     f"""
-    WITH {PLANTED_DOCS_CTE.strip()}, {_SHINGLES_CTE.strip()}
-    SELECT doc_id,
-           {", ".join(f"{_minhash_sig_sql(i)} AS sig_{i}" for i in range(4))}
-    FROM sh WHERE doc_id < 50 OR doc_id >= 1000000
-    GROUP BY doc_id
+    WITH {PLANTED_DOCS_CTE.strip()}, {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_minhash_sig_sql(i)} AS sig_{i}" for i in range(4))}
+      FROM sh WHERE doc_id < 50 OR doc_id >= 1000000
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_no, md5(sig_0 || '|' || sig_1) AS bucket
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_no, md5(sig_2 || '|' || sig_3) AS bucket
+      FROM sigs
+    ),
+    idx AS (
+      SELECT band_no, bucket, min(doc_id) AS idx_first
+      FROM bands WHERE doc_id < 1000000 GROUP BY band_no, bucket
+    ),
+    delta AS (SELECT * FROM bands WHERE doc_id >= 1000000),
+    dfirst AS (
+      SELECT band_no, bucket, min(doc_id) AS delta_first
+      FROM delta GROUP BY band_no, bucket
+    ),
+    v AS (
+      SELECT d.doc_id, coalesce(i.idx_first, f.delta_first) AS first_doc
+      FROM delta d
+      LEFT JOIN idx i ON d.band_no = i.band_no AND d.bucket = i.bucket
+      JOIN dfirst f ON d.band_no = f.band_no AND d.bucket = f.bucket
+    ),
+    verd AS (
+      SELECT doc_id,
+             coalesce(min(CASE WHEN first_doc <> doc_id
+                               THEN first_doc END), -1) AS inc_dup_of,
+             count(*) AS inc_n_bands
+      FROM v GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           {", ".join(f"s.sig_{i}" for i in range(4))},
+           coalesce(verd.inc_dup_of, -1) AS inc_dup_of,
+           coalesce(verd.inc_n_bands, 0) AS inc_n_bands
+    FROM sigs s LEFT JOIN verd ON s.doc_id = verd.doc_id
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + (r5) the incremental-LSH-dedup ride: the
+    original docs (< 1000000) stand for the day-0 corpus snapshot whose
+    persisted bucket index (dedup.lsh_band_index) a later delta — the
+    planted exact clones (+1000000) and 20-char-prefix mutants
+    (+2000000) — dedups against WITHOUT rescanning corpus text
+    (dedup.incremental_lsh_dedup). inc_dup_of = the claimer the delta
+    doc collided with (coalesced corpus-first then delta-min; -1 = no
+    collision / corpus row), inc_n_bands = the doc's band count (0 for
+    corpus rows). The DuckDB mirror recomputes the full band spec
+    (sig md5s, band buckets, corpus index, delta claim fold) from
+    scratch, so both the bucket definition and the claim/fold semantics
+    are under the gate."""
     docs = planted_documents(spark, sf_dir).filter(
         (F.col("doc_id") < 50) | (F.col("doc_id") >= 1000000)
     )
-    return D.minhash_signatures(docs, k=4)
+    sigs = D.minhash_signatures(docs, k=4)
+    corpus = docs.filter(F.col("doc_id") < 1000000)
+    delta = docs.filter(F.col("doc_id") >= 1000000)
+    idx = D.lsh_band_index(corpus, k=4, band_size=2)
+    verdicts, _ = D.incremental_lsh_dedup(delta, idx, k=4, band_size=2)
+    ride = verdicts.select(
+        "doc_id",
+        F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias(
+            "inc_dup_of"
+        ),
+        F.col("n_bands").alias("inc_n_bands"),
+    )
+    return sigs.join(ride, "doc_id", "left").select(
+        "doc_id",
+        *[f"sig_{i}" for i in range(4)],
+        F.coalesce(F.col("inc_dup_of"), F.lit(-1).cast("long")).alias(
+            "inc_dup_of"
+        ),
+        F.coalesce(F.col("inc_n_bands"), F.lit(0).cast("long")).alias(
+            "inc_n_bands"
+        ),
+    )
 
 
 @register(
