@@ -368,6 +368,7 @@ def streaming_lsh_dedup(
     band_size: int = 2,
     n: int = 4,
     state_ttl_ms: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Online MinHash-LSH near-duplicate detection across micro-batches.
 
@@ -399,12 +400,37 @@ def streaming_lsh_dedup(
     (md5 of empty min = NULL sigs fold to a shared bucket), and such docs
     collide only with other sub-shingle docs — filter upstream when that
     is noise.
+
+    ``index`` bridges batch and stream: pass the persisted corpus bucket
+    index (operators/dedup.lsh_band_index — same bucket spec through the
+    shared lsh_bands builder) and the stream dedups against the WHOLE
+    day-0 corpus as well as its own history. Mechanics: a stream-static
+    LEFT join of the band rows to the index (stateless, legal before the
+    stateful operator; re-planned per micro-batch, so the index is read
+    with ordinary pushdown — a parquet table works at any size). A bucket
+    present in the index is owned by its corpus claimer forever: the join
+    re-asserts it every batch, so durability does NOT depend on keyed
+    state, and a TTL-expired bucket re-admits only stream-vs-stream
+    claims — corpus dups stay caught. Buckets absent from the index fall
+    through to the first-claimer state exactly as before.
     """
     import pandas as pd
 
     bands = streaming_lsh_bands(
         stream, text_col, id_col, ts_col, k=k, band_size=band_size, n=n
     )
+    if index is not None:
+        bands = bands.join(
+            index.select(
+                "band_no",
+                "bucket",
+                F.col("first_doc_id").cast("string").alias("idx_first"),
+            ),
+            ["band_no", "bucket"],
+            "left",
+        )
+    else:
+        bands = bands.withColumn("idx_first", F.lit(None).cast("string"))
 
     def claim(key, pdfs, state):
         if state.hasTimedOut:
@@ -419,6 +445,12 @@ def streaming_lsh_dedup(
         rows = pd.concat(frames, ignore_index=True).sort_values(
             ["ts", "doc_id"], kind="mergesort"
         )
+        if first is None:
+            # corpus index claimer (same for every row of the group) wins
+            # the bucket before any stream doc can
+            idx_hits = rows["idx_first"].dropna()
+            if len(idx_hits):
+                first = idx_hits.iloc[0]
         firsts = []
         for doc in rows["doc_id"]:
             if first is None:

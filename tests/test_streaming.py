@@ -770,6 +770,95 @@ def test_streaming_lsh_dedup_cross_batch(spark, tmp_path):
             assert pair in batch_pairs
 
 
+def test_streaming_lsh_dedup_against_static_index(spark, tmp_path):
+    """Stream-static bridge: with the persisted corpus bucket index
+    (dedup.lsh_band_index) passed in, a stream doc duplicating a DAY-0
+    CORPUS doc is flagged against the corpus claimer (which never
+    entered the stream), a fresh stream doc claims its buckets via
+    state, and a later copy of the fresh doc flags against the stream
+    claimer — batch and stream verdicts share one bucket spec."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from index_search_monorepo_spark.operators.dedup import lsh_band_index
+    from index_search_monorepo_spark.streaming.incremental import (
+        fold_lsh_verdicts,
+        streaming_lsh_dedup,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text_concat", StringType()),
+            StructField("ingest_ts", LongType()),
+        ]
+    )
+    corpus_text = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while seven wizards brew strong coffee at dawn every single "
+        "day of the long cold winter season in the northern mountain town"
+    )
+    fresh_text = (
+        "completely different subject matter entirely unrelated words "
+        "about database systems query optimization and distributed "
+        "shuffle exchange partitioning strategies for analytical engines"
+    )
+    index = lsh_band_index(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ["corpus0"], "text": [corpus_text]}
+            )
+        )
+    )
+    b1 = [("s_copy", corpus_text, 100), ("s_new", fresh_text, 101)]
+    b2 = [("s_new_copy", fresh_text, 200)]
+    land = tmp_path / "docs"
+    land.mkdir()
+    for i, batch in enumerate((b1, b2)):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        shutil.copy(next(stage.glob("*.parquet")), land / f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(land))
+    )
+    q = (
+        streaming_lsh_dedup(stream, index=index)
+        .writeStream.format("memory")
+        .queryName("lsh_verdicts_idx")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    folded = {
+        r["doc_id"]: r
+        for r in fold_lsh_verdicts(
+            spark.sql("SELECT * FROM lsh_verdicts_idx")
+        ).collect()
+    }
+    assert set(folded) == {"s_copy", "s_new", "s_new_copy"}
+    # duplicate of a corpus doc flags against the index claimer — a doc
+    # that never appeared on the stream
+    assert folded["s_copy"]["is_dup"]
+    assert folded["s_copy"]["dup_of"] == "corpus0"
+    # fresh doc claims its (index-absent) buckets through state
+    assert not folded["s_new"]["is_dup"]
+    # later copy of the fresh doc flags against the STREAM claimer
+    assert folded["s_new_copy"]["is_dup"]
+    assert folded["s_new_copy"]["dup_of"] == "s_new"
+
+
 def test_streaming_lsh_within_batch_determinism(spark, tmp_path):
     """Two copies in the SAME micro-batch: the (ts, doc_id)-first row wins
     the bucket deterministically."""
