@@ -1,16 +1,19 @@
-"""MPEG-1 video (ISO/IEC 11172-2) intra-picture decode — from scratch.
+"""MPEG-1 video (ISO/IEC 11172-2) I- and P-picture decode — from scratch.
 
 Closes the "codec'd video frame decode" stub class with a real standard
 codec: MPEG-1 elementary video streams (``.m1v``: sequence header
 ``00 00 01 B3`` → GOPs → pictures → slices → macroblocks → 8×8 DCT
-blocks). The decoder reconstructs **I pictures only** — exactly the
-keyframe-sampling semantics a training-data pipeline wants from video
-(P/B pictures are inter-coded deltas; sampling them without motion
-compensation would emit garbage, so they are *skipped on the timeline*,
-never misdecoded). The reference pipeline treats media as opaque spans
-(reference: full_text_document_generator.py builds media refs without
-decoding); decode itself has no reference counterpart and follows the
-public ISO/IEC 11172-2 spec.
+blocks). The decoder reconstructs **I pictures and motion-compensated
+P pictures** (forward prediction with half-pel interpolation, §2.4.4.2
+differential vector reconstruction, skipped-macroblock copy, and
+§2.4.4.3 non-intra coefficient reconstruction). B pictures are
+inter-coded against *two* references with display reordering; they are
+*skipped on the timeline*, never misdecoded, and an undecodable picture
+poisons the reference chain until the next I picture. The reference
+pipeline treats media as opaque spans (reference:
+full_text_document_generator.py builds media refs without decoding);
+decode itself has no reference counterpart and follows the public
+ISO/IEC 11172-2 spec.
 
 Shares the 8×8 orthonormal IDCT basis and zig-zag order with the JPEG
 module (both standards define the identical 2-D DCT-II).
@@ -18,22 +21,21 @@ module (both standards define the identical 2-D DCT-II).
 Conformance strategy (mirrors jpeg_hierarchical.py, since no external
 MPEG decoder exists in this container):
  (a) encoder→decoder round-trip within the quantization error bound —
-     the minimal all-intra encoder here is the tests' partner;
+     the minimal encoder here (all-intra or IPPP… with exhaustive
+     motion search and a closed decoder-reconstruction loop) is the
+     tests' partner;
  (b) the VLC alphabets are standard-mandated data (Annex B tables B.1,
-     B.2a, B.5a/b and the run/level DCT table) — pinned prefix-free and
-     spot-pinned against published code values in tests;
+     B.2a/b, B.3, B.4, B.5a/b and the run/level DCT table) — pinned
+     prefix-free and spot-pinned against published code values in
+     tests;
  (c) byte-level syntax pins: sequence/GOP/picture/slice start codes,
      12-bit geometry, the 4-bit picture-rate enum;
  (d) mismatch control (oddification of even reconstruction levels,
      §2.4.4.2) and the ±2048 clamp are applied exactly, so decoder
-     output is the standard's reconstruction, not an approximation.
-
-Intra-only scope, by design: ``macroblock_type`` uses the I-picture
-alphabet (B.2a), every macroblock is coded (address increment 1 —
-skipped macroblocks are illegal in I pictures, §2.4.3.6), and
-``dct_coeff_first`` never occurs (intra blocks code DC separately then
-``dct_coeff_next`` until EOB), which removes the one context-dependent
-VLC ambiguity in the coefficient alphabet.
+     output is the standard's reconstruction, not an approximation;
+ (e) the pure-shift test pins that motion compensation, not residual
+     coding, carries a translating scene (the P picture is a fraction
+     of the I picture's bytes and still reconstructs it).
 """
 
 from __future__ import annotations
@@ -222,6 +224,58 @@ _AC_CODES = {
 }
 
 
+# Annex B.4 motion_horizontal/vertical_forward_code (H.261-lineage
+# table, shared with B pictures' backward vectors). Signed: for each
+# magnitude the +/- codes differ in the final bit.
+_MV_CODES = {
+    "1": 0,
+    "010": 1, "011": -1,
+    "0010": 2, "0011": -2,
+    "00010": 3, "00011": -3,
+    "0000110": 4, "0000111": -4,
+    "00001010": 5, "00001011": -5,
+    "00001000": 6, "00001001": -6,
+    "00000110": 7, "00000111": -7,
+    "0000010110": 8, "0000010111": -8,
+    "0000010100": 9, "0000010101": -9,
+    "0000010010": 10, "0000010011": -10,
+    "00000100010": 11, "00000100011": -11,
+    "00000100000": 12, "00000100001": -12,
+    "00000011110": 13, "00000011111": -13,
+    "00000011100": 14, "00000011101": -14,
+    "00000011010": 15, "00000011011": -15,
+    "00000011000": 16, "00000011001": -16,
+}
+
+# Annex B.3 coded_block_pattern (values 1..63; 0 cannot occur — a
+# macroblock with macroblock_pattern set codes at least one block).
+# Bit convention (§2.4.3.6): 32 = Y0 (top-left), 16 = Y1, 8 = Y2,
+# 4 = Y3, 2 = Cb, 1 = Cr.
+_CBP_CODES = {
+    "111": 60,
+    "1101": 4, "1100": 8, "1011": 16, "1010": 32,
+    "10011": 12, "10010": 48, "10001": 20, "10000": 40,
+    "01111": 28, "01110": 44, "01101": 52, "01100": 56,
+    "01011": 1, "01010": 61, "01001": 2, "01000": 62,
+    "001111": 24, "001110": 36, "001101": 3, "001100": 63,
+    "0010111": 5, "0010110": 9, "0010101": 17, "0010100": 33,
+    "0010011": 6, "0010010": 10, "0010001": 18, "0010000": 34,
+    "00011111": 7, "00011110": 11, "00011101": 19, "00011100": 35,
+    "00011011": 13, "00011010": 49, "00011001": 21, "00011000": 41,
+    "00010111": 14, "00010110": 50, "00010101": 22, "00010100": 42,
+    "00010011": 15, "00010010": 51, "00010001": 23, "00010000": 43,
+    "00001111": 25, "00001110": 37, "00001101": 26, "00001100": 38,
+    "00001011": 29, "00001010": 45, "00001001": 53, "00001000": 57,
+    "00000111": 30, "00000110": 46, "00000101": 54, "00000100": 58,
+    "000000111": 31, "000000110": 47, "000000101": 55,
+    "000000100": 59,
+    "000000011": 27, "000000010": 39,
+}
+
+# §2.4.4.3: the default non-intra quantizer matrix is flat 16.
+DEFAULT_NON_INTRA_QUANT = np.full(64, 16, dtype=np.int64)
+
+
 def _compile(codes: dict[str, object]) -> dict[tuple[int, int], object]:
     return {(len(c), int(c, 2)): v for c, v in codes.items()}
 
@@ -234,6 +288,21 @@ _DC_CHROM_DEC = _compile(_DC_CHROM_CODES)
 _AC_DEC = _compile(_AC_CODES)
 _AC_DEC[(2, 0b10)] = "eob"
 _AC_DEC[(6, 0b000001)] = "escape"
+_MV_DEC = _compile(_MV_CODES)
+_CBP_DEC = _compile(_CBP_CODES)
+
+# §2.4.2.7 / Annex B.2b macroblock_type, P-picture alphabet.
+# code -> (quant, motion_forward, coded_pattern, intra)
+_P_MBTYPE_CODES = {
+    "1": (0, 1, 1, 0),
+    "01": (0, 0, 1, 0),
+    "001": (0, 1, 0, 0),
+    "00011": (0, 0, 0, 1),
+    "00010": (1, 1, 1, 0),
+    "00001": (1, 0, 1, 0),
+    "000001": (1, 0, 0, 1),
+}
+_P_MBTYPE_DEC = _compile(_P_MBTYPE_CODES)
 
 # encoder side: value -> (length, code-int); AC encode appends the sign
 # bit itself
@@ -241,6 +310,9 @@ _MBA_ENC = {v: (len(c), int(c, 2)) for c, v in _MBA_CODES.items()}
 _DC_LUM_ENC = {v: (len(c), int(c, 2)) for c, v in _DC_LUM_CODES.items()}
 _DC_CHROM_ENC = {v: (len(c), int(c, 2)) for c, v in _DC_CHROM_CODES.items()}
 _AC_ENC = {rl: (len(c), int(c, 2)) for c, rl in _AC_CODES.items()}
+_MV_ENC = {v: (len(c), int(c, 2)) for c, v in _MV_CODES.items()}
+_CBP_ENC = {v: (len(c), int(c, 2)) for c, v in _CBP_CODES.items()}
+_P_MBTYPE_ENC = {v: (len(c), int(c, 2)) for c, v in _P_MBTYPE_CODES.items()}
 
 
 class _Bits:
@@ -331,8 +403,11 @@ def _parse_sequence_header(payload: bytes, off: int) -> dict:
         zz = np.array([bits.read_bits(8) for _ in range(64)], np.int64)
         intra_q = np.zeros(64, np.int64)
         intra_q[ZIGZAG] = zz
-    if bits.read_bit():  # load_non_intra_quantizer_matrix (unused here)
-        bits.read_bits(8 * 64)
+    non_intra_q = DEFAULT_NON_INTRA_QUANT
+    if bits.read_bit():  # load_non_intra_quantizer_matrix (zig-zag order)
+        zz = np.array([bits.read_bits(8) for _ in range(64)], np.int64)
+        non_intra_q = np.zeros(64, np.int64)
+        non_intra_q[ZIGZAG] = zz
     if width == 0 or height == 0 or rate_code not in PICTURE_RATES:
         raise ValueError("bad sequence header")
     return {
@@ -343,6 +418,7 @@ def _parse_sequence_header(payload: bytes, off: int) -> dict:
         "bit_rate_400bps": bit_rate,
         "vbv_buffer_size": vbv,
         "intra_quant": intra_q,
+        "non_intra_quant": non_intra_q,
     }
 
 
@@ -394,17 +470,149 @@ def _idct_block(zz_coefs: np.ndarray) -> np.ndarray:
     return _C.T @ block @ _C
 
 
-def _decode_i_picture(payload: bytes, codes: list[tuple[int, int]],
-                      k_pic: int, seq: dict) -> np.ndarray:
-    """Decode the I picture whose picture_start_code is codes[k_pic];
-    consumes its slices up to the next non-slice start code. -> RGB."""
+def _decode_non_intra_block(bits: _Bits, qscale: int,
+                            qmat_zz: np.ndarray) -> np.ndarray:
+    """One non-intra (residual) block -> 64 zig-zag reconstructed
+    coefficients. dct_coeff_first's '1s' = (run 0, level ±1) special
+    case (Annex B.5c note), then §2.4.4.3 reconstruction
+    ((2·level + sign)·qscale·Q)/16 truncating toward zero, with
+    mismatch oddification and the ±2048 clamp."""
+    rec = np.zeros(64, np.int64)
+    i = -1
+    first = True
+    while True:
+        if first and bits.peek_bits(1) == 1:
+            bits.read_bit()
+            run, lev = 0, (-1 if bits.read_bit() else 1)
+        else:
+            v = _read_vlc(bits, _AC_DEC)
+            if v == "eob":
+                if first:
+                    raise ValueError("empty non-intra block")
+                break
+            if v == "escape":
+                run = bits.read_bits(6)
+                lev = bits.read_bits(8)
+                if lev == 0b10000000:
+                    lev = bits.read_bits(8) - 256
+                elif lev == 0:
+                    lev = bits.read_bits(8)
+                elif lev > 128:
+                    lev -= 256
+                if lev == 0:
+                    raise ValueError("escape level 0")
+            else:
+                run, mag = v
+                lev = -mag if bits.read_bit() else mag
+        first = False
+        i += run + 1
+        if i > 63:
+            raise ValueError("coefficient index past 63")
+        val = ((2 * abs(lev) + 1) * qscale * int(qmat_zz[i])) // 16
+        if lev < 0:
+            val = -val
+        if val and val % 2 == 0:  # oddification (mismatch control)
+            val = val - 1 if val > 0 else val + 1
+        rec[i] = max(-2048, min(2047, val))
+    return rec
+
+
+def _mc_predict(plane: np.ndarray, y0: int, x0: int, size: int,
+                dy: int, dx: int) -> np.ndarray:
+    """size×size forward prediction from an integer reference plane at
+    (y0, x0) displaced by (dy, dx) in half-pel units. §2.4.4.4: half-pel
+    values round to nearest (away from zero): (a+b+1)>>1, (a+b+c+d+2)>>2.
+    Python's >> on negatives floors, matching the spec's int+half split."""
+    iy, hy = dy >> 1, dy & 1
+    ix, hx = dx >> 1, dx & 1
+    ys, xs = y0 + iy, x0 + ix
+    ph, pw = plane.shape
+    if ys < 0 or xs < 0 or ys + size + hy > ph or xs + size + hx > pw:
+        raise ValueError("motion vector outside reference picture")
+    a = plane[ys:ys + size, xs:xs + size]
+    if not hy and not hx:
+        return a.copy()
+    if hx and not hy:
+        return (a + plane[ys:ys + size, xs + 1:xs + size + 1] + 1) >> 1
+    if hy and not hx:
+        return (a + plane[ys + 1:ys + size + 1, xs:xs + size] + 1) >> 1
+    return (
+        a
+        + plane[ys:ys + size, xs + 1:xs + size + 1]
+        + plane[ys + 1:ys + size + 1, xs:xs + size]
+        + plane[ys + 1:ys + size + 1, xs + 1:xs + size + 1]
+        + 2
+    ) >> 2
+
+
+def _read_motion(bits: _Bits, f: int, f_size: int, pred: list, axis: int) -> int:
+    """Read one motion component (code + residual), reconstruct per
+    §2.4.4.2's little/big modular arithmetic, update the predictor."""
+    code = _read_vlc(bits, _MV_DEC, 11)
+    if code == 0:
+        little = 0
+    else:
+        r = bits.read_bits(f_size) if f_size else 0
+        mag = (abs(code) - 1) * f + r + 1
+        little = mag if code > 0 else -mag
+    lo, hi = -16 * f, 16 * f - 1
+    new = pred[axis] + little
+    if little and not (lo <= new <= hi):
+        big = little - 32 * f if little > 0 else little + 32 * f
+        new = pred[axis] + big
+    if not (lo <= new <= hi):
+        raise ValueError("motion vector out of range")
+    pred[axis] = new
+    return new
+
+
+def _trunc_half(v: int) -> int:
+    """Spec '/' division by 2 truncating toward zero (chroma vectors)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
+                    k_pic: int, seq: dict,
+                    prev: tuple | None) -> tuple:
+    """Decode the I or P picture whose picture_start_code is
+    codes[k_pic], consuming its slices up to the next non-slice start
+    code. ``prev`` is the previous reference picture's (Y, Cb, Cr)
+    integer planes at padded macroblock geometry (required for P).
+    Returns the reconstructed integer planes in the same shape."""
+    off, _sc = codes[k_pic]
+    hdr = _Bits(payload, (off + 4) * 8)
+    hdr.read_bits(10)  # temporal_reference
+    ptype = hdr.read_bits(3)
+    hdr.read_bits(16)  # vbv_delay
+    if ptype not in (1, 2):
+        raise ValueError("only I and P pictures are decodable")
+    full_pel = 0
+    fwd_f, f_size = 1, 0
+    if ptype == 2:
+        if prev is None:
+            raise ValueError("P picture without a decoded reference")
+        full_pel = hdr.read_bit()
+        f_code = hdr.read_bits(3)
+        if f_code == 0:
+            raise ValueError("forward_f_code 0")
+        f_size = f_code - 1
+        fwd_f = 1 << f_size
     w, h = seq["width"], seq["height"]
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     qmat_zz = seq["intra_quant"][ZIGZAG]
-    y_plane = np.zeros((mbh * 16, mbw * 16), np.float64)
-    cb_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
-    cr_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
+    nqmat_zz = seq["non_intra_quant"][ZIGZAG]
+    if ptype == 2:
+        py, pcb, pcr = prev
+        y_plane = py.astype(np.float64)
+        cb_plane = pcb.astype(np.float64)
+        cr_plane = pcr.astype(np.float64)
+    else:
+        py = pcb = pcr = None
+        y_plane = np.zeros((mbh * 16, mbw * 16), np.float64)
+        cb_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
+        cr_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
     k = k_pic + 1
+    n_slices = 0
     while k < len(codes) and SLICE_MIN <= codes[k][1] <= SLICE_MAX:
         off, sc = codes[k]
         bits = _Bits(payload, (off + 4) * 8)
@@ -415,6 +623,7 @@ def _decode_i_picture(payload: bytes, codes: list[tuple[int, int]],
             bits.read_bits(8)
         mb_addr = (sc - 1) * mbw - 1
         pred_y = pred_cb = pred_cr = 1024  # reset at slice start
+        mv_pred = [0, 0]  # (down, right) in half-pel, reset at slice start
         while not bits.at_start_code():
             inc = 0
             while True:
@@ -427,37 +636,109 @@ def _decode_i_picture(payload: bytes, codes: list[tuple[int, int]],
                 inc += v
                 break
             if inc != 1 and mb_addr >= 0:
-                raise ValueError("skipped macroblock in I picture")
+                if ptype == 1:
+                    raise ValueError("skipped macroblock in I picture")
+                # §2.4.4.4 skipped P macroblocks: copy from the reference
+                # (already in the plane buffers), vector and predictors 0
+                mv_pred[:] = [0, 0]
+                pred_y = pred_cb = pred_cr = 1024
             mb_addr += inc
             if mb_addr >= mbw * mbh:
                 raise ValueError("macroblock address out of range")
-            # macroblock_type, I-picture alphabet (B.2a)
-            if bits.read_bit():  # '1' -> intra
-                pass
-            elif bits.read_bit():  # '01' -> intra + new quantizer
-                qscale = bits.read_bits(5)
-                if qscale == 0:
-                    raise ValueError("quantizer_scale 0")
+            if ptype == 1:
+                # macroblock_type, I-picture alphabet (B.2a)
+                if bits.read_bit():  # '1' -> intra
+                    pass
+                elif bits.read_bit():  # '01' -> intra + new quantizer
+                    qscale = bits.read_bits(5)
+                    if qscale == 0:
+                        raise ValueError("quantizer_scale 0")
+                else:
+                    raise ValueError("non-intra macroblock type in I picture")
+                quant, mf, cbp_flag, intra = 0, 0, 0, 1
             else:
-                raise ValueError("non-intra macroblock type in I picture")
+                quant, mf, cbp_flag, intra = _read_vlc(bits, _P_MBTYPE_DEC, 6)
+                if quant:
+                    qscale = bits.read_bits(5)
+                    if qscale == 0:
+                        raise ValueError("quantizer_scale 0")
             my, mx = divmod(mb_addr, mbw)
-            for blk in range(4):
-                zz, pred_y = _decode_intra_block(
-                    bits, pred_y, qscale, qmat_zz, True
+            if intra:
+                mv_pred[:] = [0, 0]
+                for blk in range(4):
+                    zz, pred_y = _decode_intra_block(
+                        bits, pred_y, qscale, qmat_zz, True
+                    )
+                    by = my * 16 + (blk // 2) * 8
+                    bx = mx * 16 + (blk % 2) * 8
+                    y_plane[by:by + 8, bx:bx + 8] = _idct_block(zz)
+                zz, pred_cb = _decode_intra_block(
+                    bits, pred_cb, qscale, qmat_zz, False
                 )
+                cb_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
+                    _idct_block(zz)
+                )
+                zz, pred_cr = _decode_intra_block(
+                    bits, pred_cr, qscale, qmat_zz, False
+                )
+                cr_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
+                    _idct_block(zz)
+                )
+                continue
+            # non-intra: DC predictors reset (§2.4.3.7)
+            pred_y = pred_cb = pred_cr = 1024
+            if mf:
+                dx = _read_motion(bits, fwd_f, f_size, mv_pred, 1)
+                dy = _read_motion(bits, fwd_f, f_size, mv_pred, 0)
+            else:
+                mv_pred[:] = [0, 0]
+                dx = dy = 0
+            if full_pel:
+                dx, dy = dx * 2, dy * 2
+            lum_pred = _mc_predict(py, my * 16, mx * 16, 16, dy, dx)
+            cdx, cdy = _trunc_half(dx), _trunc_half(dy)
+            cb_pred = _mc_predict(pcb, my * 8, mx * 8, 8, cdy, cdx)
+            cr_pred = _mc_predict(pcr, my * 8, mx * 8, 8, cdy, cdx)
+            cbp = _read_vlc(bits, _CBP_DEC, 9) if cbp_flag else 0
+            for blk in range(4):
                 by = my * 16 + (blk // 2) * 8
                 bx = mx * 16 + (blk % 2) * 8
-                y_plane[by:by + 8, bx:bx + 8] = _idct_block(zz)
-            zz, pred_cb = _decode_intra_block(
-                bits, pred_cb, qscale, qmat_zz, False
-            )
-            cb_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = _idct_block(zz)
-            zz, pred_cr = _decode_intra_block(
-                bits, pred_cr, qscale, qmat_zz, False
-            )
-            cr_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = _idct_block(zz)
+                base = lum_pred[
+                    (blk // 2) * 8:(blk // 2) * 8 + 8,
+                    (blk % 2) * 8:(blk % 2) * 8 + 8,
+                ].astype(np.float64)
+                if cbp & (32 >> blk):
+                    base = base + _idct_block(
+                        _decode_non_intra_block(bits, qscale, nqmat_zz)
+                    )
+                y_plane[by:by + 8, bx:bx + 8] = base
+            base = cb_pred.astype(np.float64)
+            if cbp & 2:
+                base = base + _idct_block(
+                    _decode_non_intra_block(bits, qscale, nqmat_zz)
+                )
+            cb_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = base
+            base = cr_pred.astype(np.float64)
+            if cbp & 1:
+                base = base + _idct_block(
+                    _decode_non_intra_block(bits, qscale, nqmat_zz)
+                )
+            cr_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = base
         k += 1
-    y = np.clip(np.round(y_plane), 0, 255)[:h, :w]
+        n_slices += 1
+    if n_slices == 0:
+        raise ValueError("picture with no slices")
+    return (
+        np.clip(np.round(y_plane), 0, 255).astype(np.int64),
+        np.clip(np.round(cb_plane), 0, 255).astype(np.int64),
+        np.clip(np.round(cr_plane), 0, 255).astype(np.int64),
+    )
+
+
+def _planes_to_rgb(seq: dict, planes: tuple) -> np.ndarray:
+    w, h = seq["width"], seq["height"]
+    y_plane, cb_plane, cr_plane = planes
+    y = y_plane[:h, :w].astype(np.float64)
     cb = np.repeat(np.repeat(cb_plane, 2, 0), 2, 1)[:h, :w] - 128.0
     cr = np.repeat(np.repeat(cr_plane, 2, 0), 2, 1)[:h, :w] - 128.0
     r = y + 1.402 * cr
@@ -520,12 +801,15 @@ def mpeg1_sample_frames(
     max_frames: int,
     max_total_pixels: int = 64_000_000,
 ) -> list[tuple[int, int, bytes]] | None:
-    """REAL keyframe sampling for MPEG-1 video: walk pictures in display
-    order, decode the next I picture at or after each every_ms sample
-    point (P/B pictures advance the clock but are never decoded — see
-    module docstring), re-encode as canonical PPM. Same retained-pixel
-    cap semantics as gif/avi_sample_frames. None for non-MPEG-1 payloads
-    or when no I picture decodes."""
+    """REAL frame sampling for MPEG-1 video: walk pictures in display
+    order, decode every I and P picture (P pictures motion-compensate
+    against the previously reconstructed reference; B pictures advance
+    the clock but are never decoded — see module docstring), and emit
+    the frame at or after each every_ms sample point as canonical PPM.
+    Same retained-pixel cap semantics as gif/avi_sample_frames. None for
+    non-MPEG-1 payloads or when no picture decodes. An undecodable
+    picture poisons the reference chain until the next I picture —
+    subsequent P pictures are skipped, never misdecoded."""
     from index_search_monorepo_spark.operators.multimodal import encode_ppm
 
     try:
@@ -539,16 +823,24 @@ def mpeg1_sample_frames(
     out: list[tuple[int, int, bytes]] = []
     retained_px = 0
     next_sample = 0
+    prev: tuple | None = None
     for k_pic, ts_frames, ptype in sorted(pictures, key=lambda p: p[1]):
         if len(out) >= max_frames:
             break
-        ts_ms = (ts_frames * 1000 * den) // num
-        if ts_ms < next_sample or ptype != 1:
-            continue
+        if ptype not in (1, 2):
+            continue  # B pictures: timeline only, no reference impact
         try:
-            rgb = _decode_i_picture(payload, codes, k_pic, seq)
+            planes = _decode_picture(payload, codes, k_pic, seq, prev)
         except ValueError:
-            continue  # undecodable picture: skip, don't abort the timeline
+            # undecodable picture: skip it AND poison the chain until
+            # the next I picture re-establishes a reference
+            prev = None
+            continue
+        prev = planes
+        ts_ms = (ts_frames * 1000 * den) // num
+        if ts_ms < next_sample:
+            continue
+        rgb = _planes_to_rgb(seq, planes)
         h, w = rgb.shape[:2]
         if retained_px + w * h > max_total_pixels:
             break
@@ -610,8 +902,27 @@ def _encode_ac(bw: _BitWriter, run: int, lev: int) -> None:
         raise ValueError("level out of MPEG-1 range")
 
 
-def _encode_intra_block(bw: _BitWriter, spatial: np.ndarray, pred: int,
-                        qscale: int, qmat_zz: np.ndarray, luma: bool) -> int:
+def _recon_coef(lev: int, qscale: int, q: int, intra: bool) -> int:
+    """Decoder-side reconstruction of one quantized level (§2.4.4.1 /
+    §2.4.4.3), shared by the encoder's closed loop."""
+    mag = abs(lev)
+    num = (2 * mag if intra else 2 * mag + 1) * qscale * q
+    val = num // 16
+    if lev < 0:
+        val = -val
+    if val and val % 2 == 0:
+        val = val - 1 if val > 0 else val + 1
+    return max(-2048, min(2047, val))
+
+
+def _encode_intra_block(
+    bw: _BitWriter, spatial: np.ndarray, pred: int, qscale: int,
+    qmat_zz: np.ndarray, luma: bool,
+) -> tuple[int, np.ndarray]:
+    """Encode one intra block; returns (new DC predictor, the DECODER's
+    reconstruction of the block) so the encoder reference chain is
+    closed-loop — P pictures predict from what a decoder will actually
+    reconstruct, not from the pristine source."""
     coefs = _C @ spatial.astype(np.float64) @ _C.T
     zz = coefs.reshape(64)[ZIGZAG]
     qdc = int(np.clip(np.round(zz[0] / 8.0), 0, 255))
@@ -621,6 +932,8 @@ def _encode_intra_block(bw: _BitWriter, spatial: np.ndarray, pred: int,
     bw.write(code, length)
     if size:
         bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    rec = np.zeros(64, np.int64)
+    rec[0] = max(-2048, min(2047, qdc * 8))
     run = 0
     for i in range(1, 64):
         lev = int(np.clip(
@@ -630,21 +943,340 @@ def _encode_intra_block(bw: _BitWriter, spatial: np.ndarray, pred: int,
             run += 1
             continue
         _encode_ac(bw, run, lev)
+        rec[i] = _recon_coef(lev, qscale, int(qmat_zz[i]), True)
         run = 0
     bw.write(0b10, 2)  # EOB
-    return qdc * 8
+    return qdc * 8, _idct_block(rec)
 
 
-def encode_mpeg1(frames_px: list, fps: int = 25, qscale: int = 4) -> bytes:
+def _quantize_non_intra(residual: np.ndarray, qscale: int,
+                        qmat_zz: np.ndarray) -> np.ndarray:
+    """Dead-zone quantization of a residual block -> 64 zig-zag levels
+    (the inverse of §2.4.4.3's (2·lev+sign)·qscale·Q/16, truncating
+    toward zero so near-zero noise quantizes to 0)."""
+    coefs = _C @ residual.astype(np.float64) @ _C.T
+    zz = coefs.reshape(64)[ZIGZAG]
+    scaled = 16.0 * zz / (2.0 * qscale * qmat_zz.astype(np.float64))
+    return np.clip(np.trunc(scaled), -255, 255).astype(np.int64)
+
+
+def _encode_non_intra_block(bw: _BitWriter, levels: np.ndarray, qscale: int,
+                            qmat_zz: np.ndarray) -> np.ndarray:
+    """Write one coded non-intra block (dct_coeff_first special case for
+    (0, ±1), then run/level codes, then EOB); returns the decoder's
+    reconstruction of the residual."""
+    rec = np.zeros(64, np.int64)
+    run = 0
+    first = True
+    for i in range(64):
+        lev = int(levels[i])
+        if lev == 0:
+            run += 1
+            continue
+        if first and run == 0 and abs(lev) == 1:
+            bw.write(1, 1)  # dct_coeff_first '1'
+            bw.write(1 if lev < 0 else 0, 1)
+        else:
+            _encode_ac(bw, run, lev)
+        first = False
+        rec[i] = _recon_coef(lev, qscale, int(qmat_zz[i]), False)
+        run = 0
+    bw.write(0b10, 2)  # EOB
+    return _idct_block(rec)
+
+
+def _write_mba(bw: _BitWriter, inc: int) -> None:
+    while inc > 33:
+        bw.write(int(MBA_ESCAPE, 2), len(MBA_ESCAPE))
+        inc -= 33
+    length, code = _MBA_ENC[inc]
+    bw.write(code, length)
+
+
+def _encode_motion(bw: _BitWriter, v: int, pred: int, f: int,
+                   f_size: int) -> None:
+    """Differential motion component: wrap v−pred into [−16f, 16f−1]
+    (the decoder's little/big arithmetic inverts this), then
+    motion_code VLC + f_size residual bits."""
+    lo, hi = -16 * f, 16 * f - 1
+    if not (lo <= v <= hi):
+        raise ValueError("motion vector exceeds forward_f_code range")
+    diff = v - pred
+    if diff > hi:
+        diff -= 32 * f
+    elif diff < lo:
+        diff += 32 * f
+    if diff == 0:
+        length, code = _MV_ENC[0]
+        bw.write(code, length)
+        return
+    mag = abs(diff)
+    m = (mag + f - 1) // f
+    r = mag - (m - 1) * f - 1
+    length, code = _MV_ENC[m if diff > 0 else -m]
+    bw.write(code, length)
+    if f_size:
+        bw.write(r, f_size)
+
+
+def _to_ycbcr(px: np.ndarray, mbh: int, mbw: int) -> tuple:
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, 2)
+    f = px.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = (f[:, :, 2] - y) / 1.772 + 128.0
+    cr = (f[:, :, 0] - y) / 1.402 + 128.0
+    y = _pad16(y, mbh * 16, mbw * 16)
+    cb = _pad16(cb, mbh * 16, mbw * 16)[::2, ::2]
+    cr = _pad16(cr, mbh * 16, mbw * 16)[::2, ::2]
+    return y, cb, cr
+
+
+def _clip_px(block: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(block), 0, 255).astype(np.int64)
+
+
+def _encode_i_picture(bw: _BitWriter, t: int, planes: tuple, qscale: int,
+                      qmat_zz: np.ndarray, mbw: int, mbh: int) -> tuple:
+    y, cb, cr = planes
+    ry = np.zeros_like(y, np.int64)
+    rcb = np.zeros_like(cb, np.int64)
+    rcr = np.zeros_like(cr, np.int64)
+    bw.start_code(PIC_START)
+    bw.write(t, 10)  # temporal_reference
+    bw.write(1, 3)  # picture_coding_type: I
+    bw.write(0xFFFF, 16)  # vbv_delay: variable
+    bw.write(0, 1)  # extra_bit_picture
+    for row in range(mbh):
+        bw.start_code(row + 1)  # slice per MB row
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        pred_y = pred_cb = pred_cr = 1024
+        for col in range(mbw):
+            _write_mba(bw, 1)
+            bw.write(1, 1)  # macroblock_type: intra
+            for blk in range(4):
+                by = row * 16 + (blk // 2) * 8
+                bx = col * 16 + (blk % 2) * 8
+                pred_y, rec = _encode_intra_block(
+                    bw, y[by:by + 8, bx:bx + 8], pred_y, qscale,
+                    qmat_zz, True,
+                )
+                ry[by:by + 8, bx:bx + 8] = _clip_px(rec)
+            pred_cb, rec = _encode_intra_block(
+                bw, cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                pred_cb, qscale, qmat_zz, False,
+            )
+            rcb[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = _clip_px(rec)
+            pred_cr, rec = _encode_intra_block(
+                bw, cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                pred_cr, qscale, qmat_zz, False,
+            )
+            rcr[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = _clip_px(rec)
+    return ry, rcb, rcr
+
+
+def _motion_search(cur: np.ndarray, ref: np.ndarray, y0: int, x0: int,
+                   window: int, half_pel: bool) -> tuple[int, int, int]:
+    """Best forward vector (dy, dx) in half-pel units for the 16×16
+    luma block at (y0, x0): exhaustive full-pel window, then ±1 half-pel
+    refinement. Returns (dy, dx, sad)."""
+    ph, pw = ref.shape
+    best = (0, 0)
+    zero = ref[y0:y0 + 16, x0:x0 + 16]
+    best_sad = int(np.abs(cur - zero).sum())
+    for fy in range(-window, window + 1):
+        for fx in range(-window, window + 1):
+            if fy == 0 and fx == 0:
+                continue
+            ys, xs = y0 + fy, x0 + fx
+            if ys < 0 or xs < 0 or ys + 16 > ph or xs + 16 > pw:
+                continue
+            sad = int(np.abs(cur - ref[ys:ys + 16, xs:xs + 16]).sum())
+            if sad < best_sad:
+                best_sad, best = sad, (2 * fy, 2 * fx)
+    if half_pel:
+        cy, cx = best
+        for ey in (-1, 0, 1):
+            for ex in (-1, 0, 1):
+                if ey == 0 and ex == 0:
+                    continue
+                try:
+                    pred = _mc_predict(ref, y0, x0, 16, cy + ey, cx + ex)
+                except ValueError:
+                    continue
+                sad = int(np.abs(cur - pred).sum())
+                if sad < best_sad:
+                    best_sad, best = sad, (cy + ey, cx + ex)
+    return best[0], best[1], best_sad
+
+
+def _encode_p_picture(
+    bw: _BitWriter, t: int, planes: tuple, ref: tuple, qscale: int,
+    qmat_zz: np.ndarray, nqmat_zz: np.ndarray, mbw: int, mbh: int,
+    motion_window: int, half_pel: bool, f_code: int,
+) -> tuple:
+    y, cb, cr = planes
+    ref_y, ref_cb, ref_cr = ref
+    ry = ref_y.copy()
+    rcb = ref_cb.copy()
+    rcr = ref_cr.copy()
+    f_size = f_code - 1
+    fwd_f = 1 << f_size
+    bw.start_code(PIC_START)
+    bw.write(t, 10)  # temporal_reference
+    bw.write(2, 3)  # picture_coding_type: P
+    bw.write(0xFFFF, 16)  # vbv_delay: variable
+    bw.write(0, 1)  # full_pel_forward_vector: half-pel units
+    bw.write(f_code, 3)
+    bw.write(0, 1)  # extra_bit_picture
+    for row in range(mbh):
+        bw.start_code(row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        pred_y = pred_cb = pred_cr = 1024
+        mv_pred = [0, 0]  # (down, right)
+        pending = 1  # address increment owed to the next coded MB
+        for col in range(mbw):
+            cur_y = y[row * 16:row * 16 + 16, col * 16:col * 16 + 16]
+            dy, dx, sad = _motion_search(
+                cur_y, ref_y, row * 16, col * 16, motion_window, half_pel,
+            )
+            # intra fallback when even the best prediction is worse than
+            # the block's own activity (scene cut, occlusion)
+            activity = int(np.abs(cur_y - cur_y.mean()).sum())
+            if sad > max(activity, 16 * 16 * 4):
+                _write_mba(bw, pending)
+                pending = 1
+                length, code = _P_MBTYPE_ENC[(0, 0, 0, 1)]
+                bw.write(code, length)
+                for blk in range(4):
+                    by = row * 16 + (blk // 2) * 8
+                    bx = col * 16 + (blk % 2) * 8
+                    pred_y, rec = _encode_intra_block(
+                        bw, y[by:by + 8, bx:bx + 8], pred_y, qscale,
+                        qmat_zz, True,
+                    )
+                    ry[by:by + 8, bx:bx + 8] = _clip_px(rec)
+                pred_cb, rec = _encode_intra_block(
+                    bw, cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cb, qscale, qmat_zz, False,
+                )
+                rcb[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = _clip_px(rec)
+                pred_cr, rec = _encode_intra_block(
+                    bw, cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cr, qscale, qmat_zz, False,
+                )
+                rcr[row * 8:row * 8 + 8, col * 8:col * 8 + 8] = _clip_px(rec)
+                mv_pred[:] = [0, 0]
+                continue
+            pred_y = pred_cb = pred_cr = 1024  # non-intra MB resets DC
+            lum_pred = _mc_predict(ref_y, row * 16, col * 16, 16, dy, dx)
+            cdx, cdy = _trunc_half(dx), _trunc_half(dy)
+            cb_pred = _mc_predict(ref_cb, row * 8, col * 8, 8, cdy, cdx)
+            cr_pred = _mc_predict(ref_cr, row * 8, col * 8, 8, cdy, cdx)
+            # quantize all six residual blocks up front to decide type
+            lum_levels, cbp = [], 0
+            for blk in range(4):
+                sl = (
+                    slice((blk // 2) * 8, (blk // 2) * 8 + 8),
+                    slice((blk % 2) * 8, (blk % 2) * 8 + 8),
+                )
+                levels = _quantize_non_intra(
+                    cur_y[sl] - lum_pred[sl], qscale, nqmat_zz
+                )
+                lum_levels.append(levels)
+                if levels.any():
+                    cbp |= 32 >> blk
+            cb_cur = cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+            cr_cur = cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+            cb_levels = _quantize_non_intra(cb_cur - cb_pred, qscale, nqmat_zz)
+            cr_levels = _quantize_non_intra(cr_cur - cr_pred, qscale, nqmat_zz)
+            if cb_levels.any():
+                cbp |= 2
+            if cr_levels.any():
+                cbp |= 1
+            skippable = (
+                cbp == 0 and dy == 0 and dx == 0
+                and 0 < col < mbw - 1  # first/last MB of a slice is coded
+            )
+            if skippable:
+                pending += 1
+                mv_pred[:] = [0, 0]
+                # reconstruction: reference copy, already in ry/rcb/rcr
+                continue
+            _write_mba(bw, pending)
+            pending = 1
+            mtype = (0, 1, 1, 0) if cbp else (0, 1, 0, 0)
+            length, code = _P_MBTYPE_ENC[mtype]
+            bw.write(code, length)
+            _encode_motion(bw, dx, mv_pred[1], fwd_f, f_size)
+            _encode_motion(bw, dy, mv_pred[0], fwd_f, f_size)
+            mv_pred[:] = [dy, dx]
+            if cbp:
+                length, code = _CBP_ENC[cbp]
+                bw.write(code, length)
+            for blk in range(4):
+                sl_abs = (
+                    slice(row * 16 + (blk // 2) * 8,
+                          row * 16 + (blk // 2) * 8 + 8),
+                    slice(col * 16 + (blk % 2) * 8,
+                          col * 16 + (blk % 2) * 8 + 8),
+                )
+                sl = (
+                    slice((blk // 2) * 8, (blk // 2) * 8 + 8),
+                    slice((blk % 2) * 8, (blk % 2) * 8 + 8),
+                )
+                base = lum_pred[sl].astype(np.float64)
+                if cbp & (32 >> blk):
+                    base = base + _encode_non_intra_block(
+                        bw, lum_levels[blk], qscale, nqmat_zz
+                    )
+                ry[sl_abs] = _clip_px(base)
+            csl = (slice(row * 8, row * 8 + 8), slice(col * 8, col * 8 + 8))
+            base = cb_pred.astype(np.float64)
+            if cbp & 2:
+                base = base + _encode_non_intra_block(
+                    bw, cb_levels, qscale, nqmat_zz
+                )
+            rcb[csl] = _clip_px(base)
+            base = cr_pred.astype(np.float64)
+            if cbp & 1:
+                base = base + _encode_non_intra_block(
+                    bw, cr_levels, qscale, nqmat_zz
+                )
+            rcr[csl] = _clip_px(base)
+    return ry, rcb, rcr
+
+
+def encode_mpeg1(
+    frames_px: list,
+    fps: int = 25,
+    qscale: int = 4,
+    intra_every: int | None = None,
+    motion_window: int = 0,
+    half_pel: bool = True,
+) -> bytes:
     """Minimal MPEG-1 elementary video writer: sequence header + one GOP
-    + one all-intra I picture per input RGB frame (one slice per
-    macroblock row). Conformance partner of parse_m1v /
+    + I pictures (and, when ``intra_every`` is set, motion-compensated
+    P pictures between them; frame t is intra iff t % intra_every == 0).
+    ``motion_window`` is the full-pel exhaustive-search radius;
+    ``half_pel`` adds a ±1 half-pel refinement. One slice per macroblock
+    row; the reference chain is closed-loop (P predicts from the
+    decoder's reconstruction). Conformance partner of parse_m1v /
     mpeg1_sample_frames; geometry edge-replicated to 16-pel macroblock
     multiples like the JPEG encoder's _pad_edge."""
     rate_code = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}.get(fps, 3)
     h, w = frames_px[0].shape[:2]
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     qmat_zz = DEFAULT_INTRA_QUANT[ZIGZAG]
+    nqmat_zz = DEFAULT_NON_INTRA_QUANT[ZIGZAG]
+    # smallest f_code whose range ±(16f−1) half-pels covers the search
+    max_d = 2 * motion_window + (1 if half_pel else 0)
+    f_code = 1
+    while 16 * (1 << (f_code - 1)) - 1 < max_d:
+        f_code += 1
     bw = _BitWriter()
     bw.start_code(SEQ_START)
     bw.write(w, 12)
@@ -661,46 +1293,22 @@ def encode_mpeg1(frames_px: list, fps: int = 25, qscale: int = 4) -> bytes:
     bw.write(0, 25)  # time_code
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)  # broken_link
+    recon: tuple | None = None
     for t, px in enumerate(frames_px):
-        px = np.asarray(px, np.uint8)
-        if px.ndim == 2:
-            px = np.repeat(px[:, :, None], 3, 2)
-        f = px.astype(np.float64)
-        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
-        cb = (f[:, :, 2] - y) / 1.772 + 128.0
-        cr = (f[:, :, 0] - y) / 1.402 + 128.0
-        y = _pad16(y, mbh * 16, mbw * 16)
-        cb = _pad16(cb, mbh * 16, mbw * 16)[::2, ::2]
-        cr = _pad16(cr, mbh * 16, mbw * 16)[::2, ::2]
-        bw.start_code(PIC_START)
-        bw.write(t, 10)  # temporal_reference
-        bw.write(1, 3)  # picture_coding_type: I
-        bw.write(0xFFFF, 16)  # vbv_delay: variable
-        bw.write(0, 1)  # extra_bit_picture
-        for row in range(mbh):
-            bw.start_code(row + 1)  # slice per MB row
-            bw.write(qscale, 5)
-            bw.write(0, 1)  # extra_bit_slice
-            pred_y = pred_cb = pred_cr = 1024
-            for col in range(mbw):
-                length, code = _MBA_ENC[1]
-                bw.write(code, length)
-                bw.write(1, 1)  # macroblock_type: intra
-                for blk in range(4):
-                    by = row * 16 + (blk // 2) * 8
-                    bx = col * 16 + (blk % 2) * 8
-                    pred_y = _encode_intra_block(
-                        bw, y[by:by + 8, bx:bx + 8], pred_y, qscale,
-                        qmat_zz, True,
-                    )
-                pred_cb = _encode_intra_block(
-                    bw, cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
-                    pred_cb, qscale, qmat_zz, False,
-                )
-                pred_cr = _encode_intra_block(
-                    bw, cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
-                    pred_cr, qscale, qmat_zz, False,
-                )
+        planes = _to_ycbcr(px, mbh, mbw)
+        is_intra = (
+            recon is None
+            or intra_every is None
+            or t % intra_every == 0
+        )
+        if is_intra:
+            recon = _encode_i_picture(bw, t, planes, qscale, qmat_zz,
+                                      mbw, mbh)
+        else:
+            recon = _encode_p_picture(
+                bw, t, planes, recon, qscale, qmat_zz, nqmat_zz,
+                mbw, mbh, motion_window, half_pel, f_code,
+            )
     bw.start_code(SEQ_END)
     return bytes(bw.out)
 

@@ -18,10 +18,11 @@ genuinely need external libs (H.26x-family codec'd video) fall back to a
 deterministic fake
 clearly marked as a stub; MJPEG-AVI video frames decode for real through
 the repo's own JPEG decoders (parse_avi/avi_sample_frames), and MPEG-1
-elementary video I-pictures decode for real from scratch
-(operators/mpeg1.py: ISO/IEC 11172-2 Annex-B VLC alphabets + intra
-reconstruction with mismatch control — keyframe sampling via
-mpeg1_sample_frames). Everything Spark-side is real and tested either way:
+elementary video I- AND P-pictures decode for real from scratch
+(operators/mpeg1.py: ISO/IEC 11172-2 Annex-B VLC alphabets, intra
+reconstruction with mismatch control, half-pel motion compensation with
+differential vector reconstruction — frame sampling via
+mpeg1_sample_frames; B pictures are timeline-skipped, never misdecoded). Everything Spark-side is real and tested either way:
 schema, Arrow batch shape, `mapInPandas` iterator protocol,
 partition-parallel execution, and the metadata contract the downstream
 pipeline consumes.

@@ -192,6 +192,221 @@ class TestRoundTrip:
         assert out is not None and len(out) == 2
 
 
+def _picture_sizes(payload: bytes) -> list[int]:
+    """Byte size of each picture (picture start code to the next
+    picture/GOP/sequence-end start code)."""
+    codes = M._find_start_codes(payload)
+    pic_offs = [off for off, sc in codes if sc == M.PIC_START]
+    bounds = [
+        off for off, sc in codes
+        if sc in (M.PIC_START, M.GOP_START, M.SEQ_END)
+    ]
+    sizes = []
+    for p in pic_offs:
+        nxt = min((b for b in bounds if b > p), default=len(payload))
+        sizes.append(nxt - p)
+    return sizes
+
+
+def _decode_all(payload: bytes) -> list[np.ndarray]:
+    out = mpeg1_sample_frames(payload, every_ms=1, max_frames=64)
+    assert out is not None
+    from index_search_monorepo_spark.operators.multimodal import decode_image
+
+    return [decode_image(f)[2] for _, _, f in out]
+
+
+class TestPPictures:
+    def test_new_alphabets_prefix_free_and_pinned(self):
+        cs = sorted(M._MV_CODES)
+        for a, b in zip(cs, cs[1:]):
+            assert not b.startswith(a), (a, b)
+        cs = sorted(M._CBP_CODES)
+        for a, b in zip(cs, cs[1:]):
+            assert not b.startswith(a), (a, b)
+        cs = sorted(M._P_MBTYPE_CODES)
+        for a, b in zip(cs, cs[1:]):
+            assert not b.startswith(a), (a, b)
+        # Annex B.4 / B.3 / B.2b spot pins against published values
+        assert M._MV_CODES["1"] == 0
+        assert M._MV_CODES["010"] == 1 and M._MV_CODES["011"] == -1
+        assert M._MV_CODES["00000011000"] == 16
+        assert M._MV_CODES["00000011001"] == -16
+        assert M._CBP_CODES["111"] == 60
+        assert M._CBP_CODES["01011"] == 1
+        assert M._CBP_CODES["000000010"] == 39
+        assert len(set(M._CBP_CODES.values())) == 63  # all of 1..63
+        assert set(M._CBP_CODES.values()) == set(range(1, 64))
+        assert M._P_MBTYPE_CODES["1"] == (0, 1, 1, 0)
+        assert M._P_MBTYPE_CODES["00011"] == (0, 0, 0, 1)
+
+    def test_motion_reconstruction_roundtrip(self):
+        # every (vector, predictor, f_code) in range survives
+        # encode -> decode through the modular little/big arithmetic
+        for f_code in (1, 2, 3):
+            f = 1 << (f_code - 1)
+            f_size = f_code - 1
+            for pred0 in (-16 * f, -3, 0, 5, 16 * f - 1):
+                for v in range(-16 * f, 16 * f, max(1, f * 3)):
+                    bw = M._BitWriter()
+                    M._encode_motion(bw, v, pred0, f, f_size)
+                    bw.align()
+                    bits = M._Bits(bytes(bw.out))
+                    got = M._read_motion(bits, f, f_size, [0, pred0], 1)
+                    assert got == v, (f_code, pred0, v, got)
+
+    def test_static_scene_all_skip(self):
+        px = _gradient_rgb(32, 48)
+        payload = encode_mpeg1([px, px, px, px], qscale=2, intra_every=1000)
+        sizes = _picture_sizes(payload)
+        assert len(sizes) == 4
+        # the FIRST P legitimately codes the I picture's quantization
+        # error once (closed loop: residual vs the reconstruction, not
+        # the source); from the second P on the scene is converged and
+        # pictures are skip + the forced first/last-of-slice macroblocks
+        assert sizes[1] < sizes[0] / 3, sizes
+        assert sizes[2] < sizes[0] / 10, sizes
+        assert sizes[3] <= sizes[2], sizes
+        frames = _decode_all(payload)
+        assert len(frames) == 4
+        # every decoded frame stays within quantization noise of the
+        # source (the first P even improves on the I reconstruction)
+        for fr in frames:
+            assert np.abs(fr.astype(int) - px.astype(int)).mean() < 12.0
+        # the converged tail barely moves (skip + ±1-level oscillation
+        # on a handful of forced-coded macroblocks)
+        d = np.abs(frames[3].astype(int) - frames[2].astype(int))
+        assert d.mean() < 0.5 and d.max() <= 8, (d.mean(), d.max())
+
+    def test_pure_shift_carried_by_motion(self):
+        # high-detail content: without MC the displaced residual is
+        # expensive; with MC it is just requantization noise
+        base = _gradient_rgb(48, 64)
+        shifted = np.roll(base, (2, 3), axis=(0, 1))
+        payload = encode_mpeg1(
+            [base, shifted], qscale=2, intra_every=1000, motion_window=4
+        )
+        # MC, not residual coding, carries a translating scene: the same
+        # frame pair with the search disabled must cost far more bits
+        no_mc = encode_mpeg1(
+            [base, shifted], qscale=2, intra_every=1000, motion_window=0,
+            half_pel=False,
+        )
+        assert _picture_sizes(payload)[1] < _picture_sizes(no_mc)[1] * 0.6
+        frames = _decode_all(payload)
+        inner = (slice(8, 40), slice(8, 56))
+        err = np.abs(
+            frames[1][inner].astype(int) - shifted[inner].astype(int)
+        ).mean()
+        assert err < 12.0, err
+
+    def test_half_pel_interpolation_path(self):
+        g = _smooth_gray_rgb(32, 48).astype(np.int64)
+        # frame2 = frame1 displaced by exactly half a pel horizontally
+        avg = (g[:, :-1] + g[:, 1:] + 1) // 2
+        f2 = np.concatenate([g[:, :1], avg], axis=1).astype(np.uint8)
+        payload = encode_mpeg1(
+            [g.astype(np.uint8), f2], qscale=2, intra_every=1000,
+            motion_window=1, half_pel=True,
+        )
+        sizes = _picture_sizes(payload)
+        assert sizes[1] < sizes[0] / 3, sizes
+        frames = _decode_all(payload)
+        inner = (slice(4, 28), slice(4, 44))
+        err = np.abs(
+            frames[1][inner].astype(int) - f2[inner].astype(int)
+        ).mean()
+        assert err < 4.0, err
+
+    def test_residual_coding_on_local_change(self):
+        base = _smooth_gray_rgb(32, 48)
+        changed = base.copy()
+        changed[8:20, 12:30] = np.clip(
+            changed[8:20, 12:30].astype(int) + 70, 0, 255
+        ).astype(np.uint8)
+        payload = encode_mpeg1([base, changed], qscale=2, intra_every=1000)
+        frames = _decode_all(payload)
+        err = np.abs(
+            frames[1].astype(int) - changed.astype(int)
+        ).mean()
+        assert err < 4.0, err
+
+    def test_scene_cut_falls_back_to_intra(self):
+        a = _smooth_gray_rgb(32, 48)
+        b = _gradient_rgb(32, 48)  # unrelated content
+        payload = encode_mpeg1([a, b], qscale=4, intra_every=1000)
+        frames = _decode_all(payload)
+        err = np.abs(frames[1].astype(int) - b.astype(int)).mean()
+        assert err < 14.0, err
+
+    def test_reference_chain_over_many_p(self):
+        base = _smooth_gray_rgb(48, 48)
+        frames_in = [
+            np.roll(base, (t, t), axis=(0, 1)) for t in range(5)
+        ]
+        payload = encode_mpeg1(
+            frames_in, qscale=2, intra_every=1000, motion_window=2
+        )
+        frames = _decode_all(payload)
+        assert len(frames) == 5
+        inner = (slice(10, 38), slice(10, 38))
+        for t in (2, 4):  # accumulated drift stays bounded (closed loop)
+            err = np.abs(
+                frames[t][inner].astype(int)
+                - frames_in[t][inner].astype(int)
+            ).mean()
+            assert err < 5.0, (t, err)
+
+    def test_larger_f_code_vectors(self):
+        # a 10-pel shift needs f_code 2 (20 half-pels, past the ±15
+        # range of f_code 1) and keeps the 4:2:0 chroma displacement
+        # integral so the tiles predict exactly. Flat 16-px tiles:
+        # intra reconstructs them within the non-intra dead zone, so a
+        # correct vector yields a near-skip P while the no-MC residual
+        # straddles tile boundaries
+        yy, xx = np.mgrid[0:48, 0:80]
+        tile = ((yy // 16) * 5 + (xx // 16)) % 7
+        palette = np.array(
+            [[40, 40, 40], [200, 60, 60], [60, 200, 60], [60, 60, 200],
+             [220, 220, 90], [90, 220, 220], [160, 90, 160]], np.uint8
+        )
+        base = palette[tile]
+        shifted = np.roll(base, 10, axis=1)
+        payload = encode_mpeg1(
+            [base, shifted], qscale=4, intra_every=1000, motion_window=10
+        )
+        no_mc = encode_mpeg1(
+            [base, shifted], qscale=4, intra_every=1000, motion_window=0,
+            half_pel=False,
+        )
+        assert _picture_sizes(payload)[1] < _picture_sizes(no_mc)[1] * 0.4
+        frames = _decode_all(payload)
+        inner = (slice(8, 40), slice(16, 64))
+        err = np.abs(
+            frames[1][inner].astype(int) - shifted[inner].astype(int)
+        ).mean()
+        assert err < 6.0, err
+
+    def test_sampling_timeline_includes_p(self):
+        frames_in = [_smooth_gray_rgb(16, 16)] * 4
+        payload = encode_mpeg1(frames_in, fps=25, intra_every=4)
+        out = mpeg1_sample_frames(payload, every_ms=1, max_frames=8)
+        assert out is not None
+        assert [ts for _, ts, _ in out] == [0, 40, 80, 120]
+
+    def test_intra_every_mixes_i_and_p(self):
+        frames_in = [_smooth_gray_rgb(16, 32)] * 6
+        payload = encode_mpeg1(frames_in, intra_every=3)
+        codes = M._find_start_codes(payload)
+        types = []
+        for off, sc in codes:
+            if sc == M.PIC_START:
+                bits = M._Bits(payload, (off + 4) * 8)
+                bits.read_bits(10)
+                types.append(bits.read_bits(3))
+        assert types == [1, 2, 2, 1, 2, 2]
+
+
 class TestNonIPictures:
     def _with_p_picture(self) -> bytes:
         """Splice a P-picture header (type 2, no slices) into an I-only
