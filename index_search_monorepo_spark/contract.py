@@ -4992,14 +4992,20 @@ def _planted_wav2() -> tuple[bytes, dict]:
 
 
 def _planted_m1v() -> tuple[bytes, dict]:
-    """Two-frame 23x14 MPEG-1 elementary video stream (ISO/IEC 11172-2,
-    all-intra; operators/mpeg1.encode_mpeg1 round-trip partner) planted
-    on doc_id % 40 == 33 rows (split off the LZW-TIFF % 10 == 3 slot) —
-    the Annex-B VLC decode + intra reconstruction runs inside the driver
-    gate twice over: parse_m1v pins the 12-bit sequence-header geometry
-    and the display-order duration (independent truth: the encoder's
-    input dims and frame count), and the first sampled I-picture's dHash
-    pins the full entropy-decode + IDCT + 4:2:0 chain."""
+    """Three-frame 23x14 MPEG-1 elementary video stream (ISO/IEC
+    11172-2, IPP with motion; operators/mpeg1.encode_mpeg1 round-trip
+    partner) planted on doc_id % 40 == 33 rows (split off the LZW-TIFF
+    % 10 == 3 slot) — the Annex-B VLC decode + reconstruction runs
+    inside the driver gate three ways: parse_m1v pins the 12-bit
+    sequence-header geometry and the display-order duration
+    (independent truth: the encoder's input dims and frame count), the
+    first sampled I-picture's dHash pins the intra entropy-decode +
+    IDCT + 4:2:0 chain, and the timeline summary (frame count + LAST
+    frame's dHash) pins the P-picture chain — frame 2 is a pure
+    (1, 2)-pel translation of frame 1 (motion compensation must carry
+    it) and frame 3 changes content (residual coding must carry it);
+    a decoder whose motion or non-intra path fails drops frames or
+    hashes wrong."""
     import numpy as np
 
     frames = []
@@ -5014,13 +5020,18 @@ def _planted_m1v() -> tuple[bytes, dict]:
                 ]
             ).astype(np.uint8)
         )
+    # frame 2: frame 1 translated -> a P picture carried by motion
+    frames.insert(1, np.roll(frames[0], (1, 2), axis=(0, 1)))
     from index_search_monorepo_spark.operators.mpeg1 import encode_mpeg1
 
-    payload = encode_mpeg1(frames, fps=25, qscale=2)
+    payload = encode_mpeg1(
+        frames, fps=25, qscale=2, intra_every=1000, motion_window=2
+    )
     return payload, {
         "width": 23,
         "height": 14,
         "duration_ms": (len(frames) * 1000) // 25,
+        "n_frames": len(frames),
     }
 
 
@@ -5043,6 +5054,13 @@ _M1V_STUB_FMT = ("png", "jpg", "wav")[len(_M1V_PAYLOAD) % 3]
 # decode chain (same pattern as _PHASH_EXPECT)
 _M1V_VFRAME_EXPECT = MM._video_first_frame_phash(_M1V_PAYLOAD)
 assert _M1V_VFRAME_EXPECT is not None
+# r5 P-picture gate: the timeline summary must see ALL frames (the two
+# P pictures decode through motion compensation + residual coding; a
+# failed P poisons the chain and drops the count) and the last frame's
+# dHash is registration-time pinned like the first's
+_M1V_NFRAMES, _M1V_VLAST_EXPECT = MM._video_timeline_summary(_M1V_PAYLOAD)
+assert _M1V_NFRAMES == _M1V_TRUTH["n_frames"], _M1V_NFRAMES
+assert _M1V_VLAST_EXPECT is not None
 # identical container geometry => identical byte length => the image-side
 # stub width/height/format CASE stays a single % 20 == 6 branch
 assert len(_WAV2_PAYLOAD) == len(_WAV_PAYLOAD)
@@ -5231,7 +5249,13 @@ _MM_AFP_CASE = f"""CASE WHEN doc_id % 40 = 6 THEN CAST({_AFP_EXPECT} AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS video_ms,
            CASE WHEN doc_id % 40 = 33
                 THEN CAST({_M1V_VFRAME_EXPECT} AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS vframe_phash
+                ELSE CAST(0 AS BIGINT) END AS vframe_phash,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_TRUTH["n_frames"]} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS vframe_count,
+           CASE WHEN doc_id % 40 = 33
+                THEN CAST({_M1V_VLAST_EXPECT} AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS vlast_phash
     FROM documents
     LEFT JOIN pcnt USING (doc_id)
     LEFT JOIN acnt USING (doc_id)
@@ -5270,7 +5294,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     same row over the same payloads — the oracle pins the expected
     64-bit dHash PER CODEC FORMAT (computed once at registration by the
     real decoder chain), flat planted PPMs pin the degenerate flag, and
-    WAV/text rows pin the NULL dispatch."""
+    WAV/text rows pin the NULL dispatch.
+
+    LATE r5: the planted m1v became an IPP stream with a pure-motion
+    middle frame; vframe_count pins that BOTH P pictures decode
+    (independent truth: the encoder's frame count) and vlast_phash pins
+    what the motion-compensated chain reconstructed."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1
@@ -5349,6 +5378,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("vframe_phash"), F.lit(0)).alias("vframe_phash"),
     )
+    # r5: the P-picture decode chain rides the same row — the planted
+    # stream is IPP with motion, so the sampled frame COUNT is only
+    # right if both P pictures motion-compensate correctly, and the
+    # LAST frame's pinned dHash checks what they reconstructed
+    vtl = MM.with_video_timeline(docs).select(
+        "doc_id",
+        F.coalesce(F.col("vframe_count"), F.lit(0)).alias("vframe_count"),
+        F.coalesce(F.col("vlast_phash"), F.lit(0)).alias("vlast_phash"),
+    )
     return (
         feats.join(ph, "doc_id")
         .join(afp, "doc_id")
@@ -5356,6 +5394,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(acnt, "doc_id", "left")
         .join(vmeta, "doc_id")
         .join(vph, "doc_id")
+        .join(vtl, "doc_id")
         .withColumn("n_phash_pairs", F.coalesce("n_phash_pairs", F.lit(0)))
         .withColumn("n_audio_pairs", F.coalesce("n_audio_pairs", F.lit(0)))
     )

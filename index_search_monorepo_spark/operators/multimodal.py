@@ -1902,6 +1902,58 @@ def with_video_first_frame_phash(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.mapInPandas(fn, VFRAME_PHASH_SCHEMA)
 
 
+VTIMELINE_SCHEMA = "doc_id long, vframe_count long, vlast_phash long"
+
+
+def _video_timeline_summary(
+    payload: bytes, max_frames: int = 16
+) -> tuple[int, int | None]:
+    """(number of sampled frames, dHash of the LAST sampled frame) for a
+    decodable video timeline; (0, None) otherwise. Unlike the
+    first-frame kernel this walks the WHOLE reference chain — for an
+    IPPP… MPEG-1 stream the count and last hash are only right if every
+    motion-compensated P picture decoded (a failed P poisons the chain
+    and drops frames). Plain-Python kernel, unit-testable without
+    Spark."""
+    from index_search_monorepo_spark.operators.mpeg1 import (
+        mpeg1_sample_frames,
+    )
+
+    for sampler in (gif_sample_frames, avi_sample_frames, mpeg1_sample_frames):
+        frames = sampler(payload, 1, max_frames)
+        if frames:
+            return len(frames), image_dhash(frames[-1][2])
+    return 0, None
+
+
+def with_video_timeline(df_with_payload: DataFrame) -> DataFrame:
+    """binary payload -> (sampled frame count, last-frame dHash); zeros/
+    NULL for non-video payloads. Scan -> mapInPandas, no shuffle — the
+    full inter-frame decode chain (motion compensation included) runs
+    per row, so a planted multi-P stream with pinned count + hash puts
+    the P-picture decoder under a driver gate."""
+    import pandas as pd  # noqa: F811 - kernel-local, matches module style
+
+    def fn(batches):
+        for pdf in batches:
+            counts, hashes = [], []
+            for p in pdf["payload"]:
+                n, ph = _video_timeline_summary(
+                    bytes(p) if p is not None else b""
+                )
+                counts.append(n)
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "vframe_count": pd.array(counts, dtype="Int64"),
+                    "vlast_phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df_with_payload.mapInPandas(fn, VTIMELINE_SCHEMA)
+
+
 def phash_near_dup_pairs(
     df_with_phash: DataFrame,
     max_hamming: int = 6,
