@@ -4992,20 +4992,22 @@ def _planted_wav2() -> tuple[bytes, dict]:
 
 
 def _planted_m1v() -> tuple[bytes, dict]:
-    """Three-frame 23x14 MPEG-1 elementary video stream (ISO/IEC
-    11172-2, IPP with motion; operators/mpeg1.encode_mpeg1 round-trip
-    partner) planted on doc_id % 40 == 33 rows (split off the LZW-TIFF
-    % 10 == 3 slot) — the Annex-B VLC decode + reconstruction runs
-    inside the driver gate three ways: parse_m1v pins the 12-bit
-    sequence-header geometry and the display-order duration
-    (independent truth: the encoder's input dims and frame count), the
-    first sampled I-picture's dHash pins the intra entropy-decode +
-    IDCT + 4:2:0 chain, and the timeline summary (frame count + LAST
-    frame's dHash) pins the P-picture chain — frame 2 is a pure
-    (1, 2)-pel translation of frame 1 (motion compensation must carry
-    it) and frame 3 changes content (residual coding must carry it);
-    a decoder whose motion or non-intra path fails drops frames or
-    hashes wrong."""
+    """Four-frame 23x14 MPEG-1 elementary video stream (ISO/IEC
+    11172-2, coding order I0 P2 B1 P3 — every picture type;
+    operators/mpeg1.encode_mpeg1 round-trip partner) planted on
+    doc_id % 40 == 33 rows (split off the LZW-TIFF % 10 == 3 slot) —
+    the Annex-B VLC decode + reconstruction runs inside the driver gate
+    three ways: parse_m1v pins the 12-bit sequence-header geometry and
+    the display-order duration (independent truth: the encoder's input
+    dims and frame count), the first sampled I-picture's dHash pins the
+    intra entropy-decode + IDCT + 4:2:0 chain, and the timeline summary
+    (frame count + LAST frame's dHash) pins the inter chain — frame 1
+    is a pure (1, 2)-pel translation straddled by the references (the
+    bidirectionally-predicted B: a failed B decode drops the count to
+    3), frame 2 changes content (P residual coding), and frame 3
+    translates it again (P motion). A decoder whose motion,
+    bidirectional, or non-intra path fails drops frames or hashes
+    wrong."""
     import numpy as np
 
     frames = []
@@ -5020,12 +5022,14 @@ def _planted_m1v() -> tuple[bytes, dict]:
                 ]
             ).astype(np.uint8)
         )
-    # frame 2: frame 1 translated -> a P picture carried by motion
+    # display order: I, B (translated), P (new content), P (translated)
     frames.insert(1, np.roll(frames[0], (1, 2), axis=(0, 1)))
+    frames.append(np.roll(frames[2], (1, 0), axis=(0, 1)))
     from index_search_monorepo_spark.operators.mpeg1 import encode_mpeg1
 
     payload = encode_mpeg1(
-        frames, fps=25, qscale=2, intra_every=1000, motion_window=2
+        frames, fps=25, qscale=2, intra_every=1000, motion_window=2,
+        b_frames=1,
     )
     return payload, {
         "width": 23,
@@ -5296,10 +5300,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     real decoder chain), flat planted PPMs pin the degenerate flag, and
     WAV/text rows pin the NULL dispatch.
 
-    LATE r5: the planted m1v became an IPP stream with a pure-motion
-    middle frame; vframe_count pins that BOTH P pictures decode
-    (independent truth: the encoder's frame count) and vlast_phash pins
-    what the motion-compensated chain reconstructed."""
+    LATE r5: the planted m1v became a coding-order I0 P2 B1 P3 stream
+    — every MPEG-1 picture type; vframe_count pins that the P AND B
+    pictures all decode (independent truth: the encoder's frame count)
+    and vlast_phash pins what the motion-compensated chain
+    reconstructed."""
     d = F.col("doc_id")
     w = F.pmod(d, F.lit(13)) + 1
     h = F.pmod(d, F.lit(7)) + 1

@@ -1,19 +1,21 @@
-"""MPEG-1 video (ISO/IEC 11172-2) I- and P-picture decode — from scratch.
+"""MPEG-1 video (ISO/IEC 11172-2) full picture-type decode — from scratch.
 
 Closes the "codec'd video frame decode" stub class with a real standard
 codec: MPEG-1 elementary video streams (``.m1v``: sequence header
 ``00 00 01 B3`` → GOPs → pictures → slices → macroblocks → 8×8 DCT
-blocks). The decoder reconstructs **I pictures and motion-compensated
-P pictures** (forward prediction with half-pel interpolation, §2.4.4.2
-differential vector reconstruction, skipped-macroblock copy, and
-§2.4.4.3 non-intra coefficient reconstruction). B pictures are
-inter-coded against *two* references with display reordering; they are
-*skipped on the timeline*, never misdecoded, and an undecodable picture
-poisons the reference chain until the next I picture. The reference
-pipeline treats media as opaque spans (reference:
-full_text_document_generator.py builds media refs without decoding);
-decode itself has no reference counterpart and follows the public
-ISO/IEC 11172-2 spec.
+blocks). The decoder reconstructs **all three picture types**: intra
+I pictures; P pictures (forward prediction with half-pel
+interpolation, §2.4.4.2 differential vector reconstruction,
+skipped-macroblock copy, §2.4.4.3 non-intra coefficient
+reconstruction); and B pictures (bidirectional prediction against the
+two straddling references with §2.4.4.5 interpolation and
+repeat-previous skip semantics, decoded in coding order and emitted in
+display order). An undecodable reference poisons the chain until the
+next I picture; an undecodable B loses only its own frame — nothing is
+ever misdecoded. The reference pipeline treats media as opaque spans
+(reference: full_text_document_generator.py builds media refs without
+decoding); decode itself has no reference counterpart and follows the
+public ISO/IEC 11172-2 spec.
 
 Shares the 8×8 orthonormal IDCT basis and zig-zag order with the JPEG
 module (both standards define the identical 2-D DCT-II).
@@ -304,6 +306,23 @@ _P_MBTYPE_CODES = {
 }
 _P_MBTYPE_DEC = _compile(_P_MBTYPE_CODES)
 
+# Annex B.2c macroblock_type, B-picture alphabet.
+# code -> (quant, motion_forward, motion_backward, coded_pattern, intra)
+_B_MBTYPE_CODES = {
+    "10": (0, 1, 1, 0, 0),
+    "11": (0, 1, 1, 1, 0),
+    "010": (0, 0, 1, 0, 0),
+    "011": (0, 0, 1, 1, 0),
+    "0010": (0, 1, 0, 0, 0),
+    "0011": (0, 1, 0, 1, 0),
+    "00011": (0, 0, 0, 0, 1),
+    "00010": (1, 1, 1, 1, 0),
+    "000011": (1, 1, 0, 1, 0),
+    "000010": (1, 0, 1, 1, 0),
+    "000001": (1, 0, 0, 0, 1),
+}
+_B_MBTYPE_DEC = _compile(_B_MBTYPE_CODES)
+
 # encoder side: value -> (length, code-int); AC encode appends the sign
 # bit itself
 _MBA_ENC = {v: (len(c), int(c, 2)) for c, v in _MBA_CODES.items()}
@@ -313,6 +332,7 @@ _AC_ENC = {rl: (len(c), int(c, 2)) for c, rl in _AC_CODES.items()}
 _MV_ENC = {v: (len(c), int(c, 2)) for c, v in _MV_CODES.items()}
 _CBP_ENC = {v: (len(c), int(c, 2)) for c, v in _CBP_CODES.items()}
 _P_MBTYPE_ENC = {v: (len(c), int(c, 2)) for c, v in _P_MBTYPE_CODES.items()}
+_B_MBTYPE_ENC = {v: (len(c), int(c, 2)) for c, v in _B_MBTYPE_CODES.items()}
 
 
 class _Bits:
@@ -571,46 +591,96 @@ def _trunc_half(v: int) -> int:
     return v // 2 if v >= 0 else -((-v) // 2)
 
 
+def _mb_prediction(
+    refs: tuple, my: int, mx: int,
+    use_f: bool, dyf: int, dxf: int,
+    use_b: bool, dyb: int, dxb: int,
+) -> tuple:
+    """(16×16 luma, 8×8 Cb, 8×8 Cr) forward / backward / interpolated
+    prediction for the macroblock at (my, mx). Interpolation rounds to
+    nearest per §2.4.4.5: (fwd + bwd + 1) >> 1."""
+    (fy, fcb, fcr), (by_, bcb, bcr) = refs
+    parts = []
+    if use_f:
+        cdx, cdy = _trunc_half(dxf), _trunc_half(dyf)
+        parts.append((
+            _mc_predict(fy, my * 16, mx * 16, 16, dyf, dxf),
+            _mc_predict(fcb, my * 8, mx * 8, 8, cdy, cdx),
+            _mc_predict(fcr, my * 8, mx * 8, 8, cdy, cdx),
+        ))
+    if use_b:
+        cdx, cdy = _trunc_half(dxb), _trunc_half(dyb)
+        parts.append((
+            _mc_predict(by_, my * 16, mx * 16, 16, dyb, dxb),
+            _mc_predict(bcb, my * 8, mx * 8, 8, cdy, cdx),
+            _mc_predict(bcr, my * 8, mx * 8, 8, cdy, cdx),
+        ))
+    if len(parts) == 2:
+        return tuple(
+            (a + b + 1) >> 1 for a, b in zip(parts[0], parts[1])
+        )
+    return parts[0]
+
+
 def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
                     k_pic: int, seq: dict,
-                    prev: tuple | None) -> tuple:
-    """Decode the I or P picture whose picture_start_code is
+                    fwd: tuple | None, bwd: tuple | None = None) -> tuple:
+    """Decode the I, P, or B picture whose picture_start_code is
     codes[k_pic], consuming its slices up to the next non-slice start
-    code. ``prev`` is the previous reference picture's (Y, Cb, Cr)
-    integer planes at padded macroblock geometry (required for P).
-    Returns the reconstructed integer planes in the same shape."""
+    code. ``fwd`` is the past reference picture's (Y, Cb, Cr) integer
+    planes at padded macroblock geometry (required for P and B);
+    ``bwd`` is the future reference (required for B). Returns the
+    reconstructed integer planes in the same shape."""
     off, _sc = codes[k_pic]
     hdr = _Bits(payload, (off + 4) * 8)
     hdr.read_bits(10)  # temporal_reference
     ptype = hdr.read_bits(3)
     hdr.read_bits(16)  # vbv_delay
-    if ptype not in (1, 2):
-        raise ValueError("only I and P pictures are decodable")
-    full_pel = 0
+    if ptype not in (1, 2, 3):
+        raise ValueError("unknown picture_coding_type")
+    full_pel_f = full_pel_b = 0
     fwd_f, f_size = 1, 0
-    if ptype == 2:
-        if prev is None:
-            raise ValueError("P picture without a decoded reference")
-        full_pel = hdr.read_bit()
+    bwd_f, b_size = 1, 0
+    if ptype in (2, 3):
+        if fwd is None:
+            raise ValueError("predictive picture without a past reference")
+        full_pel_f = hdr.read_bit()
         f_code = hdr.read_bits(3)
         if f_code == 0:
             raise ValueError("forward_f_code 0")
         f_size = f_code - 1
         fwd_f = 1 << f_size
+    if ptype == 3:
+        if bwd is None:
+            raise ValueError("B picture without a future reference")
+        full_pel_b = hdr.read_bit()
+        b_code = hdr.read_bits(3)
+        if b_code == 0:
+            raise ValueError("backward_f_code 0")
+        b_size = b_code - 1
+        bwd_f = 1 << b_size
     w, h = seq["width"], seq["height"]
     mbw, mbh = (w + 15) // 16, (h + 15) // 16
     qmat_zz = seq["intra_quant"][ZIGZAG]
     nqmat_zz = seq["non_intra_quant"][ZIGZAG]
+    refs = (fwd, bwd if bwd is not None else fwd)
     if ptype == 2:
-        py, pcb, pcr = prev
-        y_plane = py.astype(np.float64)
-        cb_plane = pcb.astype(np.float64)
-        cr_plane = pcr.astype(np.float64)
+        # skipped P macroblocks copy the reference in place
+        y_plane = fwd[0].astype(np.float64)
+        cb_plane = fwd[1].astype(np.float64)
+        cr_plane = fwd[2].astype(np.float64)
     else:
-        py = pcb = pcr = None
         y_plane = np.zeros((mbh * 16, mbw * 16), np.float64)
         cb_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
         cr_plane = np.zeros((mbh * 8, mbw * 8), np.float64)
+
+    def write_pred(my: int, mx: int, pred: tuple) -> tuple:
+        lum, cbp_, crp_ = pred
+        y_plane[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = lum
+        cb_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cbp_
+        cr_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = crp_
+        return pred
+
     k = k_pic + 1
     n_slices = 0
     while k < len(codes) and SLICE_MIN <= codes[k][1] <= SLICE_MAX:
@@ -623,7 +693,10 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
             bits.read_bits(8)
         mb_addr = (sc - 1) * mbw - 1
         pred_y = pred_cb = pred_cr = 1024  # reset at slice start
-        mv_pred = [0, 0]  # (down, right) in half-pel, reset at slice start
+        mvf_pred = [0, 0]  # forward (down, right), half-pel
+        mvb_pred = [0, 0]  # backward (down, right), half-pel
+        # previous macroblock's prediction mode+vectors (B skip repeats it)
+        last_b = (True, 0, 0, False, 0, 0)
         while not bits.at_start_code():
             inc = 0
             while True:
@@ -638,9 +711,20 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
             if inc != 1 and mb_addr >= 0:
                 if ptype == 1:
                     raise ValueError("skipped macroblock in I picture")
-                # §2.4.4.4 skipped P macroblocks: copy from the reference
-                # (already in the plane buffers), vector and predictors 0
-                mv_pred[:] = [0, 0]
+                if ptype == 2:
+                    # §2.4.4.4 skipped P macroblocks: copy from the
+                    # reference (already in the plane buffers), vector
+                    # and predictors 0
+                    mvf_pred[:] = [0, 0]
+                else:
+                    # §2.4.4.5 skipped B macroblocks: repeat the previous
+                    # macroblock's prediction mode and vectors;
+                    # predictors unchanged
+                    for skipped in range(mb_addr + 1, mb_addr + inc):
+                        smy, smx = divmod(skipped, mbw)
+                        write_pred(
+                            smy, smx, _mb_prediction(refs, smy, smx, *last_b)
+                        )
                 pred_y = pred_cb = pred_cr = 1024
             mb_addr += inc
             if mb_addr >= mbw * mbh:
@@ -655,16 +739,27 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
                         raise ValueError("quantizer_scale 0")
                 else:
                     raise ValueError("non-intra macroblock type in I picture")
-                quant, mf, cbp_flag, intra = 0, 0, 0, 1
-            else:
+                quant, mf, mb_, cbp_flag, intra = 0, 0, 0, 0, 1
+            elif ptype == 2:
                 quant, mf, cbp_flag, intra = _read_vlc(bits, _P_MBTYPE_DEC, 6)
+                mb_ = 0
+                if quant:
+                    qscale = bits.read_bits(5)
+                    if qscale == 0:
+                        raise ValueError("quantizer_scale 0")
+            else:
+                quant, mf, mb_, cbp_flag, intra = _read_vlc(
+                    bits, _B_MBTYPE_DEC, 6
+                )
                 if quant:
                     qscale = bits.read_bits(5)
                     if qscale == 0:
                         raise ValueError("quantizer_scale 0")
             my, mx = divmod(mb_addr, mbw)
             if intra:
-                mv_pred[:] = [0, 0]
+                mvf_pred[:] = [0, 0]
+                mvb_pred[:] = [0, 0]
+                last_b = (True, 0, 0, False, 0, 0)
                 for blk in range(4):
                     zz, pred_y = _decode_intra_block(
                         bits, pred_y, qscale, qmat_zz, True
@@ -688,17 +783,28 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
             # non-intra: DC predictors reset (§2.4.3.7)
             pred_y = pred_cb = pred_cr = 1024
             if mf:
-                dx = _read_motion(bits, fwd_f, f_size, mv_pred, 1)
-                dy = _read_motion(bits, fwd_f, f_size, mv_pred, 0)
+                dxf = _read_motion(bits, fwd_f, f_size, mvf_pred, 1)
+                dyf = _read_motion(bits, fwd_f, f_size, mvf_pred, 0)
+            elif ptype == 2:
+                mvf_pred[:] = [0, 0]
+                dxf = dyf = 0
             else:
-                mv_pred[:] = [0, 0]
-                dx = dy = 0
-            if full_pel:
-                dx, dy = dx * 2, dy * 2
-            lum_pred = _mc_predict(py, my * 16, mx * 16, 16, dy, dx)
-            cdx, cdy = _trunc_half(dx), _trunc_half(dy)
-            cb_pred = _mc_predict(pcb, my * 8, mx * 8, 8, cdy, cdx)
-            cr_pred = _mc_predict(pcr, my * 8, mx * 8, 8, cdy, cdx)
+                dxf, dyf = mvf_pred[1], mvf_pred[0]
+            if mb_:
+                dxb = _read_motion(bits, bwd_f, b_size, mvb_pred, 1)
+                dyb = _read_motion(bits, bwd_f, b_size, mvb_pred, 0)
+            else:
+                dxb, dyb = mvb_pred[1], mvb_pred[0]
+            if full_pel_f:
+                dxf, dyf = dxf * 2, dyf * 2
+            if full_pel_b:
+                dxb, dyb = dxb * 2, dyb * 2
+            use_f = bool(mf) or ptype == 2
+            use_b = bool(mb_)
+            last_b = (use_f, dyf, dxf, use_b, dyb, dxb)
+            lum_pred, cb_pred, cr_pred = _mb_prediction(
+                refs, my, mx, use_f, dyf, dxf, use_b, dyb, dxb
+            )
             cbp = _read_vlc(bits, _CBP_DEC, 9) if cbp_flag else 0
             for blk in range(4):
                 by = my * 16 + (blk // 2) * 8
@@ -801,15 +907,18 @@ def mpeg1_sample_frames(
     max_frames: int,
     max_total_pixels: int = 64_000_000,
 ) -> list[tuple[int, int, bytes]] | None:
-    """REAL frame sampling for MPEG-1 video: walk pictures in display
-    order, decode every I and P picture (P pictures motion-compensate
-    against the previously reconstructed reference; B pictures advance
-    the clock but are never decoded — see module docstring), and emit
-    the frame at or after each every_ms sample point as canonical PPM.
-    Same retained-pixel cap semantics as gif/avi_sample_frames. None for
+    """REAL frame sampling for MPEG-1 video: walk pictures in CODING
+    order (references must decode before the B pictures that straddle
+    them), reorder to display order on emission, and emit the frame at
+    or after each every_ms sample point as canonical PPM. P pictures
+    motion-compensate against the previous reference; B pictures
+    bidirectionally against the two surrounding references. Same
+    retained-pixel cap semantics as gif/avi_sample_frames. None for
     non-MPEG-1 payloads or when no picture decodes. An undecodable
-    picture poisons the reference chain until the next I picture —
-    subsequent P pictures are skipped, never misdecoded."""
+    reference poisons the chain until the next I picture; an
+    undecodable B loses only its own frame. B pictures whose timestamp
+    falls between sample points are never decoded at all (they are not
+    references)."""
     from index_search_monorepo_spark.operators.multimodal import encode_ppm
 
     try:
@@ -821,32 +930,68 @@ def mpeg1_sample_frames(
     seq, codes, pictures = scanned
     num, den = PICTURE_RATES[seq["rate_code"]]
     out: list[tuple[int, int, bytes]] = []
-    retained_px = 0
-    next_sample = 0
-    prev: tuple | None = None
-    for k_pic, ts_frames, ptype in sorted(pictures, key=lambda p: p[1]):
-        if len(out) >= max_frames:
-            break
-        if ptype not in (1, 2):
-            continue  # B pictures: timeline only, no reference impact
-        try:
-            planes = _decode_picture(payload, codes, k_pic, seq, prev)
-        except ValueError:
-            # undecodable picture: skip it AND poison the chain until
-            # the next I picture re-establishes a reference
-            prev = None
-            continue
-        prev = planes
+    state = {"retained_px": 0, "next_sample": 0, "done": False}
+    ref_old: tuple | None = None
+    ref_new: tuple | None = None
+    pending: tuple | None = None  # (ts_frames, planes) ref awaiting emission
+
+    def emit(ts_frames: int, planes: tuple) -> None:
+        if state["done"] or len(out) >= max_frames:
+            state["done"] = True
+            return
         ts_ms = (ts_frames * 1000 * den) // num
-        if ts_ms < next_sample:
-            continue
+        if ts_ms < state["next_sample"]:
+            return
         rgb = _planes_to_rgb(seq, planes)
         h, w = rgb.shape[:2]
-        if retained_px + w * h > max_total_pixels:
-            break
-        retained_px += w * h
+        if state["retained_px"] + w * h > max_total_pixels:
+            state["done"] = True
+            return
+        state["retained_px"] += w * h
         out.append((len(out), ts_ms, encode_ppm(rgb)))
-        next_sample = ts_ms + every_ms
+        state["next_sample"] = ts_ms + every_ms
+        if len(out) >= max_frames:
+            state["done"] = True
+
+    for k_pic, ts_frames, ptype in pictures:  # coding order
+        if state["done"]:
+            break
+        if ptype in (1, 2):
+            try:
+                planes = _decode_picture(
+                    payload, codes, k_pic, seq,
+                    ref_new if ptype == 2 else None,
+                )
+            except ValueError:
+                # a failed reference poisons the chain until the next I;
+                # the pending (good) reference still gets its display slot
+                if pending is not None:
+                    emit(*pending)
+                    pending = None
+                ref_old = ref_new = None
+                continue
+            # the arriving reference closes the previous one's display
+            # window (all B pictures between them have been seen)
+            if pending is not None:
+                emit(*pending)
+            pending = (ts_frames, planes)
+            ref_old, ref_new = ref_new, planes
+        elif ptype == 3:
+            if ref_old is None or ref_new is None:
+                continue  # no straddling reference pair: skip, never guess
+            ts_ms = (ts_frames * 1000 * den) // num
+            if ts_ms < state["next_sample"]:
+                continue  # not sampled and not a reference: skip decode
+            try:
+                planes = _decode_picture(
+                    payload, codes, k_pic, seq, ref_old, ref_new
+                )
+            except ValueError:
+                continue  # a failed B loses only its own frame
+            emit(ts_frames, planes)
+        # other ptype values (D pictures etc.): timeline only
+    if pending is not None and not state["done"]:
+        emit(*pending)
     return out if out else None
 
 
@@ -1250,6 +1395,130 @@ def _encode_p_picture(
     return ry, rcb, rcr
 
 
+def _encode_b_picture(
+    bw: _BitWriter, t: int, planes: tuple, past: tuple, future: tuple,
+    qscale: int, qmat_zz: np.ndarray, nqmat_zz: np.ndarray,
+    mbw: int, mbh: int, motion_window: int, half_pel: bool, f_code: int,
+) -> None:
+    """One B picture: per macroblock, pick the cheapest of forward /
+    backward / interpolated prediction by SAD (intra fallback on scene
+    cuts), code the non-intra residual. B pictures are never references,
+    so no reconstruction loop is needed."""
+    y, cb, cr = planes
+    f_size = f_code - 1
+    f = 1 << f_size
+    bw.start_code(PIC_START)
+    bw.write(t, 10)  # temporal_reference (display index)
+    bw.write(3, 3)  # picture_coding_type: B
+    bw.write(0xFFFF, 16)  # vbv_delay: variable
+    bw.write(0, 1)  # full_pel_forward_vector
+    bw.write(f_code, 3)
+    bw.write(0, 1)  # full_pel_backward_vector
+    bw.write(f_code, 3)
+    bw.write(0, 1)  # extra_bit_picture
+    for row in range(mbh):
+        bw.start_code(row + 1)
+        bw.write(qscale, 5)
+        bw.write(0, 1)  # extra_bit_slice
+        pred_y = pred_cb = pred_cr = 1024
+        mvf_pred = [0, 0]
+        mvb_pred = [0, 0]
+        for col in range(mbw):
+            cur_y = y[row * 16:row * 16 + 16, col * 16:col * 16 + 16]
+            dyf, dxf, sadf = _motion_search(
+                cur_y, past[0], row * 16, col * 16, motion_window, half_pel
+            )
+            dyb, dxb, sadb = _motion_search(
+                cur_y, future[0], row * 16, col * 16, motion_window,
+                half_pel,
+            )
+            fwd_lum = _mc_predict(past[0], row * 16, col * 16, 16, dyf, dxf)
+            bwd_lum = _mc_predict(
+                future[0], row * 16, col * 16, 16, dyb, dxb
+            )
+            interp_lum = (fwd_lum + bwd_lum + 1) >> 1
+            sadi = int(np.abs(cur_y - interp_lum).sum())
+            best_sad = min(sadf, sadb, sadi)
+            activity = int(np.abs(cur_y - cur_y.mean()).sum())
+            if best_sad > max(activity, 16 * 16 * 4):
+                _write_mba(bw, 1)
+                length, code = _B_MBTYPE_ENC[(0, 0, 0, 0, 1)]
+                bw.write(code, length)
+                for blk in range(4):
+                    by = row * 16 + (blk // 2) * 8
+                    bx = col * 16 + (blk % 2) * 8
+                    pred_y, _rec = _encode_intra_block(
+                        bw, y[by:by + 8, bx:bx + 8], pred_y, qscale,
+                        qmat_zz, True,
+                    )
+                pred_cb, _rec = _encode_intra_block(
+                    bw, cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cb, qscale, qmat_zz, False,
+                )
+                pred_cr, _rec = _encode_intra_block(
+                    bw, cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cr, qscale, qmat_zz, False,
+                )
+                mvf_pred[:] = [0, 0]
+                mvb_pred[:] = [0, 0]
+                continue
+            pred_y = pred_cb = pred_cr = 1024  # non-intra MB resets DC
+            if sadi <= min(sadf, sadb):
+                use_f = use_b = True
+            elif sadf <= sadb:
+                use_f, use_b = True, False
+            else:
+                use_f, use_b = False, True
+            refs = (past, future)
+            lum_pred, cb_pred, cr_pred = _mb_prediction(
+                refs, row, col, use_f, dyf, dxf, use_b, dyb, dxb
+            )
+            lum_levels, cbp = [], 0
+            for blk in range(4):
+                sl = (
+                    slice((blk // 2) * 8, (blk // 2) * 8 + 8),
+                    slice((blk % 2) * 8, (blk % 2) * 8 + 8),
+                )
+                levels = _quantize_non_intra(
+                    cur_y[sl] - lum_pred[sl], qscale, nqmat_zz
+                )
+                lum_levels.append(levels)
+                if levels.any():
+                    cbp |= 32 >> blk
+            cb_cur = cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+            cr_cur = cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8]
+            cb_levels = _quantize_non_intra(cb_cur - cb_pred, qscale, nqmat_zz)
+            cr_levels = _quantize_non_intra(cr_cur - cr_pred, qscale, nqmat_zz)
+            if cb_levels.any():
+                cbp |= 2
+            if cr_levels.any():
+                cbp |= 1
+            _write_mba(bw, 1)
+            mtype = (0, int(use_f), int(use_b), 1 if cbp else 0, 0)
+            length, code = _B_MBTYPE_ENC[mtype]
+            bw.write(code, length)
+            if use_f:
+                _encode_motion(bw, dxf, mvf_pred[1], f, f_size)
+                _encode_motion(bw, dyf, mvf_pred[0], f, f_size)
+                mvf_pred[:] = [dyf, dxf]
+            if use_b:
+                _encode_motion(bw, dxb, mvb_pred[1], f, f_size)
+                _encode_motion(bw, dyb, mvb_pred[0], f, f_size)
+                mvb_pred[:] = [dyb, dxb]
+            if cbp:
+                length, code = _CBP_ENC[cbp]
+                bw.write(code, length)
+            for blk in range(4):
+                if cbp & (32 >> blk):
+                    _encode_non_intra_block(
+                        bw, lum_levels[blk], qscale, nqmat_zz
+                    )
+            if cbp & 2:
+                _encode_non_intra_block(bw, cb_levels, qscale, nqmat_zz)
+            if cbp & 1:
+                _encode_non_intra_block(bw, cr_levels, qscale, nqmat_zz)
+
+
 def encode_mpeg1(
     frames_px: list,
     fps: int = 25,
@@ -1257,10 +1526,15 @@ def encode_mpeg1(
     intra_every: int | None = None,
     motion_window: int = 0,
     half_pel: bool = True,
+    b_frames: int = 0,
 ) -> bytes:
     """Minimal MPEG-1 elementary video writer: sequence header + one GOP
     + I pictures (and, when ``intra_every`` is set, motion-compensated
-    P pictures between them; frame t is intra iff t % intra_every == 0).
+    P pictures between them; reference frame t is intra iff
+    t % intra_every == 0). ``b_frames`` > 0 inserts that many
+    bidirectionally-predicted B pictures between consecutive references
+    (emitted in coding order — each reference precedes the B pictures
+    that display before it; the final frame is always a reference).
     ``motion_window`` is the full-pel exhaustive-search radius;
     ``half_pel`` adds a ±1 half-pel refinement. One slice per macroblock
     row; the reference chain is closed-loop (P predicts from the
@@ -1293,22 +1567,36 @@ def encode_mpeg1(
     bw.write(0, 25)  # time_code
     bw.write(1, 1)  # closed_gop
     bw.write(0, 1)  # broken_link
-    recon: tuple | None = None
-    for t, px in enumerate(frames_px):
-        planes = _to_ycbcr(px, mbh, mbw)
+    n = len(frames_px)
+    ref_idx = list(range(0, n, b_frames + 1))
+    if ref_idx[-1] != n - 1:
+        ref_idx.append(n - 1)  # the last frame must be a reference
+    past_rec: tuple | None = None
+    prev_ref = None
+    for r in ref_idx:
+        planes = _to_ycbcr(frames_px[r], mbh, mbw)
         is_intra = (
-            recon is None
+            past_rec is None
             or intra_every is None
-            or t % intra_every == 0
+            or r % intra_every == 0
         )
         if is_intra:
-            recon = _encode_i_picture(bw, t, planes, qscale, qmat_zz,
-                                      mbw, mbh)
+            rec = _encode_i_picture(bw, r, planes, qscale, qmat_zz,
+                                    mbw, mbh)
         else:
-            recon = _encode_p_picture(
-                bw, t, planes, recon, qscale, qmat_zz, nqmat_zz,
+            rec = _encode_p_picture(
+                bw, r, planes, past_rec, qscale, qmat_zz, nqmat_zz,
                 mbw, mbh, motion_window, half_pel, f_code,
             )
+        if prev_ref is not None:
+            for t in range(prev_ref + 1, r):
+                _encode_b_picture(
+                    bw, t, _to_ycbcr(frames_px[t], mbh, mbw),
+                    past_rec, rec, qscale, qmat_zz, nqmat_zz,
+                    mbw, mbh, motion_window, half_pel, f_code,
+                )
+        past_rec = rec
+        prev_ref = r
     bw.start_code(SEQ_END)
     return bytes(bw.out)
 

@@ -407,6 +407,109 @@ class TestPPictures:
         assert types == [1, 2, 2, 1, 2, 2]
 
 
+def _picture_headers(payload: bytes) -> list[tuple[int, int]]:
+    """(temporal_reference, picture_coding_type) per picture, in
+    coding (stream) order."""
+    out = []
+    for off, sc in M._find_start_codes(payload):
+        if sc == M.PIC_START:
+            bits = M._Bits(payload, (off + 4) * 8)
+            out.append((bits.read_bits(10), bits.read_bits(3)))
+    return out
+
+
+class TestBPictures:
+    def test_b_alphabet_prefix_free_and_pinned(self):
+        cs = sorted(M._B_MBTYPE_CODES)
+        for a, b in zip(cs, cs[1:]):
+            assert not b.startswith(a), (a, b)
+        # Annex B.2c spot pins
+        assert M._B_MBTYPE_CODES["10"] == (0, 1, 1, 0, 0)
+        assert M._B_MBTYPE_CODES["11"] == (0, 1, 1, 1, 0)
+        assert M._B_MBTYPE_CODES["0010"] == (0, 1, 0, 0, 0)
+        assert M._B_MBTYPE_CODES["00011"] == (0, 0, 0, 0, 1)
+        assert M._B_MBTYPE_CODES["000001"] == (1, 0, 0, 0, 1)
+
+    def test_coding_order_vs_display_order(self):
+        frames = [
+            np.roll(_smooth_gray_rgb(32, 48), t, axis=1) for t in range(7)
+        ]
+        payload = encode_mpeg1(
+            frames, fps=25, qscale=2, intra_every=1000, motion_window=2,
+            b_frames=2,
+        )
+        # coding order: each reference precedes the Bs that display
+        # before it; refs at display 0,3,6 (I P P), Bs between
+        assert _picture_headers(payload) == [
+            (0, 1), (3, 2), (1, 3), (2, 3), (6, 2), (4, 3), (5, 3),
+        ]
+        out = mpeg1_sample_frames(payload, every_ms=1, max_frames=16)
+        assert out is not None
+        # emitted in display order on the 25 fps timeline
+        assert [ts for _, ts, _ in out] == [0, 40, 80, 120, 160, 200, 240]
+        from index_search_monorepo_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        inner = (slice(8, 24), slice(8, 40))
+        for k, (_, _, ppm) in enumerate(out):
+            px = decode_image(ppm)[2]
+            err = np.abs(
+                px[inner].astype(int) - frames[k][inner].astype(int)
+            ).mean()
+            assert err < 5.0, (k, err)
+
+    def test_interpolated_prediction_carries_a_fade(self):
+        a = np.full((32, 48, 3), 60, np.uint8)
+        c = np.full((32, 48, 3), 120, np.uint8)
+        mid = np.full((32, 48, 3), 90, np.uint8)  # exact (a+c)/2
+        payload = encode_mpeg1(
+            [a, mid, c], fps=25, qscale=4, intra_every=1000, b_frames=1
+        )
+        assert [t for _, t in _picture_headers(payload)] == [1, 2, 3]
+        sizes = _picture_sizes(payload)
+        # interpolation carries the fade: the B costs no more than the
+        # references (all three are near the structural floor here)
+        assert sizes[2] <= sizes[1], sizes
+        frames = _decode_all(payload)
+        assert len(frames) == 3
+        # 90 == (60+120)/2: forward-only prediction would decode ~60,
+        # backward-only ~120 — landing on 90 pins the (f+b+1)>>1 path
+        assert np.abs(frames[1].astype(int) - 90).max() <= 4
+
+    def test_bidirectional_occlusion(self):
+        # content visible only in the FUTURE reference: backward
+        # prediction must carry the new region
+        base = _smooth_gray_rgb(32, 48)
+        future = base.copy()
+        future[:, 32:] = _gradient_rgb(32, 48)[:, 32:]
+        mid = base.copy()
+        mid[:, 40:] = future[:, 40:]
+        payload = encode_mpeg1(
+            [base, mid, future], fps=25, qscale=2, intra_every=1000,
+            b_frames=1,
+        )
+        frames = _decode_all(payload)
+        err = np.abs(frames[1].astype(int) - mid.astype(int)).mean()
+        assert err < 12.0, err
+
+    def test_failed_b_loses_only_its_frame(self):
+        a = _gradient_rgb(16, 32)
+        payload = encode_mpeg1(
+            [a, np.roll(a, 1, 1), np.roll(a, 2, 1)], fps=25, qscale=2,
+            intra_every=1000, b_frames=1,
+        )
+        # coding order I0 P2 B1: truncate inside the B's first slice
+        codes = M._find_start_codes(payload)
+        pics = [off for off, sc in codes if sc == M.PIC_START]
+        b_slice = next(
+            off for off, sc in codes
+            if off > pics[2] and M.SLICE_MIN <= sc <= M.SLICE_MAX
+        )
+        out = mpeg1_sample_frames(payload[:b_slice + 5], 1, 8)
+        assert out is not None
+        # both references survive at their display slots; the B is lost
+        assert [ts for _, ts, _ in out] == [0, 80]
 class TestNonIPictures:
     def _with_p_picture(self) -> bytes:
         """Splice a P-picture header (type 2, no slices) into an I-only
