@@ -3,14 +3,15 @@
 Closes the "codec'd video frame decode" stub class with a real standard
 codec: MPEG-1 elementary video streams (``.m1v``: sequence header
 ``00 00 01 B3`` → GOPs → pictures → slices → macroblocks → 8×8 DCT
-blocks). The decoder reconstructs **all three picture types**: intra
+blocks). The decoder reconstructs **all four picture types**: intra
 I pictures; P pictures (forward prediction with half-pel
 interpolation, §2.4.4.2 differential vector reconstruction,
 skipped-macroblock copy, §2.4.4.3 non-intra coefficient
-reconstruction); and B pictures (bidirectional prediction against the
+reconstruction); B pictures (bidirectional prediction against the
 two straddling references with §2.4.4.5 interpolation and
 repeat-previous skip semantics, decoded in coding order and emitted in
-display order). An undecodable reference poisons the chain until the
+display order); and DC-only D pictures (§2.4.3.5, the standard's
+cheap-preview mode). An undecodable reference poisons the chain until the
 next I picture; an undecodable B loses only its own frame — nothing is
 ever misdecoded. The reference pipeline treats media as opaque spans
 (reference: full_text_document_generator.py builds media refs without
@@ -537,6 +538,16 @@ def _decode_non_intra_block(bits: _Bits, qscale: int,
     return rec
 
 
+def _decode_dc_block(bits: _Bits, pred: int, luma: bool) -> tuple:
+    """One D-picture block: DC coefficient only — dct_dc_size +
+    differential, no AC, no EOB (§2.4.3.5)."""
+    size = _read_vlc(bits, _DC_LUM_DEC if luma else _DC_CHROM_DEC, 9)
+    diff = _extend(bits.read_bits(size), size) if size else 0
+    rec = np.zeros(64, np.int64)
+    rec[0] = max(-2048, min(2047, pred + diff * 8))
+    return rec, rec[0]
+
+
 def _mc_predict(plane: np.ndarray, y0: int, x0: int, size: int,
                 dy: int, dx: int) -> np.ndarray:
     """size×size forward prediction from an integer reference plane at
@@ -636,7 +647,7 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
     hdr.read_bits(10)  # temporal_reference
     ptype = hdr.read_bits(3)
     hdr.read_bits(16)  # vbv_delay
-    if ptype not in (1, 2, 3):
+    if ptype not in (1, 2, 3, 4):
         raise ValueError("unknown picture_coding_type")
     full_pel_f = full_pel_b = 0
     fwd_f, f_size = 1, 0
@@ -709,8 +720,8 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
                 inc += v
                 break
             if inc != 1 and mb_addr >= 0:
-                if ptype == 1:
-                    raise ValueError("skipped macroblock in I picture")
+                if ptype in (1, 4):
+                    raise ValueError("skipped macroblock in I/D picture")
                 if ptype == 2:
                     # §2.4.4.4 skipped P macroblocks: copy from the
                     # reference (already in the plane buffers), vector
@@ -740,6 +751,11 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
                 else:
                     raise ValueError("non-intra macroblock type in I picture")
                 quant, mf, mb_, cbp_flag, intra = 0, 0, 0, 0, 1
+            elif ptype == 4:
+                # D picture (§2.4.3.5): the only macroblock_type is '1'
+                if not bits.read_bit():
+                    raise ValueError("bad macroblock_type in D picture")
+                quant, mf, mb_, cbp_flag, intra = 0, 0, 0, 0, 1
             elif ptype == 2:
                 quant, mf, cbp_flag, intra = _read_vlc(bits, _P_MBTYPE_DEC, 6)
                 mb_ = 0
@@ -760,25 +776,29 @@ def _decode_picture(payload: bytes, codes: list[tuple[int, int]],
                 mvf_pred[:] = [0, 0]
                 mvb_pred[:] = [0, 0]
                 last_b = (True, 0, 0, False, 0, 0)
-                for blk in range(4):
-                    zz, pred_y = _decode_intra_block(
-                        bits, pred_y, qscale, qmat_zz, True
+
+                def intra_block(pred: int, luma: bool) -> tuple:
+                    if ptype == 4:  # DC coefficient only, no AC, no EOB
+                        return _decode_dc_block(bits, pred, luma)
+                    return _decode_intra_block(
+                        bits, pred, qscale, qmat_zz, luma
                     )
+
+                for blk in range(4):
+                    zz, pred_y = intra_block(pred_y, True)
                     by = my * 16 + (blk // 2) * 8
                     bx = mx * 16 + (blk % 2) * 8
                     y_plane[by:by + 8, bx:bx + 8] = _idct_block(zz)
-                zz, pred_cb = _decode_intra_block(
-                    bits, pred_cb, qscale, qmat_zz, False
-                )
+                zz, pred_cb = intra_block(pred_cb, False)
                 cb_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
                     _idct_block(zz)
                 )
-                zz, pred_cr = _decode_intra_block(
-                    bits, pred_cr, qscale, qmat_zz, False
-                )
+                zz, pred_cr = intra_block(pred_cr, False)
                 cr_plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = (
                     _idct_block(zz)
                 )
+                if ptype == 4 and not bits.read_bit():
+                    raise ValueError("end_of_macroblock expected")
                 continue
             # non-intra: DC predictors reset (§2.4.3.7)
             pred_y = pred_cb = pred_cr = 1024
@@ -956,7 +976,17 @@ def mpeg1_sample_frames(
     for k_pic, ts_frames, ptype in pictures:  # coding order
         if state["done"]:
             break
-        if ptype in (1, 2):
+        if ptype == 4:
+            # D pictures: standalone DC-only frames, never references
+            # (and never mixed with P/B in a conformant sequence)
+            try:
+                planes = _decode_picture(payload, codes, k_pic, seq, None)
+            except ValueError:
+                continue
+            if pending is not None:
+                emit(*pending)
+            pending = (ts_frames, planes)
+        elif ptype in (1, 2):
             try:
                 planes = _decode_picture(
                     payload, codes, k_pic, seq,
@@ -1597,6 +1627,75 @@ def encode_mpeg1(
                 )
         past_rec = rec
         prev_ref = r
+    bw.start_code(SEQ_END)
+    return bytes(bw.out)
+
+
+def encode_mpeg1_d(frames_px: list, fps: int = 25) -> bytes:
+    """Minimal D-picture-only MPEG-1 writer (§2.4.3.5): every picture is
+    type 4 — DC coefficients only, one slice per macroblock row, the
+    mandatory '1' macroblock_type and end_of_macroblock bits. D
+    sequences are the standard's cheap-preview mode; each 8×8 block
+    reconstructs to its (quantized) mean. Conformance partner of the
+    D branch in _decode_picture."""
+    rate_code = {24: 2, 25: 3, 30: 5, 50: 6, 60: 8}.get(fps, 3)
+    h, w = frames_px[0].shape[:2]
+    mbw, mbh = (w + 15) // 16, (h + 15) // 16
+    bw = _BitWriter()
+    bw.start_code(SEQ_START)
+    bw.write(w, 12)
+    bw.write(h, 12)
+    bw.write(1, 4)
+    bw.write(rate_code, 4)
+    bw.write(0x3FFFF, 18)
+    bw.write(1, 1)
+    bw.write(0, 10)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.start_code(GOP_START)
+    bw.write(0, 25)
+    bw.write(1, 1)
+    bw.write(0, 1)
+
+    def write_dc(spatial: np.ndarray, pred: int, luma: bool) -> int:
+        qdc = int(np.clip(np.round(spatial.mean()), 0, 255))
+        diff = qdc - pred // 8
+        size = abs(diff).bit_length()
+        length, code = (_DC_LUM_ENC if luma else _DC_CHROM_ENC)[size]
+        bw.write(code, length)
+        if size:
+            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        return qdc * 8
+
+    for t, px in enumerate(frames_px):
+        y, cb, cr = _to_ycbcr(px, mbh, mbw)
+        bw.start_code(PIC_START)
+        bw.write(t, 10)
+        bw.write(4, 3)  # picture_coding_type: D
+        bw.write(0xFFFF, 16)
+        bw.write(0, 1)  # extra_bit_picture
+        for row in range(mbh):
+            bw.start_code(row + 1)
+            bw.write(1, 5)  # quantizer_scale (unused by DC-only blocks)
+            bw.write(0, 1)
+            pred_y = pred_cb = pred_cr = 1024
+            for col in range(mbw):
+                _write_mba(bw, 1)
+                bw.write(1, 1)  # macroblock_type: the only D type
+                for blk in range(4):
+                    by = row * 16 + (blk // 2) * 8
+                    bx = col * 16 + (blk % 2) * 8
+                    pred_y = write_dc(y[by:by + 8, bx:bx + 8], pred_y, True)
+                pred_cb = write_dc(
+                    cb[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cb, False,
+                )
+                pred_cr = write_dc(
+                    cr[row * 8:row * 8 + 8, col * 8:col * 8 + 8],
+                    pred_cr, False,
+                )
+                bw.write(1, 1)  # end_of_macroblock
     bw.start_code(SEQ_END)
     return bytes(bw.out)
 

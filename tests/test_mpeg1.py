@@ -510,6 +510,43 @@ class TestBPictures:
         assert out is not None
         # both references survive at their display slots; the B is lost
         assert [ts for _, ts, _ in out] == [0, 80]
+class TestDPictures:
+    def test_d_round_trip_tiles_near_exact(self):
+        # content constant within 16-px tiles survives DC-only coding
+        yy, xx = np.mgrid[0:32, 0:48]
+        tile = ((yy // 16) * 3 + (xx // 16)) % 5
+        palette = np.array(
+            [[40, 40, 40], [200, 60, 60], [60, 200, 60],
+             [60, 60, 200], [220, 220, 90]], np.uint8
+        )
+        px = palette[tile]
+        payload = M.encode_mpeg1_d([px, px])
+        assert [t for _, t in _picture_headers(payload)] == [4, 4]
+        frames = _decode_all(payload)
+        assert len(frames) == 2
+        for fr in frames:
+            assert np.abs(fr.astype(int) - px.astype(int)).max() <= 4
+
+    def test_d_decode_is_blockwise_flat(self):
+        # arbitrary content: every 8x8 tile of a decoded D frame is a
+        # single color (DC-only blocks), near the source tile's mean
+        px = _gradient_rgb(16, 32)
+        frames = _decode_all(M.encode_mpeg1_d([px]))
+        fr = frames[0].astype(int)
+        for by in range(0, 16, 8):
+            for bx in range(0, 32, 8):
+                t = fr[by:by + 8, bx:bx + 8]
+                assert (t == t[0, 0]).all(), (by, bx)
+
+    def test_d_meta_and_timeline(self):
+        px = _smooth_gray_rgb(16, 16)
+        payload = M.encode_mpeg1_d([px] * 3, fps=25)
+        meta = parse_m1v(payload)
+        assert meta["duration_ms"] == 120
+        out = mpeg1_sample_frames(payload, every_ms=1, max_frames=8)
+        assert [ts for _, ts, _ in out] == [0, 40, 80]
+
+
 class TestNonIPictures:
     def _with_p_picture(self) -> bytes:
         """Splice a P-picture header (type 2, no slices) into an I-only
