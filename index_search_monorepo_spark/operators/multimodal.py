@@ -48,7 +48,8 @@ REAL_FORMATS = frozenset({"ppm", "bmp", "tiff", "png", "gif", "jpg"})
 DECODE_IS_STUB = True  # still true for H.26x-family codec'd video (no
 # ffmpeg); every JPEG entropy coder and mode (Huffman baseline/
 # progressive, QM sequential- and progressive-arithmetic, Annex-J
-# hierarchical), MJPEG-AVI frames, and MPEG-1 I-pictures decode for real
+# hierarchical), MJPEG-AVI frames, and every MPEG-1 picture type
+# (I/P/B/D) decode for real
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, width long, height long, media_format string"
