@@ -3310,6 +3310,65 @@ assign AS (
 # extra assignment pass (kassign3 = occupancy of the final codebook kcents2).
 _KM_CTES, _KM_FINAL = SIM.oracle_kmeans_ctes(k=16, iters=3)
 
+# SemDedup oracle chain (r5, late): a SECOND kmeans replay over the
+# PLANTED embedding corpus (10 exact clones at cosine 1.0), prefix 'p' so
+# both chains coexist in one WITH block. passign3 = assignment under the
+# 2-iteration-trained pcents2, mirroring semantic_dedup's
+# kmeans_codebook(iters=2) -> ivf_assign.
+_PKM_CTES, _PKM_FINAL = SIM.oracle_kmeans_ctes(
+    k=16, iters=3, table="corpus", prefix="p"
+)
+
+# Within-cell cosine pairs -> recursive transitive closure -> drop
+# non-component-min members: the SQL mirror of
+# similarity.semantic_dedup (pairs blocked on the TRAINED cell id,
+# cluster canonical = component-min vec_id).
+_SD_CTES = """
+sd_pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM passign3 a JOIN passign3 b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(round(list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]),
+          CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) >= 950000
+),
+sd_edges AS (
+  SELECT va AS src, vb AS dst FROM sd_pairs
+  UNION SELECT vb AS src, va AS dst FROM sd_pairs
+),
+sd_reach AS (
+  SELECT src, dst FROM sd_edges
+  UNION
+  SELECT r.src, e.dst FROM sd_reach r JOIN sd_edges e ON r.dst = e.src
+),
+sd_drops AS (
+  SELECT src AS vec_id FROM sd_reach
+  GROUP BY src HAVING least(src, min(dst)) <> src
+),
+sd_paired AS (
+  SELECT DISTINCT vec_id FROM (
+    SELECT va AS vec_id FROM sd_pairs
+    UNION ALL SELECT vb AS vec_id FROM sd_pairs)
+),
+sd_flags AS (
+  SELECT a.vec_id, a.cell,
+         CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS paired,
+         CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+  FROM passign3 a
+  LEFT JOIN sd_paired p ON p.vec_id = a.vec_id
+  LEFT JOIN sd_drops d ON d.vec_id = a.vec_id
+),
+sd_fold AS (
+  SELECT cell,
+         CAST(sum(paired) AS BIGINT) AS sd_n_paired,
+         CAST(sum(dropped) AS BIGINT) AS sd_n_dropped,
+         md5(coalesce(string_agg(
+           CASE WHEN dropped = 0 THEN CAST(vec_id AS VARCHAR) END,
+           ',' ORDER BY vec_id), '')) AS sd_kept_md5
+  FROM sd_flags GROUP BY cell
+)
+"""
+
 
 _PQ_GATE_SEEDS = [2, 7, 11, 13]
 _PQ_FOLD_SQL = " + ".join(
@@ -3321,8 +3380,11 @@ _PQ_FOLD_SQL = " + ".join(
 @register(
     "similarity_ivf_cells",
     f"""
-    WITH {_IVF_ASSIGN_CTE.strip()},
+    WITH RECURSIVE {_IVF_ASSIGN_CTE.strip()},
     {_KM_CTES},
+    {PLANTED_EMB_CTE.strip()},
+    {_PKM_CTES},
+    {_SD_CTES.strip()},
     kocc AS (
       SELECT cell, CAST(count(*) AS BIGINT) AS km_n_vecs,
              CAST(min(vec_id) AS BIGINT) AS km_min_vec_id,
@@ -3354,7 +3416,10 @@ _PQ_FOLD_SQL = " + ".join(
            coalesce(k.km_min_vec_id, CAST(-1 AS BIGINT)) AS km_min_vec_id,
            coalesce(k.km_max_vec_id, CAST(-1 AS BIGINT)) AS km_max_vec_id,
            m.c_md5,
-           p.pq_fold_sum, p.pq_fold_min, p.pq_fold_max
+           p.pq_fold_sum, p.pq_fold_min, p.pq_fold_max,
+           coalesce(sd.sd_n_paired, CAST(0 AS BIGINT)) AS sd_n_paired,
+           coalesce(sd.sd_n_dropped, CAST(0 AS BIGINT)) AS sd_n_dropped,
+           coalesce(sd.sd_kept_md5, md5('')) AS sd_kept_md5
     FROM (
       SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
              CAST(min(vec_id) AS BIGINT) AS min_vec_id,
@@ -3364,6 +3429,7 @@ _PQ_FOLD_SQL = " + ".join(
     JOIN kmd5 m USING (cell)
     LEFT JOIN kocc k USING (cell)
     JOIN pq_cell p USING (cell)
+    LEFT JOIN sd_fold sd USING (cell)
     """,
 )
 def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,10 +3450,67 @@ def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus flips a column. The Lloyd-trained PQ model and ADC top-k
     are pytest-pinned (tests/test_pq.py — training reduces
     reconstruction error; planted clusters retrieve same-cluster
-    neighbors)."""
+    neighbors).
+
+    NEW r5 (final session): SemDedup (Abbas et al. 2023;
+    similarity.semantic_dedup) rides the same cell rows — the REAL
+    operator runs over the PLANTED embedding corpus (10 exact clones at
+    cosine 1.0) on a k-means codebook trained over that corpus, and per
+    trained cell sd_n_paired / sd_n_dropped / sd_kept_md5 (md5 of the
+    sorted KEPT vec_ids) pin every per-vector keep/drop decision; the
+    oracle replays trainer + assignment + within-cell pairs + recursive
+    transitive closure from scratch."""
     emb = _t(spark, sf_dir, "embeddings")
     static = SIM.ivf_cell_stats(emb, centroid_ids=list(range(16)))
     trained = SIM.kmeans_cell_stats(emb, init_ids=list(range(16)), iters=2)
+    embp = planted_embeddings(spark, sf_dir)
+    cbp = SIM.kmeans_codebook(embp, init_ids=list(range(16)), iters=2)
+    assigned_p = SIM.ivf_assign(embp, cbp).select("vid", "cell")
+    _, sd_clusters = SIM.semantic_dedup(
+        embp, init_ids=list(range(16)), threshold_e6=950000, codebook=cbp
+    )
+    sd = (
+        assigned_p.join(
+            sd_clusters.select(
+                F.col("doc_id").alias("vid"), "is_canonical"
+            ),
+            "vid",
+            "left",
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.when(F.col("is_canonical").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("sd_n_paired"),
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.col("is_canonical"), F.lit(True)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("sd_n_dropped"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.coalesce(
+                                        F.col("is_canonical"), F.lit(True)
+                                    ),
+                                    F.col("vid"),
+                                )
+                            )
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("sd_kept_md5"),
+        )
+    )
     codes = PQMOD.pq_encode(
         emb, PQMOD.pq_seed_books(emb, 4, 64, _PQ_GATE_SEEDS), 4, 64
     )
@@ -3408,7 +3531,22 @@ def q_similarity_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_fold").cast("long").alias("pq_fold_max"),
         )
     )
-    return static.join(trained, "cell").join(pq_cell, "cell")
+    return (
+        static.join(trained, "cell")
+        .join(pq_cell, "cell")
+        .join(sd, "cell", "left")
+        .withColumn(
+            "sd_n_paired",
+            F.coalesce("sd_n_paired", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "sd_n_dropped",
+            F.coalesce("sd_n_dropped", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "sd_kept_md5", F.coalesce("sd_kept_md5", F.md5(F.lit("")))
+        )
+    )
 
 
 @register(

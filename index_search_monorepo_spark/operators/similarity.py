@@ -569,22 +569,24 @@ def kmeans_cell_stats(
 
 
 def oracle_kmeans_ctes(
-    k: int, iters: int = 2, table: str = "embeddings"
+    k: int, iters: int = 2, table: str = "embeddings", prefix: str = "k"
 ) -> tuple[str, str]:
     """(cte_block, final_cents_name) — DuckDB CTE chain replaying the SAME
     Lloyd iterations (init = vec_id < k; 6 dp-rounded coordinate means;
     empty cells keep the previous centroid via left-join coalesce). Kept
-    next to the trainer so the two engines cannot drift."""
+    next to the trainer so the two engines cannot drift. `prefix` renames
+    every CTE (pcents0, passign1, ...) so two chains over different source
+    tables can coexist in one WITH block."""
     parts = [
-        f"""kcents0 AS (
+        f"""{prefix}cents0 AS (
   SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c_vec
   FROM {table} WHERE vec_id < {k}
 )"""
     ]
     for i in range(1, int(iters) + 1):
-        prev = f"kcents{i - 1}"
+        prev = f"{prefix}cents{i - 1}"
         parts.append(
-            f"""kassign{i} AS (
+            f"""{prefix}assign{i} AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT e.vec_id, e.embedding, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -592,21 +594,22 @@ def oracle_kmeans_ctes(
                CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) DESC, c.cell) AS rn
     FROM {table} e CROSS JOIN {prev} c) WHERE rn = 1
 ),
-kmeans{i} AS (
+{prefix}means{i} AS (
   SELECT cell, pos, round(avg(val), 6) AS cval FROM (
     SELECT cell, unnest(CAST(embedding AS DOUBLE[])) AS val,
            unnest(range(1, len(embedding) + 1)) AS pos
-    FROM kassign{i}) GROUP BY cell, pos
+    FROM {prefix}assign{i}) GROUP BY cell, pos
 ),
-knew{i} AS (
-  SELECT cell, list(cval ORDER BY pos) AS c_vec FROM kmeans{i} GROUP BY cell
+{prefix}new{i} AS (
+  SELECT cell, list(cval ORDER BY pos) AS c_vec
+  FROM {prefix}means{i} GROUP BY cell
 ),
-kcents{i} AS (
+{prefix}cents{i} AS (
   SELECT p.cell, coalesce(n.c_vec, p.c_vec) AS c_vec
-  FROM {prev} p LEFT JOIN knew{i} n USING (cell)
+  FROM {prev} p LEFT JOIN {prefix}new{i} n USING (cell)
 )"""
         )
-    return ",\n".join(parts), f"kcents{iters}"
+    return ",\n".join(parts), f"{prefix}cents{iters}"
 
 
 def cosine_near_dup_pairs(
@@ -662,6 +665,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int = 100_000,
+    codebook: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDedup (Abbas et al. 2023 shape): embedding-space near-duplicate
     removal with k-means cells as the SEMANTIC blocking — train a
@@ -687,13 +691,23 @@ def semantic_dedup(
     fix k (more cells) rather than raising the cap. Components and the
     anti-join ride the dedup.py machinery (pair rows only, never
     vectors).
+
+    Pass `codebook` (a trained one-row codebook) to reuse a model the
+    caller already trained — `init_ids`/`iters` are ignored then; the
+    assignment/pair/cluster semantics are identical to the retrain path.
     """
     from index_search_monorepo_spark.operators.dedup import (
         drop_duplicates_by_cluster,
         duplicate_clusters,
     )
 
-    cb = kmeans_codebook(emb, init_ids, iters=iters, id_col=id_col, vec_col=vec_col)
+    cb = (
+        codebook
+        if codebook is not None
+        else kmeans_codebook(
+            emb, init_ids, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    )
     assigned = ivf_assign(emb, cb, id_col=id_col, vec_col=vec_col)
     hot = (
         assigned.groupBy("cell")
