@@ -2299,6 +2299,15 @@ from index_search_monorepo_spark.search.engine import (  # noqa: E402
 
 _BM25_CTES, _BM25_SCORE = _bm25_oracle(_DISMAX_TERMS)
 
+# r5b: KWIC snippet + SymSpell suggestion fragments, same one-place rule
+from index_search_monorepo_spark.search.suggest import (  # noqa: E402
+    kwic_oracle_sql as _kwic_oracle,
+    suggestion_oracle_sql as _sugg_oracle,
+)
+
+_SUGGEST_QUERIES = [("sprk", 1), ("sow", 1), ("sow", 2)]
+_SUGGEST_COLS = ["sug_sprk", "sug_sow1", "sug_sow2"]
+
 
 def _dismax_term_sql(t: str) -> str:
     """score_x2 contribution of one term with qf=[(text,1),(lang,50)],
@@ -2338,6 +2347,11 @@ def _dismax_term_sql(t: str) -> str:
     )
     SELECT s.doc_id, s.score_x2, CAST(s.rnk AS BIGINT) AS rank,
            e.export_ord, e.export_lang, b.bm25_e6,
+           {_kwic_oracle("d.text", _DISMAX_TERMS, radius=30)} AS snippet,
+           {", ".join(
+               f"{_sugg_oracle(q, r)} AS {c}"
+               for (q, r), c in zip(_SUGGEST_QUERIES, _SUGGEST_COLS)
+           )},
            (SELECT 'id:("' || string_agg(CAST(doc_id AS VARCHAR),
                                          '" OR "' ORDER BY rnk2) || '")'
             FROM (SELECT doc_id, row_number() OVER
@@ -2353,6 +2367,7 @@ def _dismax_term_sql(t: str) -> str:
           FROM scored) s
     JOIN exp e ON CAST(s.doc_id AS VARCHAR) = e.id
     JOIN bm25 b ON s.doc_id = b.doc_id
+    JOIN documents d ON d.doc_id = s.doc_id
     WHERE s.rnk <= 25
     """,
 )
@@ -2378,7 +2393,16 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the data-dependent id-filter string from the same
     ranking via string_agg and pins the static profile strings as
     literals — if any builder's formatting drifts from the reference
-    golden, the value hash fails."""
+    golden, the value hash fails.
+
+    NEW r5b: also gates KWIC snippets + SymSpell fuzzy suggestion
+    (search/suggest.py). `snippet` is a per-row earliest-occurrence
+    character window over the top-k docs' raw text (the oracle replays
+    the same strpos/least/CASE/substr arithmetic); sug_* columns run the
+    REAL depth-d deletion-neighborhood join (full-recall SymSpell shape)
+    while the oracle brute-forces levenshtein over the distinct
+    vocabulary — a dropped candidate pair, a wrong frequency, or a
+    ranking tie-break drift all flip the value hash."""
     from index_search_monorepo_spark.search import SearchQuery, with_dismax_score
     from index_search_monorepo_spark.search.engine import export_all
     from index_search_monorepo_spark.search.query import (
@@ -2436,12 +2460,57 @@ def q_search_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = with_bm25_score_e6(
         docs.select("doc_id", "text"), _DISMAX_TERMS
     ).select(F.col("doc_id").alias("b_id"), "bm25_e6")
-    return (
+    # r5b: KWIC snippet on the top-k rows only (join first, THEN window —
+    # the corpus is never re-scanned for highlighting) + SymSpell
+    # suggestions as one-row broadcast constants (the full deletion-
+    # neighborhood join runs; the oracle brute-forces levenshtein over
+    # the distinct vocabulary)
+    from index_search_monorepo_spark.search.suggest import (
+        fuzzy_suggestions,
+        term_dictionary,
+        with_snippet,
+    )
+
+    snip = with_snippet(
+        topk.select("doc_id").join(docs.select("doc_id", "text"), "doc_id"),
+        _DISMAX_TERMS,
+        radius=30,
+    ).select(F.col("doc_id").alias("sn_id"), "snippet")
+    sugg_map = (
+        fuzzy_suggestions(
+            term_dictionary(docs.select("text")),
+            sorted({q for q, _ in _SUGGEST_QUERIES}),
+            topk=max(r for _, r in _SUGGEST_QUERIES),
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws(
+                            ":", "qterm", F.col("rank").cast("string")
+                        ).alias("k"),
+                        F.concat_ws(
+                            ":", "term", F.col("freq").cast("string")
+                        ).alias("v"),
+                    )
+                )
+            ).alias("_sug_map")
+        )
+    )
+    out = (
         topk.join(exp_df, topk["doc_id"].cast("string") == exp_df["id"])
         .join(bm25, topk["doc_id"] == F.col("b_id"))
-        .select(
+        .join(snip, topk["doc_id"] == F.col("sn_id"))
+        .crossJoin(F.broadcast(sugg_map))
+    )
+    for (qt, rk), cname in zip(_SUGGEST_QUERIES, _SUGGEST_COLS):
+        out = out.withColumn(
+            cname, F.try_element_at("_sug_map", F.lit(f"{qt}:{rk}"))
+        )
+    return (
+        out.select(
             "doc_id", "score_x2", "rank", "export_ord", "export_lang",
-            "bm25_e6",
+            "bm25_e6", "snippet", *_SUGGEST_COLS,
         )
         .withColumn(
             "fq_ids", F.lit(query_filter_creator_string("id", top5_ids))
