@@ -1936,6 +1936,20 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
              CAST(coalesce(first(cnt ORDER BY cnt DESC, key), 0)
                AS BIGINT) AS hh_top_cnt
       FROM hh_out
+    ),
+    {TMP.scd2_oracle_sql('events', ['event_type']).lstrip()},
+    tmp_scd AS (
+      SELECT user_id, CAST(max(version) AS BIGINT) AS scd_n_versions,
+             max(CASE WHEN is_current THEN event_type END) AS scd_cur_type,
+             CAST(coalesce(sum(valid_to_us - valid_from_us), 0) AS BIGINT)
+               AS scd_closed_dur_us
+      FROM scd_tbl GROUP BY user_id
+    ),
+    {TMP.rolling_oracle_sql('events', 600).lstrip()},
+    tmp_roll AS (
+      SELECT user_id, CAST(max(roll_cnt) AS BIGINT) AS roll_max_cnt,
+             CAST(sum(roll_cnt) AS BIGINT) AS roll_cnt_sum
+      FROM roll_tbl GROUP BY user_id
     )
     SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
            strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
@@ -1949,7 +1963,9 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
            coalesce(k.cnt, 0) AS skw_cnt,
            coalesce(k.share_pmille, 0) AS skw_share_pmille,
            coalesce(k.n_salts, 0) AS skw_n_salts,
-           h.hh_n_heavy, h.hh_top_key, h.hh_top_cnt
+           h.hh_n_heavy, h.hh_top_key, h.hh_top_cnt,
+           s2.scd_n_versions, s2.scd_cur_type, s2.scd_closed_dur_us,
+           rl.roll_max_cnt, rl.roll_cnt_sum
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -1959,6 +1975,8 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
     LEFT JOIN tmp_asof a USING (user_id)
     LEFT JOIN skw_out k ON k.key = u.user_id
     CROSS JOIN hh_agg h
+    JOIN tmp_scd s2 USING (user_id)
+    JOIN tmp_roll rl USING (user_id)
     WHERE u.rn = 1
     """,
 )
@@ -1996,6 +2014,16 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       set is gated (the MG intermediate is layout-dependent by
       design); the oracle replays exact counts + the cnt*(k+1) > N
       threshold from scratch.
+    - NEW r5 (late) temporal.scd2_build (Kimball type-2 dimension over
+      the event_type change log): per-user version count, the current
+      version's attribute, and the exact-microsecond total closed-
+      interval duration — gates the null-safe change detection, the
+      half-open interval chaining, and the is_current flag. The oracle
+      replays the lag/running-sum/lead chain in SQL.
+    - NEW r5 (late) temporal.with_rolling_stats (600 s trailing RANGE
+      frame over epoch micros): per-user max and sum of the per-event
+      trailing counts — gates the inclusive time-range frame semantics
+      (ties and the exact boundary included) against DuckDB's RANGE.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -2069,6 +2097,30 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("cnt"),
         )
     )
+    scd = (
+        TMP.scd2_build(ev, ["event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.max("version").cast("long").alias("scd_n_versions"),
+            F.max(
+                F.when(F.col("is_current"), F.col("event_type"))
+            ).alias("scd_cur_type"),
+            F.coalesce(
+                F.sum(F.col("valid_to_us") - F.col("valid_from_us")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("scd_closed_dur_us"),
+        )
+    )
+    roll = (
+        TMP.with_rolling_stats(ev, 600)
+        .groupBy("user_id")
+        .agg(
+            F.max("roll_cnt").cast("long").alias("roll_max_cnt"),
+            F.sum("roll_cnt").cast("long").alias("roll_cnt_sum"),
+        )
+    )
     hh_agg = (
         hh.filter("guaranteed")
         .agg(F.count("*").cast("long").alias("hh_n_heavy"),
@@ -2098,6 +2150,8 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("skw_n_salts", F.coalesce("skw_n_salts", zero))
         .crossJoin(F.broadcast(hh_agg))
+        .join(scd, "user_id")
+        .join(roll, "user_id")
     )
 
 

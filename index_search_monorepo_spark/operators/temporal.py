@@ -39,6 +39,11 @@ __all__ = [
     "asof_join",
     "sessionize_oracle_sql",
     "asof_oracle_sql",
+    "scd2_build",
+    "scd2_lookup",
+    "scd2_oracle_sql",
+    "with_rolling_stats",
+    "rolling_oracle_sql",
 ]
 
 
@@ -269,4 +274,183 @@ def asof_oracle_sql(
                              epoch_us(l.{ts_sql})))
                AS tie_asof
       FROM {left_cte} l
+    )"""
+
+
+def scd2_build(
+    df: DataFrame,
+    attr_cols: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Change log -> type-2 slowly-changing dimension: consecutive rows
+    per key with identical tracked attributes collapse into ONE version
+    row with a half-open validity interval `[valid_from_us,
+    valid_to_us)`; the key's latest version has `valid_to_us` NULL and
+    `is_current` true.
+
+    The warehouse-canonical SCD2 build (Kimball type 2), expressed as
+    two window passes over ONE hash exchange on the key: a lag pass
+    flags version starts (first row, or any attribute `IS DISTINCT
+    FROM` its predecessor — null-safe, so NULL->'x' and 'x'->NULL both
+    open versions), a running sum numbers them, and after keeping only
+    version-start rows a lead over the SAME partitioning closes each
+    interval with the next version's start. No self-join, no range
+    explosion; linear per key and spill-safe, which is what the daily
+    100 TB change-log fold needs. Total order inside a key is
+    (ts, order_col) — order rides in data, never row order.
+    Returns (key, *attr_cols, version, valid_from_us, valid_to_us,
+    is_current)."""
+    if not attr_cols:
+        raise ValueError("scd2_build requires at least one tracked attribute")
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    changed = F.lag(order_col).over(w).isNull()
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    ver = (
+        F.sum(F.when(changed, 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    starts = (
+        df.withColumn("_new_ver", F.when(changed, 1).otherwise(0))
+        .withColumn("version", ver)
+        .filter(F.col("_new_ver") == 1)
+    )
+    w_ver = Window.partitionBy(key_col).orderBy("version")
+    return (
+        starts.withColumn("valid_from_us", _us(ts_col).cast("long"))
+        .withColumn(
+            "valid_to_us", F.lead("valid_from_us").over(w_ver).cast("long")
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .select(
+            key_col, *attr_cols, "version", "valid_from_us", "valid_to_us",
+            "is_current",
+        )
+    )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Point-in-time enrichment: each fact row joins the dimension
+    version whose half-open interval contains the fact timestamp. The
+    join is an EQUI-join on the key with the interval test as a cheap
+    post-filter — per-key version counts are small by construction
+    (versions, not events), so the fan-out is bounded and Spark plans a
+    hash join, never the range-join nested loop."""
+    d = dim.select(
+        F.col(key_col).alias("_d_key"),
+        *[c for c in dim.columns if c not in (key_col,)],
+    )
+    ts_us = _us(facts[ts_col])
+    cond = (
+        (facts[key_col] == d["_d_key"])
+        & (d["valid_from_us"] <= ts_us)
+        & (d["valid_to_us"].isNull() | (ts_us < d["valid_to_us"]))
+    )
+    return facts.join(d, cond, "left").drop("_d_key")
+
+
+def scd2_oracle_sql(
+    source_cte: str,
+    attr_sqls: list[str],
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    order_sql: str = "event_id",
+) -> str:
+    """DuckDB CTE chain mirroring scd2_build; exposes scd_tbl with
+    (key, attrs, version, valid_from_us, valid_to_us, is_current)."""
+    distinct = " OR ".join(
+        f"({a} IS DISTINCT FROM lag({a}) OVER w)" for a in attr_sqls
+    )
+    attrs = ", ".join(attr_sqls)
+    return f"""
+    scd_lag AS (
+      SELECT *,
+             CASE WHEN lag({order_sql}) OVER w IS NULL THEN 1
+                  WHEN {distinct} THEN 1 ELSE 0 END AS _new_ver
+      FROM {source_cte}
+      WINDOW w AS (PARTITION BY {key_sql}
+                   ORDER BY {ts_sql}, {order_sql})
+    ),
+    scd_ver AS (
+      SELECT *, CAST(sum(_new_ver) OVER (
+               PARTITION BY {key_sql} ORDER BY {ts_sql}, {order_sql}
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM scd_lag
+    ),
+    scd_start AS (
+      SELECT {key_sql}, {attrs}, version,
+             CAST(epoch_us({ts_sql}) AS BIGINT) AS valid_from_us
+      FROM scd_ver WHERE _new_ver = 1
+    ),
+    scd_tbl AS (
+      SELECT *,
+             CAST(lead(valid_from_us) OVER (
+               PARTITION BY {key_sql} ORDER BY version) AS BIGINT)
+               AS valid_to_us,
+             lead(valid_from_us) OVER (
+               PARTITION BY {key_sql} ORDER BY version) IS NULL
+               AS is_current
+      FROM scd_start
+    )"""
+
+
+def with_rolling_stats(
+    df: DataFrame,
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """df + (roll_cnt, roll_sum_e4): sliding time-RANGE window — for each
+    event, the count and e4-fixed-point sum of the key's events in the
+    trailing `window_seconds` (inclusive both ends: `RANGE BETWEEN w
+    PRECEDING AND CURRENT ROW` over epoch microseconds).
+
+    The RANGE frame is the part people get wrong at scale: a ROWS frame
+    is order-dependent under timestamp ties and a self-join per event is
+    quadratic in the hot key. Spark's range frame over the integer
+    microsecond key is linear per key after ONE hash exchange, includes
+    every tie deterministically, and matches DuckDB's RANGE semantics
+    bit-for-bit on the integer sort key."""
+    if window_seconds < 0:
+        raise ValueError(f"window_seconds must be >= 0, got {window_seconds}")
+    wus = int(window_seconds) * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_us(ts_col))
+        .rangeBetween(-wus, Window.currentRow)
+    )
+    v_e4 = F.round(F.col(value_col) * 10000, 0).cast("long")
+    return df.withColumn(
+        "roll_cnt", F.count(F.lit(1)).over(w).cast("long")
+    ).withColumn("roll_sum_e4", F.sum(v_e4).over(w).cast("long"))
+
+
+def rolling_oracle_sql(
+    source_cte: str,
+    window_seconds: int,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    value_sql: str = "value",
+) -> str:
+    """DuckDB CTE mirroring with_rolling_stats; exposes roll_tbl with the
+    source columns + roll_cnt + roll_sum_e4."""
+    wus = int(window_seconds) * 1_000_000
+    return f"""
+    roll_tbl AS (
+      SELECT *,
+             CAST(count(*) OVER w AS BIGINT) AS roll_cnt,
+             CAST(sum(CAST(round({value_sql} * 10000, 0) AS BIGINT))
+                  OVER w AS BIGINT) AS roll_sum_e4
+      FROM {source_cte}
+      WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_sql})
+                   RANGE BETWEEN {wus} PRECEDING AND CURRENT ROW)
     )"""

@@ -230,3 +230,161 @@ class TestAsofJoin:
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
+
+
+def _scd_toy(spark):
+    rows = [
+        # user 5: A A B A -> versions A, B, A (repeat collapses,
+        # re-appearance re-opens)
+        (50, _ts("2024-01-01 10:00:00"), 5, "A", 1.0),
+        (51, _ts("2024-01-01 10:05:00"), 5, "A", 1.0),
+        (52, _ts("2024-01-01 10:10:00"), 5, "B", 1.0),
+        (53, _ts("2024-01-01 10:20:00"), 5, "A", 1.0),
+        # user 6: NULL NULL x NULL -> null-safe change detection
+        (60, _ts("2024-01-01 09:00:00"), 6, None, 1.0),
+        (61, _ts("2024-01-01 09:01:00"), 6, None, 1.0),
+        (62, _ts("2024-01-01 09:02:00"), 6, "x", 1.0),
+        (63, _ts("2024-01-01 09:03:00"), 6, None, 1.0),
+        # user 7: single row
+        (70, _ts("2024-01-01 08:00:00"), 7, "solo", 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+
+
+def _us_py(s: str) -> int:
+    return int(
+        _ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+
+class TestScd2:
+    def test_hand_exact(self, spark):
+        got = {
+            (r["user_id"], r["version"]): (
+                r["event_type"], r["valid_from_us"], r["valid_to_us"],
+                r["is_current"],
+            )
+            for r in TMP.scd2_build(_scd_toy(spark), ["event_type"]).collect()
+        }
+        t = _us_py
+        assert got == {
+            (5, 1): ("A", t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), False),
+            (5, 2): ("B", t("2024-01-01 10:10:00"), t("2024-01-01 10:20:00"), False),
+            (5, 3): ("A", t("2024-01-01 10:20:00"), None, True),
+            (6, 1): (None, t("2024-01-01 09:00:00"), t("2024-01-01 09:02:00"), False),
+            (6, 2): ("x", t("2024-01-01 09:02:00"), t("2024-01-01 09:03:00"), False),
+            (6, 3): (None, t("2024-01-01 09:03:00"), None, True),
+            (7, 1): ("solo", t("2024-01-01 08:00:00"), None, True),
+        }
+
+    def test_duckdb_parity_real_events(self, spark):
+        got = {
+            (r["user_id"], r["version"]): (
+                r["event_type"], r["valid_from_us"], r["valid_to_us"]
+            )
+            for r in TMP.scd2_build(_events(spark), ["event_type"]).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{EV}')"
+        )
+        cte = TMP.scd2_oracle_sql("events", ["event_type"])
+        want = {
+            (u, v): (a, f, to)
+            for u, v, a, f, to in con.execute(
+                f"WITH {cte.lstrip()} SELECT user_id, version, event_type,"
+                " valid_from_us, valid_to_us FROM scd_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        assert max(v for _, v in got) > 2  # real attribute churn exists
+
+    def test_lookup_point_in_time(self, spark):
+        dim = TMP.scd2_build(_scd_toy(spark), ["event_type"])
+        facts = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:05:30"), 5),   # inside version 1
+                (2, _ts("2024-01-01 10:10:00"), 5),   # boundary -> version 2
+                (3, _ts("2024-01-01 11:00:00"), 5),   # open current version
+                (4, _ts("2024-01-01 07:59:00"), 7),   # before first -> null
+                (5, _ts("2024-01-01 12:00:00"), 99),  # unknown key -> null
+            ],
+            "fact_id long, ts timestamp, user_id long",
+        )
+        got = {
+            r["fact_id"]: r["event_type"]
+            for r in TMP.scd2_lookup(facts, dim).collect()
+        }
+        assert got == {1: "A", 2: "B", 3: "A", 4: None, 5: None}
+
+    def test_one_exchange(self, spark):
+        plan = (
+            TMP.scd2_build(_events(spark), ["event_type"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
+
+    def test_requires_attrs(self, spark):
+        with pytest.raises(ValueError):
+            TMP.scd2_build(_scd_toy(spark), [])
+
+
+class TestRolling:
+    def test_hand_exact_inclusive_boundary(self, spark):
+        got = {
+            r["event_id"]: (r["roll_cnt"], r["roll_sum_e4"])
+            for r in TMP.with_rolling_stats(
+                _toy_events(spark), 600
+            ).collect()
+        }
+        # user 1: 10:00(1.0) 10:10(1.0) 10:41(5.0); 600 s window
+        assert got[10] == (1, 10000)
+        assert got[11] == (2, 20000)   # exactly 600 s earlier IS included
+        assert got[12] == (1, 50000)
+        assert got[20] == (1, 10000)
+        # user 3: 08:00, 08:30 -> 1800 s apart, outside 600 s
+        assert got[31] == (1, 10000)
+
+    def test_duckdb_parity_real_events(self, spark):
+        ev = spark.read.parquet(EV).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        got = {
+            r["event_id"]: (r["roll_cnt"], r["roll_sum_e4"])
+            for r in TMP.with_rolling_stats(ev, 3600).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{EV}')"
+        )
+        cte = TMP.rolling_oracle_sql("events", 3600)
+        want = {
+            e: (c, s)
+            for e, c, s in con.execute(
+                f"WITH {cte.lstrip()} SELECT event_id, roll_cnt,"
+                " roll_sum_e4 FROM roll_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        assert max(c for c, _ in got.values()) > 1  # windows overlap for real
+
+    def test_one_exchange(self, spark):
+        ev = spark.read.parquet(EV).select("event_id", "ts", "user_id", "value")
+        plan = (
+            TMP.with_rolling_stats(ev, 3600)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            TMP.with_rolling_stats(_toy_events(spark), -1)
