@@ -48,6 +48,7 @@ from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import multipattern as MPAT
 from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import frontier as FRO
+from index_search_monorepo_spark.operators import funnel as FNL
 from index_search_monorepo_spark.operators import urlnorm as UN
 from index_search_monorepo_spark.operators import pagerank as PR
 from index_search_monorepo_spark.operators import pii as PII
@@ -1893,6 +1894,10 @@ def q_topk_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_M, _BLOOM_K = 1 << 12, 3
 _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+# 4 h conversion window: tight enough that real users stall mid-funnel
+# (depth variety), wide enough that some convert — both verified at sf0.01
+_FUNNEL_W = 14_400
 
 
 @register(
@@ -1950,7 +1955,11 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
       SELECT user_id, CAST(max(roll_cnt) AS BIGINT) AS roll_max_cnt,
              CAST(sum(roll_cnt) AS BIGINT) AS roll_cnt_sum
       FROM roll_tbl GROUP BY user_id
-    )
+    ),
+    {FNL.funnel_oracle_sql('events', _FUNNEL_STEPS).lstrip()},
+    {FNL.funnel_oracle_sql('events', _FUNNEL_STEPS,
+                           within_seconds=_FUNNEL_W, prefix='w').lstrip()},
+    {FNL.retention_oracle_sql('events').lstrip()}
     SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
            strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
            s.n_sessions, s.max_session_events,
@@ -1965,7 +1974,10 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
            coalesce(k.n_salts, 0) AS skw_n_salts,
            h.hh_n_heavy, h.hh_top_key, h.hh_top_cnt,
            s2.scd_n_versions, s2.scd_cur_type, s2.scd_closed_dur_us,
-           rl.roll_max_cnt, rl.roll_cnt_sum
+           rl.roll_max_cnt, rl.roll_cnt_sum,
+           fn.fn_depth, fn.fn_ts1_us, fn.fn_ts2_us, fn.fn_ts3_us,
+           wfn.fn_depth AS fnw_depth,
+           rt.rt_cohort_period, rt.rt_mask, rt.rt_n_active
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -1977,6 +1989,9 @@ _BLOOM_SRC = "(SELECT user_id FROM events WHERE event_type = 'purchase')"
     CROSS JOIN hh_agg h
     JOIN tmp_scd s2 USING (user_id)
     JOIN tmp_roll rl USING (user_id)
+    JOIN funnel_tbl fn ON fn.funnel_key = u.user_id
+    JOIN wfunnel_tbl wfn ON wfn.funnel_key = u.user_id
+    JOIN retention_tbl rt ON rt.rt_key = u.user_id
     WHERE u.rn = 1
     """,
 )
@@ -2024,6 +2039,15 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       frame over epoch micros): per-user max and sum of the per-event
       trailing counts — gates the inclusive time-range frame semantics
       (ties and the exact boundary included) against DuckDB's RANGE.
+    - NEW r5 (late) funnel.funnel_steps (view->click->purchase), both
+      unwindowed and with the 4 h conversion window: per-user depth +
+      the three step timestamps in exact micros. Spark runs the sorted-
+      array left-fold state machine; the oracle answers via the
+      INDEPENDENT chained-join formulation — a tie-break or window
+      boundary drift flips the hash.
+    - NEW r5 (late) funnel.cohort_retention (weekly): cohort period,
+      the active-offset bitmask (63-bit-safe saturation), true distinct
+      active count.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -2121,6 +2145,11 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("roll_cnt").cast("long").alias("roll_cnt_sum"),
         )
     )
+    fn = FNL.funnel_steps(ev, _FUNNEL_STEPS)
+    fnw = FNL.funnel_steps(
+        ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_W
+    ).select("user_id", F.col("fn_depth").alias("fnw_depth"))
+    ret = FNL.cohort_retention(ev)
     hh_agg = (
         hh.filter("guaranteed")
         .agg(F.count("*").cast("long").alias("hh_n_heavy"),
@@ -2152,6 +2181,9 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hh_agg))
         .join(scd, "user_id")
         .join(roll, "user_id")
+        .join(fn, "user_id")
+        .join(fnw, "user_id")
+        .join(ret, "user_id")
     )
 
 
@@ -2181,20 +2213,51 @@ def q_event_sequence_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "windowed_counts",
-    """
+    f"""
+    WITH {TMP.resample_oracle_sql('events', 3600).lstrip()},
+    rs_agg AS (
+      SELECT rs_key,
+             CAST(count(*) AS BIGINT) AS rs_n_slots,
+             CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
+               AS rs_n_gaps,
+             CAST(sum(value_e4) AS BIGINT) AS rs_ffill_sum_e4
+      FROM resample_tbl GROUP BY rs_key
+    )
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
-             AS value_e4
-    FROM events GROUP BY event_type, date_trunc('hour', ts)
+             AS value_e4,
+           max(r.rs_n_slots) AS rs_n_slots,
+           max(r.rs_n_gaps) AS rs_n_gaps,
+           max(r.rs_ffill_sum_e4) AS rs_ffill_sum_e4
+    FROM events e JOIN rs_agg r ON r.rs_key = e.event_type
+    GROUP BY event_type, date_trunc('hour', ts)
     """,
 )
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming semantics in batch form: tumbling event-time window
     aggregation (the same F.window drives the Structured Streaming mode in
-    streaming/incremental.py)."""
+    streaming/incremental.py).
+
+    NEW r5 (late): temporal.resample_ffill rides per event_type — the
+    hourly gap-filled forward-fill grid rolled up to (slot count, gap
+    count, e4 sum of the filled series). The oracle replays the grid
+    with generate_series + IGNORE NULLS last_value; a wrong last-in-slot
+    tie-break, a missing gap slot, or an ffill drift flips every column.
+    """
     ev = _t(spark, sf_dir, "events")
+    rs = (
+        TMP.resample_ffill(ev, 3600)
+        .groupBy(F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("rs_n_slots"),
+            F.sum(F.col("is_gap").cast("long"))
+            .cast("long")
+            .alias("rs_n_gaps"),
+            F.sum("value_e4").cast("long").alias("rs_ffill_sum_e4"),
+        )
+    )
     return (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -2203,11 +2266,15 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_e4"),
         )
+        .join(rs, "event_type")
         .select(
             "event_type",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "cnt",
             "value_e4",
+            "rs_n_slots",
+            "rs_n_gaps",
+            "rs_ffill_sum_e4",
         )
     )
 

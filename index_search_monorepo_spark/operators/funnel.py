@@ -1,0 +1,361 @@
+"""Behavioral event analytics: ordered funnel conversion and cohort
+retention.
+
+Reference: no counterpart in hathitrust/index_search_monorepo (its event
+surface is request-log analytics, `apps/monitoring/`); built per the
+brief's analytics-completeness category — funnels and retention are the
+two canonical event-table queries every warehouse engine ships
+(BigQuery/Snowflake publish them as window-chain recipes; ClickHouse has
+`windowFunnel`/`retention` as native aggregates).
+
+Scale shapes:
+
+ - `funnel_steps`: ONE hash exchange on the user key (groupBy +
+   sort_array(collect_list)), then a linear left-fold per user that
+   advances a k-slot state machine through the sorted events —
+   O(events · k) per user, no self-join. The naive SQL formulation
+   (k-way chained joins, each "earliest event of type i after the
+   previous step") re-shuffles the event table k times and explodes
+   under hot users; the fold touches each event once. The DuckDB oracle
+   deliberately IS that independent chained-join formulation, so the
+   two derivations cross-check each other.
+ - `cohort_retention`: ONE exchange (groupBy user over slim
+   (user, period) pairs); the activity bitmask packs a user's active
+   period offsets into one BIGINT (offsets saturate at bit
+   `max_offset` ≤ 62 — DuckDB's checked shift overflows at 1 << 63,
+   CLAUDE.md convention). `retention_matrix` is the classic triangle,
+   derived with one more slim exchange at (cohort, offset) grain —
+   user text/payloads never travel.
+
+Funnel semantics contract (documented, oracle-replayed): the anchor is
+the user's EARLIEST step-1 event in (ts, order_col) order; each later
+step matches the earliest event of the right type strictly after the
+previous match in that total order; with `within_seconds`, every
+subsequent match must also fall within the window measured from the
+anchor. This is the greedy-from-first-anchor variant — re-anchoring
+funnels (retry the chain from the 2nd step-1 occurrence when the window
+closes) are a different, costlier contract and are intentionally out of
+scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from index_search_monorepo_spark.operators.temporal import _us
+
+__all__ = [
+    "funnel_steps",
+    "funnel_report",
+    "funnel_oracle_sql",
+    "cohort_retention",
+    "retention_matrix",
+    "retention_oracle_sql",
+]
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel conversion over the ordered event stream.
+
+    Returns one row per user: (user_col, fn_depth, fn_ts1_us ..
+    fn_tsK_us) where fn_depth is the number of funnel steps completed
+    (0..k) and fn_tsI_us is the epoch-microsecond timestamp of the
+    event that completed step I (-1 sentinel where the funnel stalled —
+    NULL-free by repo convention). Completion is prefix-monotone by
+    construction: fn_tsI_us != -1 implies fn_ts(I-1)_us != -1.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    if within_seconds is not None and within_seconds < 0:
+        raise ValueError(
+            f"within_seconds must be >= 0, got {within_seconds}"
+        )
+    k = len(steps)
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                _us(ts_col).alias("ts_us"),
+                F.col(order_col).alias("ord"),
+                F.col(type_col).alias("etype"),
+            )
+        )
+    )
+    init = F.array(*[F.lit(-1).cast("long") for _ in range(k)])
+
+    def merge(acc: Column, x: Column) -> Column:
+        # 1-based index of the next unfilled slot; 0 = chain complete.
+        i = F.array_position(acc, F.lit(-1).cast("long"))
+        match = F.try_element_at(steps_lit, i.cast("int")) == x["etype"]
+        ok = (i > 0) & match
+        if w_us is not None:
+            anchor = F.try_element_at(acc, F.lit(1))
+            ok = ok & ((i == 1) | (x["ts_us"] <= anchor + F.lit(w_us)))
+        filled = F.transform(
+            acc,
+            lambda v, j: F.when(j == (i - 1).cast("int"), x["ts_us"]).otherwise(v),
+        )
+        return F.when(ok, filled).otherwise(acc)
+
+    fold = F.aggregate(evs, init, merge)
+    ts_cols = [
+        F.try_element_at(F.col("_fn"), F.lit(idx + 1))
+        .cast("long")
+        .alias(f"fn_ts{idx + 1}_us")
+        for idx in range(k)
+    ]
+    depth = (
+        F.size(F.filter(F.col("_fn"), lambda v: v != F.lit(-1)))
+        .cast("long")
+        .alias("fn_depth")
+    )
+    return (
+        df.groupBy(user_col)
+        .agg(fold.alias("_fn"))
+        .select(user_col, depth, *ts_cols)
+    )
+
+
+def funnel_report(
+    funnel: DataFrame, n_steps: int, user_col: str = "user_id"
+) -> DataFrame:
+    """Funnel summary from `funnel_steps` output: one row per step with
+    (step, n_reached, pct_of_entered_pmille) — users whose fn_depth >=
+    step, and their integer per-mille share of step-1 completers."""
+    counts = funnel.agg(
+        *[
+            F.sum((F.col("fn_depth") >= s).cast("long")).alias(f"_n{s}")
+            for s in range(1, n_steps + 1)
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("long").alias("step"),
+                    F.col(f"_n{s}").alias("n_reached"),
+                )
+                for s in range(1, n_steps + 1)
+            ]
+        )
+    ).alias("r")
+    n1 = F.col("_n1")
+    return counts.select(rows, n1).select(
+        F.col("r.step").alias("step"),
+        F.col("r.n_reached").alias("n_reached"),
+        F.when(n1 == 0, F.lit(0))
+        .otherwise(F.floor((F.col("r.n_reached") * 1000) / n1))
+        .cast("long")
+        .alias("share_of_entered_pmille"),
+    )
+
+
+def funnel_oracle_sql(
+    source_cte: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    order_sql: str = "event_id",
+    type_sql: str = "event_type",
+    prefix: str = "",
+) -> str:
+    """DuckDB CTE chain mirroring funnel_steps via the INDEPENDENT
+    chained-join formulation (earliest step-1 anchor, then per step the
+    earliest strictly-later event of the right type, window measured
+    from the anchor). Exposes {prefix}funnel_tbl with (funnel_key,
+    fn_depth, fn_ts1_us .. fn_tsK_us); `prefix` namespaces every CTE so
+    two funnel chains can coexist in one WITH block (the
+    oracle_kmeans_ctes(prefix=) pattern)."""
+    k = len(steps)
+    w_us = None if within_seconds is None else int(within_seconds) * 1_000_000
+    p = prefix
+    parts = [
+        f"""
+    {p}fo AS (
+      SELECT {key_sql} AS fo_key, {type_sql} AS etype,
+             CAST(epoch_us({ts_sql}) AS BIGINT) AS ts_us,
+             row_number() OVER (PARTITION BY {key_sql}
+                                ORDER BY {ts_sql}, {order_sql}) AS rn
+      FROM {source_cte}
+    ),
+    {p}fa1 AS (
+      SELECT fo_key, min(rn) AS rn1 FROM {p}fo
+      WHERE etype = '{steps[0]}' GROUP BY fo_key
+    ),
+    {p}ft1 AS (
+      SELECT a.fo_key, a.rn1, o.ts_us AS ts1
+      FROM {p}fa1 a JOIN {p}fo o
+        ON o.fo_key = a.fo_key AND o.rn = a.rn1
+    )"""
+    ]
+    for i in range(2, k + 1):
+        win = (
+            f" AND o.ts_us <= t.ts1 + {w_us}" if w_us is not None else ""
+        )
+        parts.append(
+            f"""
+    {p}fa{i} AS (
+      SELECT o.fo_key, t.rn1, t.ts1, min(o.rn) AS rn{i}
+      FROM {p}fo o JOIN {p}ft{i - 1} t
+        ON o.fo_key = t.fo_key AND o.rn > t.rn{i - 1}
+      WHERE o.etype = '{steps[i - 1]}'{win}
+      GROUP BY o.fo_key, t.rn1, t.ts1
+    ),
+    {p}ft{i} AS (
+      SELECT a.fo_key, a.rn1, a.ts1, a.rn{i}, o.ts_us AS ts{i}
+      FROM {p}fa{i} a JOIN {p}fo o
+        ON o.fo_key = a.fo_key AND o.rn = a.rn{i}
+    )"""
+        )
+    ts_sel = ",\n             ".join(
+        f"CAST(coalesce(t{i}.ts{i}, -1) AS BIGINT) AS fn_ts{i}_us"
+        for i in range(1, k + 1)
+    )
+    depth_sel = " + ".join(
+        f"CASE WHEN t{i}.ts{i} IS NULL THEN 0 ELSE 1 END"
+        for i in range(1, k + 1)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN {p}ft{i} t{i} ON t{i}.fo_key = u.fo_key"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    {p}funnel_tbl AS (
+      SELECT u.fo_key AS funnel_key,
+             CAST({depth_sel} AS BIGINT) AS fn_depth,
+             {ts_sel}
+      FROM (SELECT DISTINCT fo_key FROM {p}fo) u
+      {joins}
+    )"""
+    )
+    return ",".join(parts)
+
+
+def cohort_retention(
+    df: DataFrame,
+    period_seconds: int = 604_800,
+    max_offset: int = 62,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user cohort/retention summary: one row per user with
+    (user_col, rt_cohort_period, rt_mask, rt_n_active).
+
+    rt_cohort_period is the user's first active period index
+    (epoch_us integer-divided by the period — exact: epoch micros
+    < 2**53 so the double division of the pmod-aligned numerator is
+    lossless); rt_mask packs the user's active period OFFSETS from
+    their cohort into a BIGINT bitmask (bit i = active in period
+    cohort+i; offsets beyond `max_offset` saturate onto that bit — the
+    63-bit word convention, DuckDB's checked shift overflows at 1<<63);
+    rt_n_active is the TRUE distinct active-period count (pre-
+    saturation). One hash exchange on the user key; only slim
+    (user, period) pairs ever shuffle."""
+    if period_seconds <= 0:
+        raise ValueError(
+            f"period_seconds must be > 0, got {period_seconds}"
+        )
+    if not 0 < max_offset <= 62:
+        raise ValueError(f"max_offset must be in (0, 62], got {max_offset}")
+    p_us = int(period_seconds) * 1_000_000
+    us = _us(ts_col)
+    pidx = ((us - F.pmod(us, F.lit(p_us))) / F.lit(p_us)).cast("long")
+    agg = df.select(F.col(user_col), pidx.alias("_p")).groupBy(user_col).agg(
+        F.min("_p").alias("rt_cohort_period"),
+        F.collect_set("_p").alias("_ps"),
+    )
+    cohort = F.col("rt_cohort_period")
+    # Literal powers-of-two table: shiftleft/shiftright need int-literal
+    # shift amounts, so dynamic bit ops go through element_at instead
+    # (same idiom as postings.compress_postings).
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+    mask = F.aggregate(
+        F.array_distinct(
+            F.transform(
+                F.col("_ps"),
+                lambda p: F.least(p - cohort, F.lit(max_offset)).cast("int"),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, off: acc.bitwiseOR(
+            F.try_element_at(pows, off + F.lit(1))
+        ),
+    )
+    return agg.select(
+        user_col,
+        cohort,
+        mask.alias("rt_mask"),
+        F.size("_ps").cast("long").alias("rt_n_active"),
+    )
+
+
+def retention_matrix(
+    retention: DataFrame,
+) -> DataFrame:
+    """The retention triangle from `cohort_retention` output: one row
+    per (cohort_period, offset) with the number of cohort users active
+    at that offset — decoded from the bitmask (one slim exchange at
+    (cohort, offset) grain; saturated offsets appear as the cap bit,
+    documented)."""
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+    offs = F.filter(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda i: F.col("rt_mask").bitwiseAND(
+            F.try_element_at(pows, i + F.lit(1))
+        )
+        != F.lit(0),
+    )
+    return (
+        retention.select(
+            "rt_cohort_period", F.explode(offs).alias("offset")
+        )
+        .groupBy("rt_cohort_period", "offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+def retention_oracle_sql(
+    source_cte: str,
+    period_seconds: int = 604_800,
+    max_offset: int = 62,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+) -> str:
+    """DuckDB CTE mirroring cohort_retention; exposes retention_tbl
+    with (key, rt_cohort_period, rt_mask, rt_n_active)."""
+    p_us = int(period_seconds) * 1_000_000
+    return f"""
+    rt_p AS (
+      SELECT {key_sql} AS rt_key,
+             CAST(epoch_us({ts_sql}) AS BIGINT) // {p_us} AS p
+      FROM {source_cte}
+    ),
+    rt_c AS (
+      SELECT rt_key, min(p) AS rt_cohort_period,
+             CAST(count(DISTINCT p) AS BIGINT) AS rt_n_active
+      FROM rt_p GROUP BY rt_key
+    ),
+    rt_off AS (
+      SELECT DISTINCT p.rt_key,
+             least(p.p - c.rt_cohort_period, {max_offset}) AS off
+      FROM rt_p p JOIN rt_c c USING (rt_key)
+    ),
+    retention_tbl AS (
+      SELECT c.rt_key, c.rt_cohort_period,
+             CAST(sum(1::BIGINT << o.off) AS BIGINT) AS rt_mask,
+             c.rt_n_active
+      FROM rt_c c JOIN rt_off o USING (rt_key)
+      GROUP BY c.rt_key, c.rt_cohort_period, c.rt_n_active
+    )"""

@@ -44,6 +44,8 @@ __all__ = [
     "scd2_oracle_sql",
     "with_rolling_stats",
     "rolling_oracle_sql",
+    "resample_ffill",
+    "resample_oracle_sql",
 ]
 
 
@@ -453,4 +455,129 @@ def rolling_oracle_sql(
       FROM {source_cte}
       WINDOW w AS (PARTITION BY {key_sql} ORDER BY epoch_us({ts_sql})
                    RANGE BETWEEN {wus} PRECEDING AND CURRENT ROW)
+    )"""
+
+
+def resample_ffill(
+    df: DataFrame,
+    step_seconds: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    max_slots_per_key: int = 10_000_000,
+) -> DataFrame:
+    """Irregular observations -> a regular per-key time grid with
+    forward fill: one row per (key, slot) for every `step_seconds` slot
+    between the key's first and last observation, carrying
+    (slot_start_us, value_e4, is_gap) where value_e4 is the e4
+    fixed-point LAST observation at or before the slot (within a slot,
+    last = max (ts, order_col) — order rides in data) and is_gap marks
+    slots with no observation of their own.
+
+    The time-series resample/gap-fill primitive (pandas .resample().
+    ffill(), TimescaleDB time_bucket_gapfill + locf) in relational
+    form: per-slot last-observation rollup -> per-key bounds ->
+    sequence() grid explode -> left join -> last(ignorenulls) window.
+    Every exchange carries slim (key, slot, value) rows — the payload
+    table is touched once, in the first rollup. The all-array
+    alternative (one row per key holding the whole grid) is NOT
+    spill-safe: a 10-year key at 1 s steps is 3e8 elements in one row;
+    the relational grid spills per-partition like any other table.
+    `max_slots_per_key` guards the sequence() explosion (raise_error,
+    errors-are-rows does not apply to a resource guard)."""
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be > 0, got {step_seconds}")
+    p_us = int(step_seconds) * 1_000_000
+    us = _us(ts_col)
+    slot = ((us - F.pmod(us, F.lit(p_us))) / F.lit(p_us)).cast("long")
+    last_obs = F.max(
+        F.struct(
+            us.alias("ts_us"),
+            F.col(order_col).alias("ord"),
+            F.round(F.col(value_col) * 10000, 0).cast("long").alias("v_e4"),
+        )
+    )
+    obs = (
+        df.groupBy(F.col(key_col).alias("_k"), slot.alias("_slot"))
+        .agg(last_obs.getField("v_e4").alias("_obs_e4"))
+    )
+    bounds = obs.groupBy("_k").agg(
+        F.min("_slot").alias("_mn"), F.max("_slot").alias("_mx")
+    )
+    span = F.col("_mx") - F.col("_mn") + 1
+    grid = bounds.select(
+        "_k",
+        F.explode(
+            F.when(
+                span <= F.lit(max_slots_per_key),
+                F.sequence("_mn", "_mx"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("resample_ffill: grid of "),
+                        span.cast("string"),
+                        F.lit(f" slots exceeds max_slots_per_key="
+                              f"{max_slots_per_key} for key "),
+                        F.col("_k").cast("string"),
+                    )
+                )
+            )
+        ).alias("_slot"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["_k", "_slot"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_slot").alias("slot"),
+            (F.col("_slot") * p_us).cast("long").alias("slot_start_us"),
+            F.last("_obs_e4", ignorenulls=True).over(w).alias("value_e4"),
+            F.col("_obs_e4").isNull().alias("is_gap"),
+        )
+    )
+
+
+def resample_oracle_sql(
+    source_cte: str,
+    step_seconds: int,
+    key_sql: str = "event_type",
+    ts_sql: str = "ts",
+    value_sql: str = "value",
+    order_sql: str = "event_id",
+) -> str:
+    """DuckDB CTE chain mirroring resample_ffill; exposes resample_tbl
+    with (key, slot, slot_start_us, value_e4, is_gap)."""
+    p_us = int(step_seconds) * 1_000_000
+    return f"""
+    rs_o AS (
+      SELECT {key_sql} AS rs_key,
+             CAST(epoch_us({ts_sql}) AS BIGINT) // {p_us} AS slot,
+             CAST(round({value_sql} * 10000, 0) AS BIGINT) AS v_e4,
+             row_number() OVER (
+               PARTITION BY {key_sql},
+                            CAST(epoch_us({ts_sql}) AS BIGINT) // {p_us}
+               ORDER BY {ts_sql} DESC, {order_sql} DESC) AS rn
+      FROM {source_cte}
+    ),
+    rs_obs AS (
+      SELECT rs_key, slot, v_e4 AS obs_e4 FROM rs_o WHERE rn = 1
+    ),
+    rs_grid AS (
+      SELECT rs_key, unnest(generate_series(mn, mx)) AS slot
+      FROM (SELECT rs_key, min(slot) AS mn, max(slot) AS mx
+            FROM rs_obs GROUP BY rs_key)
+    ),
+    resample_tbl AS (
+      SELECT g.rs_key, g.slot,
+             CAST(g.slot * {p_us} AS BIGINT) AS slot_start_us,
+             last_value(o.obs_e4 IGNORE NULLS) OVER (
+               PARTITION BY g.rs_key ORDER BY g.slot) AS value_e4,
+             o.obs_e4 IS NULL AS is_gap
+      FROM rs_grid g LEFT JOIN rs_obs o
+        ON o.rs_key = g.rs_key AND o.slot = g.slot
     )"""
