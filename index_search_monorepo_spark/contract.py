@@ -1959,7 +1959,15 @@ _FUNNEL_W = 14_400
     {FNL.funnel_oracle_sql('events', _FUNNEL_STEPS).lstrip()},
     {FNL.funnel_oracle_sql('events', _FUNNEL_STEPS,
                            within_seconds=_FUNNEL_W, prefix='w').lstrip()},
-    {FNL.retention_oracle_sql('events').lstrip()}
+    {FNL.retention_oracle_sql('events').lstrip()},
+    {TMP.resample_oracle_sql('events', 3600).lstrip()},
+    rs_tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS rs_n_slots,
+             CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
+               AS rs_n_gaps,
+             CAST(sum(value_e4) AS BIGINT) AS rs_ffill_sum_e4
+      FROM resample_tbl
+    )
     SELECT u.user_id, CAST(u.event_id AS BIGINT) AS first_event_id,
            strftime(u.ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
            s.n_sessions, s.max_session_events,
@@ -1977,7 +1985,8 @@ _FUNNEL_W = 14_400
            rl.roll_max_cnt, rl.roll_cnt_sum,
            fn.fn_depth, fn.fn_ts1_us, fn.fn_ts2_us, fn.fn_ts3_us,
            wfn.fn_depth AS fnw_depth,
-           rt.rt_cohort_period, rt.rt_mask, rt.rt_n_active
+           rt.rt_cohort_period, rt.rt_mask, rt.rt_n_active,
+           rs.rs_n_slots, rs.rs_n_gaps, rs.rs_ffill_sum_e4
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -1992,6 +2001,7 @@ _FUNNEL_W = 14_400
     JOIN funnel_tbl fn ON fn.funnel_key = u.user_id
     JOIN wfunnel_tbl wfn ON wfn.funnel_key = u.user_id
     JOIN retention_tbl rt ON rt.rt_key = u.user_id
+    CROSS JOIN rs_tot rs
     WHERE u.rn = 1
     """,
 )
@@ -2048,6 +2058,13 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - NEW r5 (late) funnel.cohort_retention (weekly): cohort period,
       the active-offset bitmask (63-bit-safe saturation), true distinct
       active count.
+    - NEW r5 (late) temporal.resample_ffill (hourly grid per
+      event_type): global slot/gap counts + the e4 sum of the forward-
+      filled series as one-row broadcast constants (hh_agg pattern) —
+      kept off the headline windowed_counts entry (+0.36 s measured);
+      the oracle replays the grid with generate_series + IGNORE NULLS
+      last_value, so a last-in-slot tie-break or ffill drift flips the
+      sum.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -2150,6 +2167,11 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_W
     ).select("user_id", F.col("fn_depth").alias("fnw_depth"))
     ret = FNL.cohort_retention(ev)
+    rs_tot = TMP.resample_ffill(ev, 3600).agg(
+        F.count("*").cast("long").alias("rs_n_slots"),
+        F.sum(F.col("is_gap").cast("long")).cast("long").alias("rs_n_gaps"),
+        F.sum("value_e4").cast("long").alias("rs_ffill_sum_e4"),
+    )
     hh_agg = (
         hh.filter("guaranteed")
         .agg(F.count("*").cast("long").alias("hh_n_heavy"),
@@ -2184,6 +2206,7 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fn, "user_id")
         .join(fnw, "user_id")
         .join(ret, "user_id")
+        .crossJoin(F.broadcast(rs_tot))
     )
 
 
@@ -2213,51 +2236,23 @@ def q_event_sequence_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "windowed_counts",
-    f"""
-    WITH {TMP.resample_oracle_sql('events', 3600).lstrip()},
-    rs_agg AS (
-      SELECT rs_key,
-             CAST(count(*) AS BIGINT) AS rs_n_slots,
-             CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
-               AS rs_n_gaps,
-             CAST(sum(value_e4) AS BIGINT) AS rs_ffill_sum_e4
-      FROM resample_tbl GROUP BY rs_key
-    )
+    """
     SELECT event_type,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
-             AS value_e4,
-           max(r.rs_n_slots) AS rs_n_slots,
-           max(r.rs_n_gaps) AS rs_n_gaps,
-           max(r.rs_ffill_sum_e4) AS rs_ffill_sum_e4
-    FROM events e JOIN rs_agg r ON r.rs_key = e.event_type
-    GROUP BY event_type, date_trunc('hour', ts)
+             AS value_e4
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
     """,
 )
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 streaming semantics in batch form: tumbling event-time window
     aggregation (the same F.window drives the Structured Streaming mode in
-    streaming/incremental.py).
-
-    NEW r5 (late): temporal.resample_ffill rides per event_type — the
-    hourly gap-filled forward-fill grid rolled up to (slot count, gap
-    count, e4 sum of the filled series). The oracle replays the grid
-    with generate_series + IGNORE NULLS last_value; a wrong last-in-slot
-    tie-break, a missing gap slot, or an ffill drift flips every column.
-    """
+    streaming/incremental.py). Headline query — kept ride-free (the
+    resample_ffill gate rides ordered_dedup_events as one-row broadcast
+    totals instead; the per-event_type ride measured +0.36 s here,
+    interleaved A/B at sf0.1)."""
     ev = _t(spark, sf_dir, "events")
-    rs = (
-        TMP.resample_ffill(ev, 3600)
-        .groupBy(F.col("event_type"))
-        .agg(
-            F.count("*").cast("long").alias("rs_n_slots"),
-            F.sum(F.col("is_gap").cast("long"))
-            .cast("long")
-            .alias("rs_n_gaps"),
-            F.sum("value_e4").cast("long").alias("rs_ffill_sum_e4"),
-        )
-    )
     return (
         ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -2266,15 +2261,11 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("value_e4"),
         )
-        .join(rs, "event_type")
         .select(
             "event_type",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "cnt",
             "value_e4",
-            "rs_n_slots",
-            "rs_n_gaps",
-            "rs_ffill_sum_e4",
         )
     )
 
