@@ -43,6 +43,7 @@ from index_search_monorepo_spark.operators import cooc as CO
 from index_search_monorepo_spark.operators import dedup as D
 from index_search_monorepo_spark.operators import expectations as EXP
 from index_search_monorepo_spark.operators import layout as LY
+from index_search_monorepo_spark.operators import linkage as LK
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import multipattern as MPAT
@@ -1601,20 +1602,117 @@ def q_rights_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_join_parts",
-    """
-    SELECT DISTINCT l.l_partkey FROM lineitem l
+    f"""
+    WITH RECURSIVE {LK.fuzzy_matches_oracle_sql(
+        "(SELECT *, split_part(p_name, ' ', 1) AS w1 FROM part)",
+        'p_partkey', 'p_name', ['w1', 'p_brand'],
+        min_sim_pmille=700).lstrip()},
+    {LK.entity_oracle_sql().lstrip()},
+    lk_sym AS (
+      SELECT id_a AS k, sim_pmille FROM match_tbl
+      UNION ALL SELECT id_b, sim_pmille FROM match_tbl
+    ),
+    lk_agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS lk_n_matches,
+             CAST(max(sim_pmille) AS BIGINT) AS lk_best_sim
+      FROM lk_sym GROUP BY k
+    ),
+    {LK.snm_oracle_sql('part', 'p_partkey', 'p_name', window=3).lstrip()},
+    snm_sym AS (
+      SELECT id_a AS k, id_b * dist AS t FROM snm_tbl
+      UNION ALL SELECT id_b, id_a * dist FROM snm_tbl
+    ),
+    snm_agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS snm_n_nbrs,
+             CAST(sum(t) AS BIGINT) AS snm_nbr_checksum
+      FROM snm_sym GROUP BY k
+    )
+    SELECT DISTINCT l.l_partkey,
+           coalesce(a.lk_n_matches, 0) AS lk_n_matches,
+           coalesce(a.lk_best_sim, 0) AS lk_best_sim,
+           CAST(coalesce(e.cluster_id, l.l_partkey) AS BIGINT)
+             AS lk_cluster_id,
+           coalesce(s.snm_n_nbrs, 0) AS snm_n_nbrs,
+           coalesce(s.snm_nbr_checksum, 0) AS snm_nbr_checksum
+    FROM lineitem l
+    LEFT JOIN lk_agg a ON a.k = l.l_partkey
+    LEFT JOIN entity_tbl e ON e.doc_id = l.l_partkey
+    LEFT JOIN snm_agg s ON s.k = l.l_partkey
     WHERE EXISTS (SELECT 1 FROM part p
                   WHERE p.p_partkey = l.l_partkey AND p.p_size < 10)
     """,
 )
 def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3/O1 terms-query-as-semi-join (query_maker.py:35-60 rationale)."""
+    """S3/O1 terms-query-as-semi-join (query_maker.py:35-60 rationale).
+
+    NEW r5 (late) — the record-linkage gate rides the part grain:
+    - linkage.fuzzy_matches over (first-name-word, p_brand) blocks at
+      sim >= 700 per-mille: per-part match count + best similarity
+      (levenshtein is a JVM builtin on both engines — bit-identical).
+    - linkage.match_entities transitive closure: the entity/cluster id
+      per part (own key when unmatched); the oracle replays closure as
+      a recursive CTE (semantic_dedup convention).
+    - linkage.sorted_neighborhood_pairs (window 3, global (p_name,
+      p_partkey) order): per-part neighbor count + the
+      sum(partner_id * dist) checksum, so a single drifted neighbor or
+      a lost seam pair flips the value; the oracle is the INDEPENDENT
+      global row_number + rank-distance self-join.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
-    return (
+    p_all = _t(spark, sf_dir, "part")
+    p = p_all.filter(F.col("p_size") < 10)
+    base = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
         .select("l_partkey")
         .distinct()
+    )
+    pw = p_all.withColumn("w1", F.split("p_name", " ").getItem(0))
+    matches = LK.fuzzy_matches(
+        pw, "p_partkey", "p_name", ["w1", "p_brand"], min_sim_pmille=700
+    )
+    lk_sym = matches.select(
+        F.col("id_a").alias("k"), "sim_pmille"
+    ).unionAll(matches.select(F.col("id_b").alias("k"), "sim_pmille"))
+    lk_agg = lk_sym.groupBy("k").agg(
+        F.count("*").cast("long").alias("lk_n_matches"),
+        F.max("sim_pmille").cast("long").alias("lk_best_sim"),
+    )
+    ents = LK.match_entities(matches).select(
+        F.col("doc_id").alias("k"), F.col("cluster_id")
+    )
+    snm = LK.sorted_neighborhood_pairs(
+        p_all, "p_partkey", "p_name", window=3
+    )
+    snm_sym = snm.select(
+        F.col("id_a").alias("k"), (F.col("id_b") * F.col("dist")).alias("t")
+    ).unionAll(
+        snm.select(
+            F.col("id_b").alias("k"),
+            (F.col("id_a") * F.col("dist")).alias("t"),
+        )
+    )
+    snm_agg = snm_sym.groupBy("k").agg(
+        F.count("*").cast("long").alias("snm_n_nbrs"),
+        F.sum("t").cast("long").alias("snm_nbr_checksum"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(lk_agg, base.l_partkey == lk_agg.k, "left")
+        .drop("k")
+        .join(ents, base.l_partkey == ents.k, "left")
+        .drop("k")
+        .join(snm_agg, base.l_partkey == snm_agg.k, "left")
+        .drop("k")
+        .select(
+            "l_partkey",
+            F.coalesce("lk_n_matches", zero).alias("lk_n_matches"),
+            F.coalesce("lk_best_sim", zero).alias("lk_best_sim"),
+            F.coalesce("cluster_id", F.col("l_partkey"))
+            .cast("long")
+            .alias("lk_cluster_id"),
+            F.coalesce("snm_n_nbrs", zero).alias("snm_n_nbrs"),
+            F.coalesce("snm_nbr_checksum", zero).alias("snm_nbr_checksum"),
+        )
     )
 
 
