@@ -4985,7 +4985,15 @@ _CK_FRAGS = PK.chunk_oracle_fragments("t", size=_CK_SIZE, overlap=_CK_OVERLAP)
                      ELSE ' plain' END AS dh_src
       FROM documents
     ),
-    {DHY.dehyphen_oracle_sql('dhsrc', 'dh_src').lstrip()}
+    {DHY.dehyphen_oracle_sql('dhsrc', 'dh_src').lstrip()},
+    {PK.negatives_oracle_sql('documents', 'doc_id',
+                             k=3, n_buckets=64).lstrip()},
+    ng_agg AS (
+      SELECT anchor_id AS doc_id,
+             CAST(count(*) AS BIGINT) AS ng_n,
+             CAST(sum(neg_id * neg_ord) AS BIGINT) AS ng_checksum
+      FROM neg_tbl GROUP BY anchor_id
+    )
     SELECT p.*, b.bpe_merged_tokens, b.bpe_longest_sym,
            s.sb_tokens, s.sb_bigram_hits, s.sb_backoffs,
            s.sb_score_e6, s.sb_mean_e6,
@@ -4994,12 +5002,15 @@ _CK_FRAGS = PK.chunk_oracle_fragments("t", size=_CK_SIZE, overlap=_CK_OVERLAP)
            coalesce(c.cooc_top_b, '') AS cooc_top_b,
            CAST(coalesce(c.cooc_top_pmi, 0) AS BIGINT) AS cooc_top_pmi,
            k.ck_n_chunks, k.ck_chunk0_md5, k.ck_last_tokens,
-           dh.dh_n_joined, dh.dh_n_kept, dh.dh_text
+           dh.dh_n_joined, dh.dh_n_kept, dh.dh_text,
+           coalesce(ng.ng_n, 0) AS ng_n,
+           coalesce(ng.ng_checksum, 0) AS ng_checksum
     FROM pk_out p JOIN bpe_out b USING (doc_id)
          JOIN sb_out s USING (doc_id)
          LEFT JOIN cooc_doc c USING (doc_id)
          JOIN ck k USING (doc_id)
          JOIN dh_out dh USING (doc_id)
+         LEFT JOIN ng_agg ng USING (doc_id)
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5111,6 +5122,22 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         goph, keep=rep_names + C4._G_PRODUCED + dh_names
     )
     packed = PK.pack_sequences(tok, budget=512, n_shards=8)
+    # NEW r5 (late): deterministic contrastive negative sampling rides
+    # the same row — the REAL bucket/representative/stride machinery
+    # (packing.negative_samples, k=3 over 64 buckets) aggregated to a
+    # per-anchor count + sum(neg_id * neg_ord) checksum, so one drifted
+    # representative election or stride target flips the value; the
+    # oracle replays fold -> election -> modular stride -> join.
+    ng = (
+        PK.negative_samples(docs, k=3, n_buckets=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("ng_n"),
+            F.sum(F.col("neg_id") * F.col("neg_ord"))
+            .cast("long")
+            .alias("ng_checksum"),
+        )
+    )
     bpe = BPE.with_bpe_tokens(docs, _GATE_MERGES)
     sb_uni = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
     sb_bi = LMOD.train_bigram_counts(docs, train_pmille=500, top_k=24)
@@ -5152,6 +5179,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cooc_top_b", F.coalesce("cooc_top_b", F.lit("")))
         .withColumn(
             "cooc_top_pmi", F.coalesce("cooc_top_pmi", F.lit(0)).cast("long")
+        )
+        .join(ng, "doc_id", "left")
+        .withColumn("ng_n", F.coalesce("ng_n", F.lit(0)).cast("long"))
+        .withColumn(
+            "ng_checksum", F.coalesce("ng_checksum", F.lit(0)).cast("long")
         )
     )
 

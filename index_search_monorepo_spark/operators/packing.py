@@ -787,3 +787,111 @@ def group_split_sql(
         else f"'{splits[-1][0]}'"
     )
     return f"CAST({fold} AS BIGINT)", case
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 1024,
+    salt: str = "neg",
+    stride: int = 7919,
+) -> DataFrame:
+    """k deterministic contrastive NEGATIVES per anchor row —
+    (id_col, neg_ord 1..k, neg_id) — without a cross join or RNG.
+
+    The contrastive-training export step (in-batch negatives are biased
+    by batch composition; corpus-level negatives need a sample of "some
+    other document" per anchor, reproducible across runs and cluster
+    layouts). Mechanism: every doc hashes into one of `n_buckets`
+    buckets; each bucket elects ONE representative (min secondary-hash
+    order — pseudo-random, decorrelated from the bucket fold); anchor
+    j-th negative = the representative of bucket
+    (own_bucket + j·stride) mod n_buckets. One slim groupBy for the
+    representative table (n_buckets rows, broadcast) and one equality
+    join — the corpus scans once, nothing quadratic anywhere.
+    Anchors occasionally get fewer than k rows (target bucket empty, or
+    the representative IS the anchor) — documented, deterministic.
+    `stride` must not be a multiple of n_buckets (every target would be
+    the anchor's own bucket)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if stride % n_buckets == 0:
+        raise ValueError(
+            f"stride {stride} is a multiple of n_buckets {n_buckets}"
+        )
+    b = hash_key_expr(F.col(id_col), salt) % n_buckets
+    docs = df.select(F.col(id_col).alias("_aid"), b.alias("_ab"))
+    rep = (
+        docs.groupBy(F.col("_ab").alias("_rb"))
+        .agg(
+            F.min(
+                F.struct(
+                    hash_key_expr(F.col("_aid"), salt + ":rep").alias("h"),
+                    F.col("_aid").alias("rid"),
+                )
+            ).alias("_r")
+        )
+        .select("_rb", F.col("_r.rid").alias("_rid"))
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("neg_ord"),
+                ((F.col("_ab") + F.lit(j * stride)) % n_buckets).alias("_tb"),
+            )
+            for j in range(1, k + 1)
+        ]
+    )
+    anchors = docs.select("_aid", F.explode(offs).alias("p")).select(
+        "_aid", F.col("p.neg_ord").alias("neg_ord"), F.col("p._tb").alias("_tb")
+    )
+    return (
+        anchors.join(F.broadcast(rep), anchors["_tb"] == rep["_rb"], "left")
+        .filter(F.col("_rid").isNotNull() & (F.col("_rid") != F.col("_aid")))
+        .select(
+            F.col("_aid").alias(id_col),
+            "neg_ord",
+            F.col("_rid").alias("neg_id"),
+        )
+    )
+
+
+def negatives_oracle_sql(
+    source_cte: str,
+    id_sql: str = "doc_id",
+    k: int = 3,
+    n_buckets: int = 1024,
+    salt: str = "neg",
+    stride: int = 7919,
+) -> str:
+    """DuckDB CTE chain mirroring negative_samples; exposes neg_tbl with
+    (anchor_id, neg_ord, neg_id)."""
+    h_bucket = hash_key_sql(id_sql, salt)
+    h_rep = hash_key_sql("aid", salt + ":rep")
+    return f"""
+    ng_docs AS (
+      SELECT {id_sql} AS aid,
+             {h_bucket} % {n_buckets} AS ab
+      FROM {source_cte}
+    ),
+    ng_rep AS (
+      SELECT ab AS rb, aid AS rid FROM (
+        SELECT ab, aid,
+               row_number() OVER (PARTITION BY ab
+                                  ORDER BY {h_rep}, aid) AS rn
+        FROM ng_docs
+      ) WHERE rn = 1
+    ),
+    ng_off AS (
+      SELECT aid, CAST(j AS BIGINT) AS neg_ord,
+             (ab + j * {stride}) % {n_buckets} AS tb
+      FROM ng_docs, (SELECT unnest(generate_series(1, {k})) AS j)
+    ),
+    neg_tbl AS (
+      SELECT d.aid AS anchor_id, d.neg_ord, r.rid AS neg_id
+      FROM ng_off d JOIN ng_rep r ON r.rb = d.tb
+      WHERE r.rid <> d.aid
+    )"""

@@ -361,3 +361,71 @@ def test_group_split_duckdb_parity(spark):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), oracle, check_dtype=False
     )
+
+
+class TestNegativeSamples:
+    def test_contract_properties(self, spark):
+        import pytest
+        docs = _docs(spark)
+        out = P.negative_samples(docs, k=3, n_buckets=64).collect()
+        ids = {r["doc_id"] for r in docs.collect()}
+        per = {}
+        for r in out:
+            assert r["neg_id"] != r["doc_id"]          # never self
+            assert r["neg_id"] in ids                  # a real corpus doc
+            assert 1 <= r["neg_ord"] <= 3
+            per.setdefault(r["doc_id"], set()).add(r["neg_ord"])
+        assert all(len(v) <= 3 for v in per.values())
+        # nearly every anchor gets its full k (only self-rep collisions drop)
+        assert sum(len(v) == 3 for v in per.values()) >= 0.9 * len(ids)
+        with pytest.raises(ValueError):
+            P.negative_samples(docs, k=0)
+        with pytest.raises(ValueError):
+            P.negative_samples(docs, n_buckets=64, stride=128)
+
+    def test_deterministic_across_runs(self, spark):
+        docs = _docs(spark)
+        a = {tuple(r) for r in P.negative_samples(docs, k=2).collect()}
+        b = {tuple(r) for r in P.negative_samples(
+            docs.repartition(7), k=2).collect()}
+        assert a == b  # layout-independent
+
+    def test_duckdb_parity(self, spark):
+        got = {
+            (r["doc_id"], r["neg_ord"]): r["neg_id"]
+            for r in P.negative_samples(
+                _docs(spark), k=3, n_buckets=64
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/documents.parquet')"
+        )
+        cte = P.negatives_oracle_sql("documents", "doc_id", k=3, n_buckets=64)
+        want = {
+            (a, o): n
+            for a, o, n in con.execute(
+                f"WITH {cte.lstrip()} SELECT anchor_id, neg_ord, neg_id"
+                " FROM neg_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        # different salts give different negatives (independent samples)
+        other = {
+            (r["doc_id"], r["neg_ord"]): r["neg_id"]
+            for r in P.negative_samples(
+                _docs(spark), k=3, n_buckets=64, salt="neg2"
+            ).collect()
+        }
+        assert other != got
+
+    def test_no_cartesian_broadcast_plan(self, spark):
+        plan = (
+            P.negative_samples(_docs(spark), k=3, n_buckets=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan  # rep table broadcast by hint
