@@ -36,6 +36,7 @@ from index_search_monorepo_spark.functions.text import (
 )
 from index_search_monorepo_spark.functions import dehyphen as DHY
 from index_search_monorepo_spark.functions import mojibake as MJB
+from index_search_monorepo_spark.functions import jsonops as JOPS
 from index_search_monorepo_spark.functions import unicode_norm as UNORM
 from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
@@ -2368,10 +2369,103 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r5 JSON-tier planted payload: every event carries a synthetic JSON doc
+# derived from its own columns — ints, strings, nested object, array,
+# json-null, optional keys on modular cycles, and a malformed doc every
+# 17th event. Plain (non-f) string so the braces stay literal.
+_PJ_SQL_CTE = """
+    pj_src AS (
+      SELECT event_type,
+             CASE WHEN event_id % 17 = 0 THEN 'not{json'
+             ELSE '{"uid": ' || CAST(user_id AS VARCHAR)
+               || ', "amt": '
+               || CAST(CAST(round(value * 10000, 0) AS BIGINT) AS VARCHAR)
+               || ', "tag": "' || event_type || '"'
+               || CASE WHEN event_id % 3 = 0
+                  THEN ', "opt": {"deep": '
+                       || CAST(user_id % 7 AS VARCHAR) || '}'
+                  ELSE '' END
+               || CASE WHEN event_id % 5 = 0
+                  THEN ', "arr": [1, 2]' ELSE '' END
+               || CASE WHEN event_id % 11 = 0
+                  THEN ', "nul": null' ELSE '' END
+               || '}' END AS pj
+      FROM events
+    ),
+    pj_f AS (
+      SELECT event_type,
+             CASE WHEN json_valid(pj)
+               THEN TRY_CAST(json_extract_string(pj, '$.uid') AS BIGINT)
+             END AS jf_uid,
+             CASE WHEN json_valid(pj)
+               THEN TRY_CAST(json_extract_string(pj, '$.amt') AS BIGINT)
+             END AS jf_amt,
+             CASE WHEN json_valid(pj)
+               THEN TRY_CAST(json_extract_string(pj, '$.opt.deep')
+                             AS BIGINT)
+             END AS jf_deep,
+             CASE WHEN json_valid(pj)
+               THEN json_extract_string(pj, '$.tag') END AS jf_tag
+      FROM pj_src
+    ),
+    jf_agg AS (
+      SELECT event_type,
+             CAST(coalesce(sum(jf_uid), 0) AS BIGINT) AS jf_uid_sum,
+             CAST(coalesce(sum(jf_amt), 0) AS BIGINT) AS jf_amt_sum,
+             CAST(coalesce(sum(jf_deep), 0) AS BIGINT) AS jf_deep_sum,
+             CAST(count(jf_tag) AS BIGINT) AS jf_n_tag
+      FROM pj_f GROUP BY event_type
+    )
+"""
+
+
+def _pj_expr() -> F.Column:
+    """Spark mirror of _PJ_SQL_CTE's payload construction."""
+    base = F.concat(
+        F.lit('{"uid": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "amt": '),
+        F.round(F.col("value") * 10000, 0).cast("long").cast("string"),
+        F.lit(', "tag": "'),
+        F.col("event_type"),
+        F.lit('"'),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit(', "opt": {"deep": '),
+                F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+                F.lit("}"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) == 0,
+            F.lit(', "arr": [1, 2]'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(11)) == 0,
+            F.lit(', "nul": null'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return F.when(
+        F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit("not{json")
+    ).otherwise(base)
+
+
 @register(
     "percentile_metrics",
     f"""
-    WITH ev4 AS (
+    WITH {_PJ_SQL_CTE.strip()},
+    {JOPS.json_profile_oracle_sql('pj_src', 'pj').lstrip()},
+    jp_tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS jp_n_keys,
+             CAST(sum(n_present) AS BIGINT) AS jp_present_total,
+             CAST(sum(n_null * 2 + n_integer * 3 + n_decimal * 17
+                      + n_boolean * 5 + n_object * 7 + n_array * 11
+                      + n_string * 13) AS BIGINT) AS jp_cls_checksum
+      FROM jp_tbl
+    ),
+    ev4 AS (
       SELECT event_type,
              CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
       FROM events
@@ -2410,11 +2504,22 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(a.n) AS hist_n,
            max(z.z_sum) AS z_sum,
            max(z.z_min) AS z_min,
-           max(z.z_max) AS z_max
+           max(z.z_max) AS z_max,
+           max(jf.jf_uid_sum) AS jf_uid_sum,
+           max(jf.jf_amt_sum) AS jf_amt_sum,
+           max(jf.jf_deep_sum) AS jf_deep_sum,
+           max(jf.jf_n_tag) AS jf_n_tag,
+           max(jp.jp_n_keys) AS jp_n_keys,
+           max(jp.jp_present_total) AS jp_present_total,
+           max(jp.jp_cls_checksum) AS jp_cls_checksum,
+           max(jv.n_invalid) AS jv_n_invalid
     FROM events e
     JOIN h50_q a USING (event_type)
     JOIN h95_q b USING (event_type)
     JOIN zs z USING (event_type)
+    JOIN jf_agg jf USING (event_type)
+    CROSS JOIN jp_tot jp
+    CROSS JOIN jv_tbl jv
     GROUP BY e.event_type
     """,
 )
@@ -2437,7 +2542,22 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself — zorder_layout + file_minmax pruning evidence — is
     pytest-pinned in tests/test_layout.py (a 2-D box predicate
     touches strictly fewer files than natural or single-column-sorted
-    layouts of the same file count)."""
+    layouts of the same file count).
+
+    NEW r5 (late): the semi-structured JSON tier rides the same rows
+    over the planted per-event payload (_pj_expr — ints, strings, a
+    nested object, an array, a json null, optional keys on modular
+    cycles, malformed every 17th event):
+    - jsonops.with_json_fields typed extraction (uid/amt/opt.deep
+      longs through try_cast + the tag string), summed per event_type;
+    - jsonops.json_key_profile dynamic key/type inference +
+      json_validity_stats as one-row broadcast totals (key count,
+      presence total, prime-weighted class checksum, invalid count) —
+      a single drifted class or a lost key flips the checksum. The
+      oracle replays extraction and profile through DuckDB's JSON
+      functions (json_valid-guarded — DuckDB throws on malformed
+      input where Spark nulls; the agreement on this payload is the
+      contract, pinned broadly in tests/test_jsonops.py)."""
     ev = _t(spark, sf_dir, "events")
     base = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -2486,14 +2606,66 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("_z").cast("long").alias("z_max"),
         )
     )
+    pj = ev.withColumn("pj", _pj_expr())
+    jf = (
+        JOPS.with_json_fields(
+            pj,
+            "pj",
+            [
+                ("jf_uid", "$.uid", "long"),
+                ("jf_amt", "$.amt", "long"),
+                ("jf_deep", "$.opt.deep", "long"),
+                ("jf_tag", "$.tag", "string"),
+            ],
+        )
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum("jf_uid"), F.lit(0))
+            .cast("long")
+            .alias("jf_uid_sum"),
+            F.coalesce(F.sum("jf_amt"), F.lit(0))
+            .cast("long")
+            .alias("jf_amt_sum"),
+            F.coalesce(F.sum("jf_deep"), F.lit(0))
+            .cast("long")
+            .alias("jf_deep_sum"),
+            F.count("jf_tag").cast("long").alias("jf_n_tag"),
+        )
+    )
+    cls_checksum = (
+        F.col("n_null") * 2
+        + F.col("n_integer") * 3
+        + F.col("n_decimal") * 17
+        + F.col("n_boolean") * 5
+        + F.col("n_object") * 7
+        + F.col("n_array") * 11
+        + F.col("n_string") * 13
+    )
+    jp_tot = (
+        JOPS.json_key_profile(pj, "pj")
+        .agg(
+            F.count("*").cast("long").alias("jp_n_keys"),
+            F.sum("n_present").cast("long").alias("jp_present_total"),
+            F.sum(cls_checksum).cast("long").alias("jp_cls_checksum"),
+        )
+    )
+    jv = JOPS.json_validity_stats(pj, "pj").select(
+        F.col("n_invalid").alias("jv_n_invalid")
+    )
     return (
         base.join(q50, "event_type")
         .join(q95, "event_type")
         .join(zs, "event_type")
+        .join(jf, "event_type")
+        .crossJoin(F.broadcast(jp_tot))
+        .crossJoin(F.broadcast(jv))
         .select(
             "event_type", "avg_value", "median_value", "min_value",
             "max_value", "hist_p50_e4", "hist_p95_e4", "hist_n",
             "z_sum", "z_min", "z_max",
+            "jf_uid_sum", "jf_amt_sum", "jf_deep_sum", "jf_n_tag",
+            "jp_n_keys", "jp_present_total", "jp_cls_checksum",
+            "jv_n_invalid",
         )
     )
 
