@@ -360,6 +360,19 @@ _PR_EDGES_SQL = """predges AS (
     {_PR_CTES},
     {_HITS_CTES},
     pranchors AS ({PR.oracle_inlink_anchors_sql('predges')}),
+    trigedges AS (
+      SELECT 'm' || CAST(doc_id % 100 AS VARCHAR) AS src,
+             'm' || CAST((doc_id + 1) % 100 AS VARCHAR) AS dst
+      FROM documents WHERE doc_id % 11 <> 5
+      UNION ALL
+      SELECT 'm' || CAST(doc_id % 100 AS VARCHAR),
+             'm' || CAST((doc_id + 2) % 100 AS VARCHAR)
+      FROM documents WHERE doc_id % 4 <> 2
+    ),
+    {PR.oracle_triangles_sql('trigedges').lstrip()},
+    tri_tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS tc_total FROM tri_tbl
+    ),
     {_FR_URLS_SQL},
     frsched AS (SELECT doc_id AS fr_doc, fetcher, wave, queue_pos,
                        not_before_sec
@@ -460,6 +473,8 @@ _PR_EDGES_SQL = """predges AS (
            pra.top_anchor AS pr_top_anchor,
            prh.hub_e6 AS hits_hub_e6,
            prh.auth_e6 AS hits_auth_e6,
+           coalesce(tn.n_triangles, 0) AS tc_n_triangles,
+           tt.tc_total AS tc_total,
            CAST(CASE WHEN doc_id % 5 = 4 THEN 1
                      WHEN doc_id % 8 IN (1, 3, 6) THEN 0
                      ELSE 1 END AS BIGINT) AS robots_allowed,
@@ -533,6 +548,9 @@ _PR_EDGES_SQL = """predges AS (
            ON pra.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
     LEFT JOIN {_HITS_FINAL} prh
            ON prh.node = 'n' || CAST(pt.doc_id % 1000 AS VARCHAR)
+    LEFT JOIN tri_node tn
+           ON tn.node = 'm' || CAST(pt.doc_id % 100 AS VARCHAR)
+    CROSS JOIN tri_tot tt
     JOIN frsched frs ON frs.fr_doc = pt.doc_id
     """,
 )
@@ -855,6 +873,48 @@ def q_string_preparation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.join(doc_graph, out["doc_id"] == doc_graph["g_id"]).drop(
         "g_id"
+    )
+    # r5 (late) triangle-counting ride: the REAL degree-ordered triangle
+    # counter (pagerank.triangles / node_triangle_counts — the
+    # Suri-Vassilvitskii oriented-wedge join) over its own planted
+    # consecutive-triple graph (u->u+1, u->u+2 with modular dropouts so
+    # per-node counts vary); per-doc membership count + the one-row
+    # broadcast global total; the oracle replays orientation, wedge
+    # join, and closure with the same (degree, node) total order.
+    m100 = F.concat(F.lit("m"), F.pmod(d, F.lit(100)).cast("string"))
+    te1 = docs.where(F.pmod(d, F.lit(11)) != 5).select(
+        m100.alias("src"),
+        F.concat(
+            F.lit("m"), F.pmod(d + 1, F.lit(100)).cast("string")
+        ).alias("dst"),
+    )
+    te2 = docs.where(F.pmod(d, F.lit(4)) != 2).select(
+        m100.alias("src"),
+        F.concat(
+            F.lit("m"), F.pmod(d + 2, F.lit(100)).cast("string")
+        ).alias("dst"),
+    )
+    tedges = te1.unionByName(te2)
+    tn = PR.node_triangle_counts(tedges).withColumnRenamed(
+        "node", "_tnode"
+    )
+    tt = PR.triangles(tedges).agg(
+        F.count("*").cast("long").alias("tc_total")
+    )
+    doc_tri = (
+        docs.select(d.cast("string").alias("t_id"), m100.alias("_tnode"))
+        .join(tn, "_tnode", "left")
+        .select(
+            "t_id",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("tc_n_triangles"),
+        )
+    )
+    out = (
+        out.join(doc_tri, out["doc_id"] == doc_tri["t_id"])
+        .drop("t_id")
+        .crossJoin(F.broadcast(tt))
     )
     # r5c crawl-admission ride: the REAL robots.txt engine
     # (operators/robots.py — parse-once-per-host broadcast rules +

@@ -416,3 +416,127 @@ hhub{i} AS (
 )"""
     )
     return ",\n".join(parts), "hitsfinal"
+
+
+def oriented_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-ordered orientation of the distinct undirected edge set:
+    (u, v, du, dv) with rank(u) < rank(v) under the (degree, node)
+    total order; self-loops and parallel edges dropped.
+
+    The Suri-Vassilvitskii trick that makes distributed triangle
+    counting tractable: orienting every edge from the lower-ranked
+    endpoint bounds each node's OUT-degree by O(sqrt(m)) (a node with
+    out-degree d has d higher-ranked neighbors, each of degree >= its
+    own, so d^2 <= 2m) — which bounds the wedge join's per-key fan-out.
+    Without it the hub node of a star graph generates degree^2 wedges."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """All triangles of the undirected simple graph, one row each:
+    (ta, tb, tc) in (degree, node) rank order — each triangle appears
+    exactly once. Wedge generation joins the oriented edge set to
+    itself on the LOW-rank apex (fan-out bounded by the orientation,
+    see oriented_edges), then one more equality join closes the wedge.
+    Everything shuffles on node keys; edges are the largest frame that
+    moves."""
+    o = oriented_edges(edges, src, dst)
+    o1 = o.select(
+        F.col("u").alias("ta"),
+        F.col("v").alias("tb"),
+        F.col("dv").alias("_db1"),
+    )
+    o2 = o.select(
+        F.col("u").alias("ta"),
+        F.col("v").alias("tc"),
+        F.col("dv").alias("_dc1"),
+    )
+    rank_lt = (F.col("_db1") < F.col("_dc1")) | (
+        (F.col("_db1") == F.col("_dc1")) & (F.col("tb") < F.col("tc"))
+    )
+    wedges = o1.join(o2, "ta").filter(rank_lt)
+    closer = o.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    return wedges.join(closer, ["tb", "tc"]).select("ta", "tb", "tc")
+
+
+def node_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles): how many triangles each node participates
+    in — the local clustering numerator. Nodes in no triangle are
+    absent (left-join + coalesce at the consumer)."""
+    t = triangles(edges, src, dst)
+    return (
+        t.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def oracle_triangles_sql(edges_cte: str) -> str:
+    """DuckDB CTE chain mirroring triangles/node_triangle_counts over
+    `edges_cte` (src, dst): exposes tri_tbl (ta, tb, tc) and tri_node
+    (node, n_triangles). Same (degree, node) orientation — bit-identical
+    triangle identities."""
+    return f"""
+    tri_und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM {edges_cte} WHERE src <> dst
+    ),
+    tri_deg AS (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM tri_und UNION ALL SELECT b FROM tri_und
+      ) GROUP BY n
+    ),
+    tri_o AS (
+      SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+             CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END
+               AS dv
+      FROM tri_und u
+      JOIN tri_deg da ON da.n = u.a
+      JOIN tri_deg db ON db.n = u.b
+    ),
+    tri_tbl AS (
+      SELECT o1.u AS ta, o1.v AS tb, o2.v AS tc
+      FROM tri_o o1
+      JOIN tri_o o2 ON o2.u = o1.u
+        AND (o1.dv, o1.v) < (o2.dv, o2.v)
+      JOIN tri_o o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    tri_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT ta AS node FROM tri_tbl
+        UNION ALL SELECT tb FROM tri_tbl
+        UNION ALL SELECT tc FROM tri_tbl
+      ) GROUP BY node
+    )"""

@@ -235,3 +235,91 @@ class TestHits:
         assert sum(v[1] for v in got.values()) > PR.E6 // 2
         assert sum(v[0] for v in got.values()) > PR.E6 // 2
         assert n == 5
+
+
+class TestTriangles:
+    def test_k4_and_star(self, spark):
+        k4 = [(a, b) for i, a in enumerate("wxyz") for b in "wxyz"[i + 1:]]
+        t = PR.triangles(_edges(spark, k4)).collect()
+        assert len(t) == 4                          # C(4,3)
+        counts = {
+            r["node"]: r["n_triangles"]
+            for r in PR.node_triangle_counts(_edges(spark, k4)).collect()
+        }
+        assert counts == {c: 3 for c in "wxyz"}
+        # star graph: hub with 5 leaves, zero triangles — and the
+        # orientation points every edge AT the hub (leaves rank lower)
+        star = [("hub", f"l{i}") for i in range(5)]
+        assert PR.triangles(_edges(spark, star)).count() == 0
+        o = PR.oriented_edges(_edges(spark, star)).collect()
+        assert all(r["v"] == "hub" for r in o)      # bounded fan-out shape
+
+    def test_parallel_edges_self_loops_direction(self, spark):
+        rows = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+                ("b", "c"), ("c", "a")]
+        t = PR.triangles(_edges(spark, rows)).collect()
+        assert len(t) == 1                          # one simple triangle
+        counts = {
+            r["node"]: r["n_triangles"]
+            for r in PR.node_triangle_counts(_edges(spark, rows)).collect()
+        }
+        assert counts == {"a": 1, "b": 1, "c": 1}
+
+    def test_duckdb_parity_planted(self, spark):
+        # consecutive-triple plant: u->u+1 and (u%4 != 2) u->u+2 on a
+        # 100-node ring — guaranteed triangles with per-node variety
+        rows = []
+        for d in range(311):
+            u = d % 100
+            if d % 11 != 5:
+                rows.append((f"m{u:02d}", f"m{(u + 1) % 100:02d}"))
+            if d % 4 != 2:
+                rows.append((f"m{u:02d}", f"m{(u + 2) % 100:02d}"))
+        got_t = {
+            (r["ta"], r["tb"], r["tc"])
+            for r in PR.triangles(_edges(spark, rows)).collect()
+        }
+        got_n = {
+            r["node"]: r["n_triangles"]
+            for r in PR.node_triangle_counts(_edges(spark, rows)).collect()
+        }
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s}', '{t}')" for s, t in rows)
+        cte = PR.oracle_triangles_sql(f"(VALUES {vals}) t(src, dst)")
+        want_t = set(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT ta, tb, tc FROM tri_tbl"
+            ).fetchall()
+        )
+        want_n = dict(
+            con.execute(
+                f"WITH {cte.lstrip()} SELECT node, n_triangles FROM tri_node"
+            ).fetchall()
+        )
+        assert got_t == want_t and len(got_t) > 50
+        assert got_n == want_n
+        assert len(set(got_n.values())) >= 2        # per-node variety
+
+    def test_partition_independence(self, spark):
+        rows = [(f"m{d % 60}", f"m{(d * 7 + 1) % 60}") for d in range(200)]
+        a = {
+            tuple(r)
+            for r in PR.triangles(_edges(spark, rows)).collect()
+        }
+        b = {
+            tuple(r)
+            for r in PR.triangles(
+                _edges(spark, rows).repartition(13)
+            ).collect()
+        }
+        assert a == b
+
+    def test_no_cartesian(self, spark):
+        rows = [("a", "b"), ("b", "c"), ("c", "a")]
+        plan = (
+            PR.triangles(_edges(spark, rows))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
