@@ -126,12 +126,10 @@ def funnel_steps(
     )
 
 
-def funnel_report(
-    funnel: DataFrame, n_steps: int, user_col: str = "user_id"
-) -> DataFrame:
+def funnel_report(funnel: DataFrame, n_steps: int) -> DataFrame:
     """Funnel summary from `funnel_steps` output: one row per step with
-    (step, n_reached, pct_of_entered_pmille) — users whose fn_depth >=
-    step, and their integer per-mille share of step-1 completers."""
+    (step, n_reached, share_of_entered_pmille) — users whose fn_depth
+    >= step, and their integer per-mille share of step-1 completers."""
     counts = funnel.agg(
         *[
             F.sum((F.col("fn_depth") >= s).cast("long")).alias(f"_n{s}")
