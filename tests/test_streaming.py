@@ -1001,3 +1001,62 @@ def test_streaming_lsh_state_ttl_expires(spark, tmp_path):
     assert "late_copy" in folded, "second batch never processed"
     # the original's buckets expired -> the late copy claims fresh
     assert not folded["late_copy"]["is_dup"]
+
+
+def test_streaming_funnel_parity(spark, tmp_path):
+    """The funnel fold is streaming-legal as-is: funnel_steps is ONE
+    groupBy(user).agg over sort_array(collect_list(...)) + a pure
+    post-projection — Spark maintains the list aggregation
+    incrementally (complete mode) and the fold re-projects per emit.
+    A drained two-file stream's per-user depths/timestamps must equal
+    the batch funnel over the same rows — events arriving across
+    micro-batches in arbitrary order land identically because order
+    rides in the sorted array, never in arrival order."""
+    import datetime as dt
+
+    from index_search_monorepo_spark.operators import funnel as FN
+
+    src = str(tmp_path / "fn_land")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=(i * 7) % 90), i % 9,
+         ["view", "click", "purchase", "error"][(i * 5) % 4], 1.0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+    # two files so the drain really runs multiple micro-batches, with
+    # the LATER file carrying chronologically EARLIER events
+    df.where("event_id >= 60").write.mode("overwrite").parquet(src)
+    df.where("event_id < 60").write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        FN.funnel_steps(stream, ["view", "click", "purchase"])
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("funnel_stream")
+        .option("checkpointLocation", str(tmp_path / "fn_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM funnel_stream").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            FN.funnel_steps(df, ["view", "click", "purchase"]).collect(),
+        )
+    )
+    assert got == want and len(want) == 9
