@@ -2525,6 +2525,16 @@ def _pj_expr() -> F.Column:
                       + n_string * 13) AS BIGINT) AS jp_cls_checksum
       FROM jp_tbl
     ),
+    {FNL.transitions_oracle_sql('events').lstrip()},
+    tr_agg AS (
+      SELECT from_type AS event_type,
+             CAST(sum(n_transitions) AS BIGINT) AS tr_out_n,
+             first(to_type ORDER BY n_transitions DESC, to_type)
+               AS tr_top_next,
+             CAST(first(n_transitions ORDER BY n_transitions DESC, to_type)
+               AS BIGINT) AS tr_top_cnt
+      FROM trans_tbl GROUP BY from_type
+    ),
     ev4 AS (
       SELECT event_type,
              CAST(round(value * 10000, 0) AS BIGINT) AS value_e4
@@ -2572,12 +2582,16 @@ def _pj_expr() -> F.Column:
            max(jp.jp_n_keys) AS jp_n_keys,
            max(jp.jp_present_total) AS jp_present_total,
            max(jp.jp_cls_checksum) AS jp_cls_checksum,
-           max(jv.n_invalid) AS jv_n_invalid
+           max(jv.n_invalid) AS jv_n_invalid,
+           max(tr.tr_out_n) AS tr_out_n,
+           max(tr.tr_top_next) AS tr_top_next,
+           max(tr.tr_top_cnt) AS tr_top_cnt
     FROM events e
     JOIN h50_q a USING (event_type)
     JOIN h95_q b USING (event_type)
     JOIN zs z USING (event_type)
     JOIN jf_agg jf USING (event_type)
+    JOIN tr_agg tr USING (event_type)
     CROSS JOIN jp_tot jp
     CROSS JOIN jv_tbl jv
     GROUP BY e.event_type
@@ -2712,11 +2726,37 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     jv = JOPS.json_validity_stats(pj, "pj").select(
         F.col("n_invalid").alias("jv_n_invalid")
     )
+    # NEW r5 (late): Markov path analysis rides the from-type grain —
+    # funnel.transition_counts over the real stream, rolled up per
+    # source type: total outgoing transitions + the argmax next type
+    # under the (count DESC, to_type) total order.
+    tr_top = F.min(
+        F.struct(
+            (-F.col("n_transitions")).alias("neg"),
+            F.col("to_type").alias("t"),
+            F.col("n_transitions").alias("c"),
+        )
+    )
+    tr_agg = (
+        FNL.transition_counts(ev)
+        .groupBy(F.col("from_type").alias("event_type"))
+        .agg(
+            F.sum("n_transitions").cast("long").alias("tr_out_n"),
+            tr_top.alias("_t"),
+        )
+        .select(
+            "event_type",
+            "tr_out_n",
+            F.col("_t.t").alias("tr_top_next"),
+            F.col("_t.c").cast("long").alias("tr_top_cnt"),
+        )
+    )
     return (
         base.join(q50, "event_type")
         .join(q95, "event_type")
         .join(zs, "event_type")
         .join(jf, "event_type")
+        .join(tr_agg, "event_type")
         .crossJoin(F.broadcast(jp_tot))
         .crossJoin(F.broadcast(jv))
         .select(
@@ -2725,7 +2765,7 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_sum", "z_min", "z_max",
             "jf_uid_sum", "jf_amt_sum", "jf_deep_sum", "jf_n_tag",
             "jp_n_keys", "jp_present_total", "jp_cls_checksum",
-            "jv_n_invalid",
+            "jv_n_invalid", "tr_out_n", "tr_top_next", "tr_top_cnt",
         )
     )
 

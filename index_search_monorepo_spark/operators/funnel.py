@@ -52,6 +52,8 @@ __all__ = [
     "cohort_retention",
     "retention_matrix",
     "retention_oracle_sql",
+    "transition_counts",
+    "transitions_oracle_sql",
 ]
 
 
@@ -356,4 +358,56 @@ def retention_oracle_sql(
              c.rt_n_active
       FROM rt_c c JOIN rt_off o USING (rt_key)
       GROUP BY c.rt_key, c.rt_cohort_period, c.rt_n_active
+    )"""
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Markov transition matrix of the event stream: one row per
+    (from_type, to_type) with the count of ADJACENT occurrences in some
+    user's (ts, order_col)-ordered stream — the "user flows" / path
+    analysis primitive (where do users go after X). ONE hash exchange
+    on the user key for the lag window, then a map-side-combined
+    rollup over slim (from, to) pairs — the event payloads never
+    shuffle twice. Each user's first event has no predecessor and
+    contributes nothing."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    return (
+        df.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+
+
+def transitions_oracle_sql(
+    source_cte: str,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    order_sql: str = "event_id",
+    type_sql: str = "event_type",
+) -> str:
+    """DuckDB CTE mirroring transition_counts; exposes trans_tbl with
+    (from_type, to_type, n_transitions)."""
+    return f"""
+    tr_lag AS (
+      SELECT lag({type_sql}) OVER (PARTITION BY {key_sql}
+                                   ORDER BY {ts_sql}, {order_sql})
+               AS from_type,
+             {type_sql} AS to_type
+      FROM {source_cte}
+    ),
+    trans_tbl AS (
+      SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM tr_lag WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
     )"""

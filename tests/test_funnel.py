@@ -308,3 +308,55 @@ class TestResample:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             TMP.resample_ffill(_toy(spark), 0)
+
+
+class TestTransitions:
+    def test_hand_exact(self, spark):
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in FN.transition_counts(_toy(spark)).collect()
+        }
+        # user 1: view->view->click->purchase; user 2: purchase->view->
+        # click; user 3: view->click (tie ts, event_id order); user 4:
+        # click(40)->view(41) at equal ts; user 5: single event
+        assert got == {
+            ("view", "view"): 1,
+            ("view", "click"): 3,
+            ("click", "purchase"): 1,
+            ("purchase", "view"): 1,
+            ("click", "view"): 1,
+        }
+
+    def test_duckdb_parity_real_events(self, spark):
+        got = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in FN.transition_counts(_events(spark)).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{EV}')"
+        )
+        cte = FN.transitions_oracle_sql("events")
+        want = {
+            (a, b): n
+            for a, b, n in con.execute(
+                f"WITH {cte.lstrip()} SELECT from_type, to_type,"
+                " n_transitions FROM trans_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        assert len(got) == 25  # full 5x5 matrix at this density
+        # conservation: transitions = events - one per user
+        n_events = _events(spark).count()
+        n_users = _events(spark).select("user_id").distinct().count()
+        assert sum(got.values()) == n_events - n_users
+
+    def test_one_exchange_then_rollup(self, spark):
+        plan = (
+            FN.transition_counts(_events(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 2, f"user window + pair rollup, got {n_ex}:\n{plan}"
