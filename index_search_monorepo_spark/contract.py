@@ -38,6 +38,7 @@ from index_search_monorepo_spark.functions import dehyphen as DHY
 from index_search_monorepo_spark.functions import mojibake as MJB
 from index_search_monorepo_spark.functions import jsonops as JOPS
 from index_search_monorepo_spark.functions import unicode_norm as UNORM
+from index_search_monorepo_spark.operators import basket as BK
 from index_search_monorepo_spark.operators import bpe as BPE
 from index_search_monorepo_spark.operators import classifier as CLFR
 from index_search_monorepo_spark.operators import cooc as CO
@@ -1687,6 +1688,19 @@ def q_rights_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k, CAST(count(*) AS BIGINT) AS snm_n_nbrs,
              CAST(sum(t) AS BIGINT) AS snm_nbr_checksum
       FROM snm_sym GROUP BY k
+    ),
+    {BK.basket_oracle_sql('lineitem', 'l_orderkey', 'l_partkey',
+                          min_pair_count=2).lstrip()},
+    bk_agg AS (
+      SELECT antecedent AS k,
+             CAST(count(*) AS BIGINT) AS bk_n_rules,
+             CAST(first(confidence_pmille
+                        ORDER BY confidence_pmille DESC, consequent)
+               AS BIGINT) AS bk_top_conf,
+             CAST(first(consequent
+                        ORDER BY confidence_pmille DESC, consequent)
+               AS BIGINT) AS bk_top_conseq
+      FROM rules_tbl GROUP BY antecedent
     )
     SELECT DISTINCT l.l_partkey,
            coalesce(a.lk_n_matches, 0) AS lk_n_matches,
@@ -1694,11 +1708,16 @@ def q_rights_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(e.cluster_id, l.l_partkey) AS BIGINT)
              AS lk_cluster_id,
            coalesce(s.snm_n_nbrs, 0) AS snm_n_nbrs,
-           coalesce(s.snm_nbr_checksum, 0) AS snm_nbr_checksum
+           coalesce(s.snm_nbr_checksum, 0) AS snm_nbr_checksum,
+           coalesce(bk.bk_n_rules, 0) AS bk_n_rules,
+           coalesce(bk.bk_top_conf, 0) AS bk_top_conf,
+           CAST(coalesce(bk.bk_top_conseq, -1) AS BIGINT)
+             AS bk_top_conseq
     FROM lineitem l
     LEFT JOIN lk_agg a ON a.k = l.l_partkey
     LEFT JOIN entity_tbl e ON e.doc_id = l.l_partkey
     LEFT JOIN snm_agg s ON s.k = l.l_partkey
+    LEFT JOIN bk_agg bk ON bk.k = l.l_partkey
     WHERE EXISTS (SELECT 1 FROM part p
                   WHERE p.p_partkey = l.l_partkey AND p.p_size < 10)
     """,
@@ -1718,6 +1737,12 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       sum(partner_id * dist) checksum, so a single drifted neighbor or
       a lost seam pair flips the value; the oracle is the INDEPENDENT
       global row_number + rank-distance self-join.
+    - basket.association_rules (lineitem orders as baskets,
+      min_pair_count=2): per-part rule count as antecedent + the
+      top-confidence rule (argmax under (conf DESC, consequent)) —
+      support/confidence/lift integer per-mille; the oracle builds
+      pairs via a basket self-join where Spark uses the per-basket
+      nested-HOF generator (independent formulations).
     """
     li = _t(spark, sf_dir, "lineitem")
     p_all = _t(spark, sf_dir, "part")
@@ -1756,6 +1781,27 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("snm_n_nbrs"),
         F.sum("t").cast("long").alias("snm_nbr_checksum"),
     )
+    rules = BK.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    )
+    bk_top = F.min(
+        F.struct(
+            (-F.col("confidence_pmille")).alias("nc"),
+            F.col("consequent").alias("q"),
+            F.col("confidence_pmille").alias("v"),
+        )
+    )
+    bk_agg = (
+        rules.groupBy(F.col("antecedent").alias("k"))
+        .agg(F.count("*").cast("long").alias("bk_n_rules"),
+             bk_top.alias("_b"))
+        .select(
+            "k",
+            "bk_n_rules",
+            F.col("_b.v").cast("long").alias("bk_top_conf"),
+            F.col("_b.q").cast("long").alias("bk_top_conseq"),
+        )
+    )
     zero = F.lit(0).cast("long")
     return (
         base.join(lk_agg, base.l_partkey == lk_agg.k, "left")
@@ -1763,6 +1809,8 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ents, base.l_partkey == ents.k, "left")
         .drop("k")
         .join(snm_agg, base.l_partkey == snm_agg.k, "left")
+        .drop("k")
+        .join(bk_agg, base.l_partkey == bk_agg.k, "left")
         .drop("k")
         .select(
             "l_partkey",
@@ -1773,6 +1821,11 @@ def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lk_cluster_id"),
             F.coalesce("snm_n_nbrs", zero).alias("snm_n_nbrs"),
             F.coalesce("snm_nbr_checksum", zero).alias("snm_nbr_checksum"),
+            F.coalesce("bk_n_rules", zero).alias("bk_n_rules"),
+            F.coalesce("bk_top_conf", zero).alias("bk_top_conf"),
+            F.coalesce("bk_top_conseq", F.lit(-1))
+            .cast("long")
+            .alias("bk_top_conseq"),
         )
     )
 
