@@ -2110,6 +2110,9 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
 # 4 h conversion window: tight enough that real users stall mid-funnel
 # (depth variety), wide enough that some convert — both verified at sf0.01
 _FUNNEL_W = 14_400
+# frozen "now" for the RFM ride (2026-01-01 UTC in epoch micros) — after
+# every event timestamp; injected, never wall clock (repo convention)
+_RFM_NOW_US = 1_767_225_600_000_000
 
 
 @register(
@@ -2172,6 +2175,7 @@ _FUNNEL_W = 14_400
     {FNL.funnel_oracle_sql('events', _FUNNEL_STEPS,
                            within_seconds=_FUNNEL_W, prefix='w').lstrip()},
     {FNL.retention_oracle_sql('events').lstrip()},
+    {FNL.rfm_oracle_sql('events', _RFM_NOW_US).lstrip()},
     {TMP.resample_oracle_sql('events', 3600).lstrip()},
     rs_tot AS (
       SELECT CAST(count(*) AS BIGINT) AS rs_n_slots,
@@ -2198,7 +2202,10 @@ _FUNNEL_W = 14_400
            fn.fn_depth, fn.fn_ts1_us, fn.fn_ts2_us, fn.fn_ts3_us,
            wfn.fn_depth AS fnw_depth,
            rt.rt_cohort_period, rt.rt_mask, rt.rt_n_active,
-           rs.rs_n_slots, rs.rs_n_gaps, rs.rs_ffill_sum_e4
+           rs.rs_n_slots, rs.rs_n_gaps, rs.rs_ffill_sum_e4,
+           rf.monetary_e4 AS rfm_monetary_e4,
+           rf.r_q AS rfm_r_q, rf.f_q AS rfm_f_q, rf.m_q AS rfm_m_q,
+           rf.rfm_segment
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -2213,6 +2220,7 @@ _FUNNEL_W = 14_400
     JOIN funnel_tbl fn ON fn.funnel_key = u.user_id
     JOIN wfunnel_tbl wfn ON wfn.funnel_key = u.user_id
     JOIN retention_tbl rt ON rt.rt_key = u.user_id
+    JOIN rfm_tbl rf ON rf.rfm_key = u.user_id
     CROSS JOIN rs_tot rs
     WHERE u.rn = 1
     """,
@@ -2277,6 +2285,10 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       the oracle replays the grid with generate_series + IGNORE NULLS
       last_value, so a last-in-slot tie-break or ffill drift flips the
       sum.
+    - NEW r5 (late) funnel.rfm_scores (frozen now, quintiles): per-user
+      monetary e4 + the three ntile scores and the composite segment —
+      gates the deterministic (metric, user) tie-broken quantile
+      assignment against DuckDB's ntile.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -2379,6 +2391,14 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, _FUNNEL_STEPS, within_seconds=_FUNNEL_W
     ).select("user_id", F.col("fn_depth").alias("fnw_depth"))
     ret = FNL.cohort_retention(ev)
+    rfm = FNL.rfm_scores(ev, _RFM_NOW_US).select(
+        "user_id",
+        F.col("monetary_e4").alias("rfm_monetary_e4"),
+        F.col("r_q").alias("rfm_r_q"),
+        F.col("f_q").alias("rfm_f_q"),
+        F.col("m_q").alias("rfm_m_q"),
+        "rfm_segment",
+    )
     rs_tot = TMP.resample_ffill(ev, 3600).agg(
         F.count("*").cast("long").alias("rs_n_slots"),
         F.sum(F.col("is_gap").cast("long")).cast("long").alias("rs_n_gaps"),
@@ -2418,6 +2438,7 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fn, "user_id")
         .join(fnw, "user_id")
         .join(ret, "user_id")
+        .join(rfm, "user_id")
         .crossJoin(F.broadcast(rs_tot))
     )
 

@@ -54,6 +54,8 @@ __all__ = [
     "retention_oracle_sql",
     "transition_counts",
     "transitions_oracle_sql",
+    "rfm_scores",
+    "rfm_oracle_sql",
 ]
 
 
@@ -410,4 +412,100 @@ def transitions_oracle_sql(
              CAST(count(*) AS BIGINT) AS n_transitions
       FROM tr_lag WHERE from_type IS NOT NULL
       GROUP BY from_type, to_type
+    )"""
+
+
+def rfm_scores(
+    df: DataFrame,
+    now_us: int,
+    n_tiles: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM customer segmentation: one row per user with
+    (user_col, recency_us, frequency, monetary_e4, r_q, f_q, m_q,
+    rfm_segment) — the CRM staple. recency_us = now_us minus the last
+    event's epoch micros (now injected, repo convention — never wall
+    clock); quantile scores are 1..n_tiles with 1 = best (most recent /
+    most frequent / highest spend), assigned by ntile over the
+    (metric, user) total order so ties are deterministic;
+    rfm_segment = r_q*100 + f_q*10 + m_q.
+
+    Scale note: the exact ntile needs ONE global sort of the USER-grain
+    frame (corpus-shrunk, but still a single-partition window — fine to
+    ~1e8 users, documented). At larger scale swap the exact tiles for
+    sketch-derived thresholds (the textstats.with_adaptive_quality /
+    hist_quantile_est pattern) and keep this function as the
+    gate-exact reference."""
+    if n_tiles < 2:
+        raise ValueError(f"n_tiles must be >= 2, got {n_tiles}")
+    per_user = df.groupBy(user_col).agg(
+        (F.lit(int(now_us)) - F.max(_us(ts_col))).cast("long").alias(
+            "recency_us"
+        ),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col(value_col) * 10000, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_e4"),
+    )
+    u = F.col(user_col)
+    r_q = F.ntile(n_tiles).over(
+        Window.orderBy(F.asc("recency_us"), u)
+    )
+    f_q = F.ntile(n_tiles).over(
+        Window.orderBy(F.desc("frequency"), u)
+    )
+    m_q = F.ntile(n_tiles).over(
+        Window.orderBy(F.desc("monetary_e4"), u)
+    )
+    return per_user.select(
+        user_col,
+        "recency_us",
+        "frequency",
+        "monetary_e4",
+        r_q.cast("long").alias("r_q"),
+        f_q.cast("long").alias("f_q"),
+        m_q.cast("long").alias("m_q"),
+    ).withColumn(
+        "rfm_segment",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast(
+            "long"
+        ),
+    )
+
+
+def rfm_oracle_sql(
+    source_cte: str,
+    now_us: int,
+    n_tiles: int = 5,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    value_sql: str = "value",
+) -> str:
+    """DuckDB CTE mirroring rfm_scores; exposes rfm_tbl."""
+    return f"""
+    rfm_u AS (
+      SELECT {key_sql} AS rfm_key,
+             CAST({now_us} - max(epoch_us({ts_sql})) AS BIGINT)
+               AS recency_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round({value_sql} * 10000, 0) AS BIGINT))
+               AS BIGINT) AS monetary_e4
+      FROM {source_cte} GROUP BY {key_sql}
+    ),
+    rfm_tbl AS (
+      SELECT *,
+             CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_segment
+      FROM (
+        SELECT rfm_key, recency_us, frequency, monetary_e4,
+               CAST(ntile({n_tiles}) OVER (
+                 ORDER BY recency_us ASC, rfm_key) AS BIGINT) AS r_q,
+               CAST(ntile({n_tiles}) OVER (
+                 ORDER BY frequency DESC, rfm_key) AS BIGINT) AS f_q,
+               CAST(ntile({n_tiles}) OVER (
+                 ORDER BY monetary_e4 DESC, rfm_key) AS BIGINT) AS m_q
+        FROM rfm_u
+      )
     )"""

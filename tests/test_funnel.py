@@ -360,3 +360,58 @@ class TestTransitions:
         )
         n_ex = plan.count("Exchange hashpartitioning")
         assert n_ex == 2, f"user window + pair rollup, got {n_ex}:\n{plan}"
+
+
+_RFM_NOW = _us_py("2024-02-01 00:00:00")
+
+
+class TestRfm:
+    def test_hand_exact(self, spark):
+        got = {
+            r["user_id"]: (
+                r["recency_us"], r["frequency"], r["monetary_e4"],
+                r["r_q"], r["f_q"], r["m_q"], r["rfm_segment"],
+            )
+            for r in FN.rfm_scores(
+                _toy(spark), _RFM_NOW, n_tiles=2
+            ).collect()
+        }
+        # users by last ts: 1 (10:20) > 2 (09:20) > 3 (08:00) > 4 (07:00)
+        # > 5 (06:00); by frequency: 1 (4) > 2 (3) > 3=4 (2) > 5 (1);
+        # by monetary_e4: 1 (80000) > 2 (70000) > 3=4 (20000) > 5 (10000)
+        assert got[1] == (
+            _RFM_NOW - _us_py("2024-01-01 10:20:00"), 4, 80000, 1, 1, 1, 111
+        )
+        assert got[2][3:] == (1, 1, 1, 111)   # ntile(2) over 5: first 3 -> 1
+        assert got[3][3:] == (1, 1, 1, 111)
+        assert got[4][3:] == (2, 2, 2, 222)
+        assert got[5][3:] == (2, 2, 2, 222)
+
+    def test_duckdb_parity_real_events(self, spark):
+        got = {
+            r["user_id"]: (
+                r["recency_us"], r["frequency"], r["monetary_e4"],
+                r["r_q"], r["f_q"], r["m_q"], r["rfm_segment"],
+            )
+            for r in FN.rfm_scores(_events(spark), _RFM_NOW).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{EV}')"
+        )
+        cte = FN.rfm_oracle_sql("events", _RFM_NOW)
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(
+                f"WITH {cte.lstrip()} SELECT rfm_key, recency_us,"
+                " frequency, monetary_e4, r_q, f_q, m_q, rfm_segment"
+                " FROM rfm_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        segs = {v[6] for v in got.values()}
+        assert len(segs) >= 3                 # real segment variety
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            FN.rfm_scores(_toy(spark), _RFM_NOW, n_tiles=1)
