@@ -2176,6 +2176,14 @@ _RFM_NOW_US = 1_767_225_600_000_000
                            within_seconds=_FUNNEL_W, prefix='w').lstrip()},
     {FNL.retention_oracle_sql('events').lstrip()},
     {FNL.rfm_oracle_sql('events', _RFM_NOW_US).lstrip()},
+    {TMP.anomaly_oracle_sql('events', 604800, k=1).lstrip()},
+    an_agg AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN an_is_anomaly THEN 1 ELSE 0 END)
+               AS BIGINT) AS an_n_anomalies,
+             CAST(sum(an_n_prior) AS BIGINT) AS an_prior_sum
+      FROM anom_tbl GROUP BY user_id
+    ),
     {TMP.resample_oracle_sql('events', 3600).lstrip()},
     rs_tot AS (
       SELECT CAST(count(*) AS BIGINT) AS rs_n_slots,
@@ -2205,7 +2213,8 @@ _RFM_NOW_US = 1_767_225_600_000_000
            rs.rs_n_slots, rs.rs_n_gaps, rs.rs_ffill_sum_e4,
            rf.monetary_e4 AS rfm_monetary_e4,
            rf.r_q AS rfm_r_q, rf.f_q AS rfm_f_q, rf.m_q AS rfm_m_q,
-           rf.rfm_segment
+           rf.rfm_segment,
+           an.an_n_anomalies, an.an_prior_sum
     FROM (
       SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS rn
@@ -2221,6 +2230,7 @@ _RFM_NOW_US = 1_767_225_600_000_000
     JOIN wfunnel_tbl wfn ON wfn.funnel_key = u.user_id
     JOIN retention_tbl rt ON rt.rt_key = u.user_id
     JOIN rfm_tbl rf ON rf.rfm_key = u.user_id
+    JOIN an_agg an USING (user_id)
     CROSS JOIN rs_tot rs
     WHERE u.rn = 1
     """,
@@ -2289,6 +2299,11 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       monetary e4 + the three ntile scores and the composite segment —
       gates the deterministic (metric, user) tie-broken quantile
       assignment against DuckDB's ntile.
+    - NEW r5 (late) temporal.with_anomaly_flags (7-day trailing
+      baseline, k=1): per-user anomaly count + prior-count sum — gates
+      the cross-multiplied integer z-score test ((n·x−s)² vs
+      k²·(n·s2−s²)), the strictly-prior RANGE frame, and the min_prior
+      guard, division- and float-free on both engines.
     """
     ev = _t(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id"))
@@ -2399,6 +2414,16 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_q").alias("rfm_m_q"),
         "rfm_segment",
     )
+    anom = (
+        TMP.with_anomaly_flags(ev, 604800, k=1)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("an_is_anomaly").cast("long"))
+            .cast("long")
+            .alias("an_n_anomalies"),
+            F.sum("an_n_prior").cast("long").alias("an_prior_sum"),
+        )
+    )
     rs_tot = TMP.resample_ffill(ev, 3600).agg(
         F.count("*").cast("long").alias("rs_n_slots"),
         F.sum(F.col("is_gap").cast("long")).cast("long").alias("rs_n_gaps"),
@@ -2439,6 +2464,7 @@ def q_ordered_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fnw, "user_id")
         .join(ret, "user_id")
         .join(rfm, "user_id")
+        .join(anom, "user_id")
         .crossJoin(F.broadcast(rs_tot))
     )
 

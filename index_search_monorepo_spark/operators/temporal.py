@@ -46,6 +46,8 @@ __all__ = [
     "rolling_oracle_sql",
     "resample_ffill",
     "resample_oracle_sql",
+    "with_anomaly_flags",
+    "anomaly_oracle_sql",
 ]
 
 
@@ -580,4 +582,96 @@ def resample_oracle_sql(
              o.obs_e4 IS NULL AS is_gap
       FROM rs_grid g LEFT JOIN rs_obs o
         ON o.rs_key = g.rs_key AND o.slot = g.slot
+    )"""
+
+
+def with_anomaly_flags(
+    df: DataFrame,
+    window_seconds: int,
+    k: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_prior: int = 3,
+) -> DataFrame:
+    """df + (an_n_prior, an_is_anomaly): flag events whose e4 value
+    deviates from the key's TRAILING window mean by more than k sample
+    standard deviations — integer-exact via cross-multiplication, no
+    division and no floats anywhere.
+
+    The test (x - s/n)^2 > k^2 * (s2 - s^2/n)/n rearranges to
+    (n*x - s)^2 > k^2 * (n*s2 - s^2) over the PRIOR window (the current
+    event is excluded from its own baseline — a spike must not defend
+    itself). Events with fewer than `min_prior` prior observations are
+    never flagged. Overflow bound (documented): with e4 values < 1e7
+    and windows < 1e4 events, n*s2 < 1e4 * 1e4*1e14 = 1e22 — EXCEEDS
+    BIGINT for pathological inputs, so values are clamped to
+    |v_e4| <= 10_000_000 and window counts are the caller's contract;
+    at the gate's value range (< 5e6 e4, windows < 1e3) every term fits
+    with 10^3 headroom. One hash exchange on the key serves all three
+    window sums."""
+    if window_seconds <= 0:
+        raise ValueError(
+            f"window_seconds must be > 0, got {window_seconds}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_us = int(window_seconds) * 1_000_000
+    v = F.round(F.col(value_col) * 10000, 0).cast("long")
+    v = F.greatest(
+        F.least(v, F.lit(10_000_000)), F.lit(-10_000_000)
+    )
+    # RANGE frame over epoch micros, PRIOR events only (exclusive of
+    # the current row's timestamp would also drop same-ts peers; the
+    # contract is "strictly earlier timestamps", deterministic under
+    # ties)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_us(ts_col))
+        .rangeBetween(-w_us, -1)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.coalesce(F.sum(v).over(w), F.lit(0)).cast("long")
+    s2 = F.coalesce(F.sum(v * v).over(w), F.lit(0)).cast("long")
+    lhs = (n * v - s) * (n * v - s)
+    rhs = F.lit(int(k) * int(k)) * (n * s2 - s * s)
+    return df.withColumn("an_n_prior", n).withColumn(
+        "an_is_anomaly",
+        F.when((n >= min_prior) & (lhs > rhs), F.lit(True)).otherwise(
+            F.lit(False)
+        ),
+    )
+
+
+def anomaly_oracle_sql(
+    source_cte: str,
+    window_seconds: int,
+    k: int = 3,
+    key_sql: str = "user_id",
+    ts_sql: str = "ts",
+    value_sql: str = "value",
+    min_prior: int = 3,
+) -> str:
+    """DuckDB CTE mirroring with_anomaly_flags; exposes anom_tbl with
+    the source columns + an_n_prior + an_is_anomaly."""
+    w_us = int(window_seconds) * 1_000_000
+    v = (f"greatest(least(CAST(round({value_sql} * 10000, 0) AS BIGINT),"
+         f" 10000000), -10000000)")
+    return f"""
+    anom_tbl AS (
+      SELECT *, an_n_prior,
+             an_n_prior >= {min_prior}
+             AND (an_n_prior * v_e4 - s_w) * (an_n_prior * v_e4 - s_w)
+                 > {int(k) * int(k)} * (an_n_prior * s2_w - s_w * s_w)
+               AS an_is_anomaly
+      FROM (
+        SELECT *, {v} AS v_e4,
+               CAST(count(*) OVER w AS BIGINT) AS an_n_prior,
+               CAST(coalesce(sum({v}) OVER w, 0) AS BIGINT) AS s_w,
+               CAST(coalesce(sum({v} * {v}) OVER w, 0) AS BIGINT) AS s2_w
+        FROM {source_cte}
+        WINDOW w AS (PARTITION BY {key_sql}
+                     ORDER BY epoch_us({ts_sql})
+                     RANGE BETWEEN {w_us} PRECEDING AND 1 PRECEDING)
+      )
     )"""

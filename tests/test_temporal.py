@@ -388,3 +388,78 @@ class TestRolling:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             TMP.with_rolling_stats(_toy_events(spark), -1)
+
+
+class TestAnomaly:
+    def test_hand_exact(self, spark):
+        rows = [
+            (1, _ts("2024-01-01 10:00:00"), 1, "view", 10.0),
+            (2, _ts("2024-01-01 10:01:00"), 1, "view", 10.0),
+            (3, _ts("2024-01-01 10:02:00"), 1, "view", 10.0),
+            (4, _ts("2024-01-01 10:03:00"), 1, "view", 10.0),
+            # constant baseline (variance 0) -> ANY deviation flags
+            (5, _ts("2024-01-01 10:04:00"), 1, "view", 10.5),
+            # same value as baseline -> never flags
+            (6, _ts("2024-01-01 10:05:00"), 1, "view", 10.0),
+            # user 2: too few priors -> never flags even at huge spike
+            (7, _ts("2024-01-01 10:00:00"), 2, "view", 1.0),
+            (8, _ts("2024-01-01 10:01:00"), 2, "view", 100.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        got = {
+            r["event_id"]: (r["an_n_prior"], r["an_is_anomaly"])
+            for r in TMP.with_anomaly_flags(df, 3600, k=3).collect()
+        }
+        assert got[1] == (0, False)
+        assert got[4] == (3, False)      # matches constant baseline
+        assert got[5][1] is True         # 10.5 vs constant 10s
+        assert got[8] == (1, False)      # below min_prior
+        # event 6: baseline now includes the 10.5 spike; 10.0 is within
+        # 3 sigma of {10,10,10,10,10.5}
+        assert got[6][1] is False
+
+    def test_duckdb_parity_real_events(self, spark):
+        ev = spark.read.parquet(EV).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        got = {
+            r["event_id"]: (r["an_n_prior"], r["an_is_anomaly"])
+            for r in TMP.with_anomaly_flags(ev, 604800, k=1).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{EV}')"
+        )
+        cte = TMP.anomaly_oracle_sql("events", 604800, k=1)
+        want = {
+            e: (n, bool(a))
+            for e, n, a in con.execute(
+                f"WITH {cte.lstrip()} SELECT event_id, an_n_prior,"
+                " an_is_anomaly FROM anom_tbl"
+            ).fetchall()
+        }
+        assert got == want
+        assert any(a for _, a in got.values())       # real flags fire
+        assert not all(a for _, a in got.values())
+
+    def test_one_exchange(self, spark):
+        ev = spark.read.parquet(EV).select(
+            "event_id", "ts", "user_id", "value"
+        )
+        plan = (
+            TMP.with_anomaly_flags(ev, 3600)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_ex = plan.count("Exchange hashpartitioning")
+        assert n_ex == 1, f"expected 1 exchange, got {n_ex}:\n{plan}"
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            TMP.with_anomaly_flags(_toy_events(spark), 0)
+        with pytest.raises(ValueError):
+            TMP.with_anomaly_flags(_toy_events(spark), 3600, k=0)
