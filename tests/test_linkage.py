@@ -188,3 +188,23 @@ class TestEntities:
         )
         assert "CartesianProduct" not in plan
         assert "NestedLoop" not in plan
+
+
+class TestSnmEdgeChunks:
+    def test_more_chunks_than_rows(self, spark):
+        # 5 rows into 8 range chunks: every chunk is sub-window (< w=2
+        # rows), so ALL pairs must come out of the boundary pass — and
+        # still exactly match the single-chunk result
+        a = {
+            tuple(r)
+            for r in LK.sorted_neighborhood_pairs(
+                _toy(spark), "pid", "name", window=2, num_partitions=1
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in LK.sorted_neighborhood_pairs(
+                _toy(spark), "pid", "name", window=2, num_partitions=8
+            ).collect()
+        }
+        assert a == b and len(a) == 7
