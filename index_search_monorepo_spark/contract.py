@@ -49,6 +49,7 @@ from index_search_monorepo_spark.operators import linkage as LK
 from index_search_monorepo_spark.operators import lm as LMOD
 from index_search_monorepo_spark.operators import multimodal as MM
 from index_search_monorepo_spark.operators import multipattern as MPAT
+from index_search_monorepo_spark.operators import olap as OL
 from index_search_monorepo_spark.operators import packing as PK
 from index_search_monorepo_spark.operators import frontier as FRO
 from index_search_monorepo_spark.operators import funnel as FNL
@@ -2626,6 +2627,30 @@ def _pj_expr() -> F.Column:
       FROM jp_tbl
     ),
     {FNL.transitions_oracle_sql('events').lstrip()},
+    {OL.pivot_oracle_sql(
+        '(SELECT * FROM tr_lag WHERE from_type IS NOT NULL)',
+        'from_type', 'to_type',
+        ['view', 'click', 'purchase', 'signup', 'error']).lstrip()},
+    {OL.cube_oracle_sql(
+        "(SELECT *, CAST(day(ts) <= 15 AS VARCHAR) AS halfmonth"
+        " FROM events)",
+        'event_type', 'halfmonth').lstrip()},
+    cb_sub AS (
+      SELECT ca AS event_type, cnt AS cb_subtotal
+      FROM cube_tbl WHERE grouping_id = 1
+    ),
+    cb_cells AS (
+      SELECT ca AS event_type,
+             CAST(sum(cnt * CASE WHEN cb = 'true' THEN 2 ELSE 3 END)
+               AS BIGINT) AS cb_cells_checksum
+      FROM cube_tbl WHERE grouping_id = 0 GROUP BY ca
+    ),
+    cb_tot AS (
+      SELECT CAST(sum(CASE WHEN grouping_id = 3 THEN cnt ELSE 0 END)
+               AS BIGINT) AS cb_grand,
+             CAST(count(*) AS BIGINT) AS cb_n_rows
+      FROM cube_tbl
+    ),
     tr_agg AS (
       SELECT from_type AS event_type,
              CAST(sum(n_transitions) AS BIGINT) AS tr_out_n,
@@ -2685,13 +2710,26 @@ def _pj_expr() -> F.Column:
            max(jv.n_invalid) AS jv_n_invalid,
            max(tr.tr_out_n) AS tr_out_n,
            max(tr.tr_top_next) AS tr_top_next,
-           max(tr.tr_top_cnt) AS tr_top_cnt
+           max(tr.tr_top_cnt) AS tr_top_cnt,
+           max(pv.p_view) AS pv_view,
+           max(pv.p_click) AS pv_click,
+           max(pv.p_purchase) AS pv_purchase,
+           max(pv.p_signup) AS pv_signup,
+           max(pv.p_error) AS pv_error,
+           max(cs.cb_subtotal) AS cb_subtotal,
+           max(cc.cb_cells_checksum) AS cb_cells_checksum,
+           max(ct.cb_grand) AS cb_grand,
+           max(ct.cb_n_rows) AS cb_n_rows
     FROM events e
     JOIN h50_q a USING (event_type)
     JOIN h95_q b USING (event_type)
     JOIN zs z USING (event_type)
     JOIN jf_agg jf USING (event_type)
     JOIN tr_agg tr USING (event_type)
+    JOIN pivot_tbl pv ON pv.pivot_key = e.event_type
+    JOIN cb_sub cs USING (event_type)
+    JOIN cb_cells cc USING (event_type)
+    CROSS JOIN cb_tot ct
     CROSS JOIN jp_tot jp
     CROSS JOIN jv_tbl jv
     GROUP BY e.event_type
@@ -2731,7 +2769,16 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle replays extraction and profile through DuckDB's JSON
       functions (json_valid-guarded — DuckDB throws on malformed
       input where Spark nulls; the agreement on this payload is the
-      contract, pinned broadly in tests/test_jsonops.py)."""
+      contract, pinned broadly in tests/test_jsonops.py).
+
+    ALSO r5 (late): funnel.transition_counts (Markov path analysis at
+    the natural from-type grain) and the two OLAP relational surfaces
+    (operators/olap.py): Spark's native pivot over the transition
+    pairs (explicit value list -> one pass, fixed schema; the oracle is
+    the INDEPENDENT conditional-aggregation formulation) and
+    CUBE(event_type, halfmonth) with grouping_id() — subtotal rows vs
+    real NULLs distinguishable only through the id, reconstructed on
+    the DuckDB side from GROUPING() bits."""
     ev = _t(spark, sf_dir, "events")
     base = ev.groupBy("event_type").agg(
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -2851,12 +2898,62 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_t.c").cast("long").alias("tr_top_cnt"),
         )
     )
+    # NEW r5 (late): the two OLAP relational surfaces ride the same
+    # grain — Spark's native pivot (explicit value list, one pass) over
+    # the raw transition pairs, and CUBE(event_type, halfmonth) with
+    # grouping_id() (a REAL NULL and a subtotal row are distinguishable
+    # only through it — the classic trap, under the oracle via DuckDB's
+    # independent GROUPING() reconstruction).
+    w_tr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr_pairs = ev.select(
+        F.lag("event_type").over(w_tr).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    etypes = ["view", "click", "purchase", "signup", "error"]
+    pv = OL.pivot_counts(tr_pairs, "from_type", "to_type", etypes).select(
+        F.col("from_type").alias("event_type"),
+        *[F.col(f"p_{t}").alias(f"pv_{t}") for t in etypes],
+    )
+    cb = OL.cube_counts(
+        ev.withColumn(
+            "halfmonth", (F.dayofmonth("ts") <= 15).cast("string")
+        ),
+        "event_type",
+        "halfmonth",
+    )
+    cb_sub = cb.filter(F.col("grouping_id") == 1).select(
+        "event_type", F.col("cnt").alias("cb_subtotal")
+    )
+    cb_cells = (
+        cb.filter(F.col("grouping_id") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.when(F.col("halfmonth") == "true", 2).otherwise(3)
+            )
+            .cast("long")
+            .alias("cb_cells_checksum")
+        )
+    )
+    cb_tot = cb.agg(
+        F.sum(
+            F.when(F.col("grouping_id") == 3, F.col("cnt")).otherwise(0)
+        )
+        .cast("long")
+        .alias("cb_grand"),
+        F.count("*").cast("long").alias("cb_n_rows"),
+    )
     return (
         base.join(q50, "event_type")
         .join(q95, "event_type")
         .join(zs, "event_type")
         .join(jf, "event_type")
         .join(tr_agg, "event_type")
+        .join(pv, "event_type")
+        .join(cb_sub, "event_type")
+        .join(cb_cells, "event_type")
+        .crossJoin(F.broadcast(cb_tot))
         .crossJoin(F.broadcast(jp_tot))
         .crossJoin(F.broadcast(jv))
         .select(
@@ -2866,6 +2963,8 @@ def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jf_uid_sum", "jf_amt_sum", "jf_deep_sum", "jf_n_tag",
             "jp_n_keys", "jp_present_total", "jp_cls_checksum",
             "jv_n_invalid", "tr_out_n", "tr_top_next", "tr_top_cnt",
+            *[f"pv_{t}" for t in etypes],
+            "cb_subtotal", "cb_cells_checksum", "cb_grand", "cb_n_rows",
         )
     )
 
