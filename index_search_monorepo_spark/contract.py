@@ -195,7 +195,12 @@ def q_ocr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ht_page_feature_expr,
     )
 
-    spans = documents_to_spans(_t(spark, sf_dir, "documents"))
+    # r6: spread the single-file single-row-group bench scan before the
+    # heavy per-row prep/concat chain (CLAUDE.md lessons #3/#4; guide
+    # §2.5 input skew) — no-op on a many-split corpus, results unchanged
+    spans = documents_to_spans(
+        SKW.spread_small_scan(_t(spark, sf_dir, "documents"))
+    )
     d = F.col("doc_id").cast("long")
     page_features = F.transform(
         F.col("spans"),
@@ -233,7 +238,11 @@ def q_ocr_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule invariant surfaced in the driver gate: the extracted span
     sequence (kind, text, media_ref, order), one row per span."""
-    spans = documents_to_spans(_t(spark, sf_dir, "documents"))
+    # r6: spread the one-split bench scan before the classifier + prep
+    # chain (CLAUDE.md lessons #3/#4) — no-op on a many-split corpus
+    spans = documents_to_spans(
+        SKW.spread_small_scan(_t(spark, sf_dir, "documents"))
+    )
     out = with_extracted_spans(spans)
     # explode_noinline: a plain explode would duplicate the classifier UDF
     # into an inferred Generate pre-filter (two ArrowEvalPython stages)
@@ -1244,7 +1253,9 @@ def q_allfields_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is pure ASCII (checked at generation), so the planted
     'é' is the only multi-byte evidence and every label is derivable at
     registration time."""
-    docs = _t(spark, sf_dir, "documents")
+    # r6: spread the one-split bench scan before the encode/intake/
+    # quoteattr chain (CLAUDE.md lessons #3/#4) — no-op when many-split
+    docs = SKW.spread_small_scan(_t(spark, sf_dir, "documents"))
     from index_search_monorepo_spark.functions import charset as CSET
 
     d = F.col("doc_id")
@@ -5246,28 +5257,68 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hashed, so the two engines' composition tables are under the
     gate byte-for-byte."""
     docs = _t(spark, sf_dir, "documents")
-    lang = TS.with_lang_id_full(docs)
-    counts = LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16)
-    lm = LMOD.with_lm_nll(docs, counts)
-    mixed = PK.with_mixture_sampling(lang.join(lm, "doc_id"), "ngram_guess")
+    # --- r6 OPTIMIZATION (results bit-identical, oracle unchanged) ---
+    # The five families are FUSED onto one corpus lineage instead of
+    # three doc-grain joins (guide §2.4 — remove shuffles outright): the
+    # r5 shape scanned documents ~15x and SortMergeJoined fat doc-grain
+    # frames; now one spread scan carries lang -> LM score
+    # (strategy='map': one-row broadcast nll map — no explode/re-agg/
+    # join) -> mixture -> NFC -> adaptive flags as pure column
+    # composition. Remaining side lineages are the genuinely separate
+    # rollups: LM training counts (persisted — 16 rows, three consumers,
+    # CLAUDE.md lesson #11), the mixture stratum rollup (persisted inside
+    # with_mixture_sampling), and the histogram threshold rollup computed
+    # from the RAW column-pruned scan (stats_df=docs) so the enriched
+    # lineage is never re-evaluated. spread_small_scan parallelizes the
+    # single-file single-row-group bench scan (CLAUDE.md lessons #3/#4)
+    # and is a no-op on a many-split corpus.
+    base = SKW.spread_small_scan(
+        docs.select("doc_id", "text", "lang", "n_chars")
+    )
+    lang = TS.with_lang_id_full(base, keep=("text", "lang", "n_chars"))
+    counts = D._persist(
+        LMOD.train_unigram_counts(docs, train_pmille=500, top_k=16), None
+    )
+    lm = LMOD.with_lm_nll(
+        lang,
+        counts,
+        strategy="map",
+        keep=tuple(c for c in lang.columns if c != "doc_id"),
+    )
+    mixed = PK.with_mixture_sampling(lm, "ngram_guess")
     spike = F.try_element_at(
         F.array(*[F.lit(s) for s in _NFC_SPIKES]),
         (F.col("doc_id") % 6 + 1).cast("int"),
     )
     nfc = UNORM.with_nfc(
-        docs.select(
-            "doc_id", F.concat(F.col("text"), spike).alias("_nsrc")
-        ),
-        "_nsrc",
-    ).select("doc_id", "nfc_text", "nfc_changed", "nfc_chars")
-    # NEW r5 (late): per-language adaptive length cutoff — the REAL
-    # textstats.with_adaptive_quality (histogram-sketch p100-permille per
-    # lang stratum, one-row broadcast threshold map); the oracle replays
-    # the hist bucket fold + running-count quantile pick per lang.
+        mixed.withColumn("_nsrc", F.concat(F.col("text"), spike)), "_nsrc"
+    )
+    # per-language adaptive length cutoff — thresholds from the RAW
+    # (lang, n_chars) scan, flags composed onto the shared lineage
     adpt = TS.with_adaptive_quality(
-        docs, "n_chars", "lang", q_pmille=100, lo=0, hi=4096, n_buckets=64
-    ).select("doc_id", "adpt_thr", "adpt_keep")
-    return mixed.join(nfc, "doc_id").join(adpt, "doc_id")
+        nfc, "n_chars", "lang", q_pmille=100, lo=0, hi=4096, n_buckets=64,
+        stats_df=docs,
+    )
+    return adpt.select(
+        "doc_id",
+        "marker_hits",
+        "n_tokens",
+        "marker_pmille",
+        "marker_guess",
+        *[f"{lang_}_hits" for lang_ in _LANGS],
+        "ngram_guess",
+        "lm_tokens",
+        "lm_oov",
+        "lm_nll_bits",
+        "lm_nll_mean_e3",
+        "mix_rate_pmille",
+        "mix_copies",
+        "nfc_text",
+        "nfc_changed",
+        "nfc_chars",
+        "adpt_thr",
+        "adpt_keep",
+    )
 
 
 
@@ -5728,6 +5779,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides (epd_matches precedent)."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    # decontaminate spreads its own corpus side internally (dedup._spread)
     decon = D.decontaminate(docs, bench, n=8).select(
         "doc_id",
         "n_contaminated_shingles",
@@ -5741,9 +5793,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NEW r5: leakage-safe split — the REAL with_group_split keyed on the
     # source feed (group members can never straddle train/eval); join-free:
-    # the map-side split columns ride the fingerprint projection via keep
+    # the map-side split columns ride the fingerprint projection via keep.
+    # r6: spread the one-split bench scan before the md5-shingle chain
+    # (CLAUDE.md lessons #3/#4) — no-op on a many-split corpus
     return TS.with_fingerprint(
-        PK.with_group_split(docs, "source"), keep=("split_fold", "split")
+        PK.with_group_split(SKW.spread_small_scan(docs), "source"),
+        keep=("split_fold", "split"),
     ).join(decon, "doc_id")
 
 

@@ -158,8 +158,17 @@ def with_lm_nll(
     strategy='join': explode -> broadcast-join vocab -> re-aggregate on
     doc_id (slim pairs only; map-side partial sums). strategy='udf':
     Arrow-batched pandas UDF over a broadcast dict, zero shuffle —
-    identical outputs, pinned by tests/test_lm.py."""
+    identical outputs, pinned by tests/test_lm.py. strategy='map':
+    the nll table rides as a ONE-ROW broadcast map (map_from_entries +
+    crossJoin(broadcast) + try_element_at — the with_mixture_sampling
+    convention, CLAUDE.md lessons #10/#11) and the score is a pure
+    per-row HOF fold over the bound token array: zero corpus shuffle,
+    zero doc-grain join, zero Python — the shape that composes onto a
+    shared single-scan lineage (r6; identical outputs pinned by
+    tests/test_lm.py)."""
     _check_keep(keep, ("doc_id", *_LM_PRODUCED))
+    if strategy == "map":
+        return _score_map(df, counts, text_col, keep)
     if strategy == "join":
         scored = _score_join(df, counts, text_col)
     elif strategy == "udf":
@@ -175,6 +184,66 @@ def with_lm_nll(
         F.coalesce("lm_oov", zero).alias("lm_oov"),
         F.coalesce("lm_nll_bits", zero).alias("lm_nll_bits"),
         F.coalesce("lm_nll_mean_e3", zero).alias("lm_nll_mean_e3"),
+    )
+
+
+def _score_map(
+    df: DataFrame, counts: DataFrame, text_col: str, keep: tuple[str, ...]
+) -> DataFrame:
+    """Join-free scorer: one-row broadcast (token -> nll) map + per-row
+    fold. Output values are bit-identical to _score_join (integer
+    arithmetic throughout): in-vocab tokens add their nll, OOV tokens add
+    the shared oov_nll, empty/null docs score all-zeros exactly like the
+    join path's left-join-miss coalesce."""
+    nll = _nll_table(counts)
+    one_row = nll.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("token"), F.col("nll")))
+        ).alias("_lm_nll_map"),
+        # empty vocabulary: max over zero rows is NULL -> score 0 bits,
+        # matching the join path's coalesce(_oov_nll, 0)
+        F.coalesce(F.max("oov_nll"), F.lit(0).cast("long")).alias(
+            "_lm_oov_nll"
+        ),
+    )
+    toks = F.coalesce(
+        tokens_expr(F.col(text_col)),
+        F.array().cast("array<string>"),  # null text == no tokens (join path)
+    )
+    m = F.col("_lm_nll_map")
+    oov = F.col("_lm_oov_nll")
+    bound = (
+        df.crossJoin(F.broadcast(one_row))
+        # bind the token array once behind a Project boundary: it is
+        # referenced by three downstream expressions (CLAUDE.md lesson #1)
+        .withColumn("_lm_toks", toks)
+    )
+    lm_tokens = F.size("_lm_toks").cast("long")
+    lm_oov = (
+        F.size(
+            F.filter("_lm_toks", lambda t: F.try_element_at(m, t).isNull())
+        )
+        .cast("long")
+    )
+    lm_bits = F.aggregate(
+        F.col("_lm_toks"),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.try_element_at(m, t), oov),
+    ).cast("long")
+    out = bound.withColumn("lm_tokens", lm_tokens).withColumn(
+        "lm_oov", lm_oov
+    ).withColumn("lm_nll_bits", lm_bits)
+    return out.select(
+        "doc_id",
+        *keep,
+        "lm_tokens",
+        "lm_oov",
+        "lm_nll_bits",
+        F.expr(
+            "CAST(CASE WHEN lm_tokens > 0"
+            " THEN (1000 * lm_nll_bits) DIV lm_tokens"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("lm_nll_mean_e3"),
     )
 
 

@@ -78,13 +78,28 @@ def cosine_topk(
     floating-point noise below 1e-6 cannot flip ranks.
     """
     _require_query_side(query_ids, allow_all_queries, "cosine_topk")
+    from index_search_monorepo_spark.operators.skew import spread_small_scan
+
     q = emb.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     if query_ids is not None:
         q = q.filter(F.col("query_id").isin(query_ids))
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # r6: norms are per-ROW quantities — compute them once per side BELOW
+    # the join instead of once per (query, corpus) pair (guide §1.2 "don't
+    # compute things you throw away"): the per-pair work drops to one dot
+    # product + one divide. sqrt(sum q²) * sqrt(sum c²) is evaluated in
+    # the same order as cosine_expr (dot / (norm(a) * norm(b))), so the
+    # doubles — and the round(…, 6) ranking keys — are bit-identical.
+    # spread_small_scan parallelizes the single-file bench scan before
+    # the per-pair HOF work (CLAUDE.md lessons #3/#4; no-op many-split).
+    q = q.select("query_id", "q_vec", norm_expr(F.col("q_vec")).alias("_qn"))
+    c = spread_small_scan(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+    ).select(
+        "neighbor_id", "c_vec", norm_expr(F.col("c_vec")).alias("_cn")
     )
     sims = (
         c.join(F.broadcast(q))
@@ -92,7 +107,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), 6).alias("sim6"),
+            F.round(
+                dot_expr(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_qn") * F.col("_cn")),
+                6,
+            ).alias("sim6"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -828,6 +828,7 @@ def with_adaptive_quality(
     lo: int = 0,
     hi: int = 1024,
     n_buckets: int = 64,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Adds ``adpt_thr`` (the row's group threshold) and ``adpt_keep``
     (BIGINT 1 when score >= threshold) — flag-don't-drop so the verdict
@@ -841,9 +842,17 @@ def with_adaptive_quality(
     (lang_id output) it is referenced only inside one Project. A NULL
     group looks up a NULL threshold → adpt_keep=0 (quarantine, not
     crash); bucket NULLs to a sentinel stratum upstream when they should
-    participate."""
+    participate.
+
+    ``stats_df`` (r6): compute the threshold table from a DIFFERENT frame
+    than the one being flagged — e.g. the raw column-pruned table scan —
+    so a caller composing onto an already-enriched lineage does not drag
+    that lineage (Arrow stages, derived columns) into the histogram
+    rollup. Must contain score_col and group_col with the same values at
+    the same grain; defaults to df (unchanged semantics)."""
     thr = adaptive_quality_threshold(
-        df, score_col, group_col, q_pmille, lo, hi, n_buckets
+        stats_df if stats_df is not None else df,
+        score_col, group_col, q_pmille, lo, hi, n_buckets
     )
     thr_map = thr.filter(F.col(group_col).isNotNull()).agg(
         F.map_from_entries(
