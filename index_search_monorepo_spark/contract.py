@@ -3498,11 +3498,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = planted_documents(spark, sf_dir).filter(
         (F.col("doc_id") < 50) | (F.col("doc_id") >= 1000000)
     )
-    sigs = D.minhash_signatures(docs, k=4)
-    corpus = docs.filter(F.col("doc_id") < 1000000)
-    delta = docs.filter(F.col("doc_id") >= 1000000)
-    idx = D.lsh_band_index(corpus, k=4, band_size=2)
-    verdicts, _ = D.incremental_lsh_dedup(delta, idx, k=4, band_size=2)
+    # r6: ONE MinHash pass serves all three consumers (signature columns,
+    # corpus band index, delta claims) — the r5 shape ran the tokenize ->
+    # shingle -> k x md5 chain three times behind three separate spreads
+    # (share-one-banded-frame pattern; bands derive from the persisted
+    # signature frame with k cheap md5s). Same band spec, same results.
+    sigs = D._persist(D.minhash_signatures(docs, k=4), None)
+    bands = D.bands_from_sigs(sigs, k=4, band_size=2)
+    idx = D.lsh_band_index(
+        None, k=4, band_size=2,
+        bands=bands.filter(F.col("doc_id") < 1000000),
+    )
+    verdicts, _ = D.incremental_lsh_dedup(
+        None, idx, k=4, band_size=2,
+        bands=bands.filter(F.col("doc_id") >= 1000000),
+    )
     ride = verdicts.select(
         "doc_id",
         F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias(

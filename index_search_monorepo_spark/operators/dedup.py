@@ -399,6 +399,22 @@ def lsh_bands(
             for i in range(k)
         ],
     )
+    return bands_from_sigs(sigs, k, band_size, keep=keep)
+
+
+def bands_from_sigs(
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    band_size: int = 2,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Band/bucket rows from an ALREADY-COMPUTED signature frame
+    (minhash_signatures output): bucket = md5(band's sigs concat_ws '|'),
+    exactly lsh_bands' spec. Split out (r6) so a caller that needs BOTH
+    the signature columns and the band rows (e.g. a gate entry that
+    emits signatures and feeds the band index) computes the dominant
+    tokenize -> shingle -> k x md5 pass ONCE and derives bands with k
+    cheap md5s, instead of re-running the MinHash pass per consumer."""
     n_bands = k // band_size
     return sigs.select(
         "doc_id",
@@ -1057,6 +1073,7 @@ def lsh_band_index(
     k: int = MINHASH_K,
     band_size: int = 2,
     n: int = 4,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The persisted LSH bucket index: (band_no, bucket, first_doc_id) —
     one row per occupied bucket, claimer = smallest doc_id. Write this
@@ -1065,10 +1082,15 @@ def lsh_band_index(
     (incremental_lsh_dedup) instead of rescanning corpus text — the
     batch analog of streaming_lsh_dedup's keyed state, durable across
     runs. Size = occupied buckets (≤ n_bands × corpus), three short
-    columns."""
+    columns.
+
+    ``bands`` (r6): pass a precomputed (doc_id, band_no, bucket) frame
+    (lsh_bands / bands_from_sigs output for the SAME spec) to skip the
+    MinHash pass — the share-one-banded-frame pattern for callers that
+    already hold signatures; df/text_col are then ignored."""
+    b = bands if bands is not None else lsh_bands(df, text_col, k, band_size, n)
     return (
-        lsh_bands(df, text_col, k, band_size, n)
-        .groupBy("band_no", "bucket")
+        b.groupBy("band_no", "bucket")
         .agg(F.min("doc_id").alias("first_doc_id"))
     )
 
@@ -1081,6 +1103,7 @@ def incremental_lsh_dedup(
     band_size: int = 2,
     n: int = 4,
     cache_registry: list | None = None,
+    bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a delta against the corpus WITHOUT rescanning the corpus:
     the delta's bands join the persisted bucket index (equality join on
@@ -1101,10 +1124,19 @@ def incremental_lsh_dedup(
 
     The delta's band frame is persisted (verdicts + index_delta both
     consume it; without the pin each materialization re-runs the
-    MinHash pass — the lsh_candidate_pairs lesson)."""
-    nb = _persist(
-        lsh_bands(new_docs, text_col, k, band_size, n), cache_registry
-    )
+    MinHash pass — the lsh_candidate_pairs lesson).
+
+    ``bands`` (r6): pass a precomputed (doc_id, band_no, bucket) frame
+    for the delta (lsh_bands / bands_from_sigs output, SAME spec) to
+    skip the MinHash pass; the caller then owns its persistence (a
+    cheap derivation of an already-persisted frame needs no second
+    pin), and new_docs/text_col are ignored."""
+    if bands is not None:
+        nb = bands
+    else:
+        nb = _persist(
+            lsh_bands(new_docs, text_col, k, band_size, n), cache_registry
+        )
     idx = index.select(
         "band_no", "bucket", F.col("first_doc_id").alias("_idx_first")
     )

@@ -69,23 +69,66 @@ def with_mysql_fields(
     mb_collection: DataFrame,
     doc_id_col: str = "doc_id",
     persist_dims: bool = True,
+    dim_join: str | None = None,
 ) -> DataFrame:
-    """All four enrichments as broadcast left joins; adds columns
+    """All four enrichments as left joins; adds columns
     rights, ht_heldby, ht_heldby_brlm, coll_id.
 
     persist_dims pins the once-per-job dim-build semantic: on a real run the
-    four pre-aggregates are built once and broadcast; without persist a
-    caller that materializes the output k times rebuilds them k times (at
-    small scale that near-serial rebuild dominates high-core wall time)."""
+    four pre-aggregates are built once; without persist a caller that
+    materializes the output k times rebuilds them k times (at small scale
+    that near-serial rebuild dominates high-core wall time).
+
+    dim_join (r6): join-strategy hint ("shuffle_hash" | "merge") for the
+    four dims. Default None keeps the broadcast plan (one-shot jobs at
+    bench scale). But these dims are DOC-CARDINALITY — rights_current is
+    one row per volume (~17M at reference scale), holdings one per
+    volume-member — so in production they cannot broadcast, and in any
+    repeated-run deployment the per-materialization driver-side broadcast
+    hash-relation build is a SERIAL cost that grows with the corpus (the
+    r5 sf1 scaling run's corpus-proportional serial term: s = 23.2 s at
+    120k docs vs 2.0 s at 12k). With a hint, all four dims join
+    shuffle-hash on doc_id — the fact side exchanges ONCE on doc_id and
+    every dim join (and the downstream doc_id-keyed metadata joins)
+    reuses that partitioning, so the dim build parallelizes instead of
+    serializing on the driver. The rights dim is re-keyed to
+    doc_id = concat(namespace, '.', id), exactly equivalent to the
+    (namespace, object_id) pair join: split-at-first-dot reconstructs
+    the id losslessly, and both forms null out for dot-less ids
+    (object_id NULL never equality-matches; concat NULL-propagates)."""
     did = F.col(doc_id_col)
+    heldby, brlm = holdings_dims(holdings)
+    colls = coll_dim(mb_coll_item, mb_collection)
+    if dim_join:
+        r = rights_dim(rights_current).select(
+            F.concat(F.col("namespace"), F.lit("."), F.col("id")).alias(
+                doc_id_col
+            ),
+            "rights",
+        )
+        heldby = heldby.withColumnRenamed("volume_id", doc_id_col)
+        brlm = brlm.withColumnRenamed("volume_id", doc_id_col)
+        colls = colls.withColumnRenamed("extern_item_id", doc_id_col)
+        if persist_dims:
+            r, heldby, brlm, colls = (
+                r.persist(),
+                heldby.persist(),
+                brlm.persist(),
+                colls.persist(),
+            )
+        return (
+            docs.join(r.hint(dim_join), doc_id_col, "left")
+            .join(heldby.hint(dim_join), doc_id_col, "left")
+            .join(brlm.hint(dim_join), doc_id_col, "left")
+            .join(colls.hint(dim_join), doc_id_col, "left")
+            .withColumn("coll_id", F.coalesce("coll_id", F.array(F.lit(0))))
+        )
     docs = docs.withColumn("_ns", namespace_expr(did)).withColumn(
         "_obj", object_id_expr(did)
     )
     r = rights_dim(rights_current).withColumnsRenamed(
         {"namespace": "_ns", "id": "_obj"}
     )
-    heldby, brlm = holdings_dims(holdings)
-    colls = coll_dim(mb_coll_item, mb_collection)
     if persist_dims:
         r, heldby, brlm, colls = (
             r.persist(),

@@ -144,6 +144,7 @@ def sorted_neighborhood_pairs(
     sort_col: str,
     window: int = 3,
     num_partitions: int | None = None,
+    registry: list | None = None,
 ) -> DataFrame:
     """SNM candidate pairs: every row paired with its `window`
     successors in the global (sort_col, id_col) order. Returns
@@ -152,7 +153,12 @@ def sorted_neighborhood_pairs(
 
     Output is independent of `num_partitions` (pair completeness across
     chunk seams is handled by the boundary pass — see module
-    docstring); defaults to spark.sql.shuffle.partitions."""
+    docstring); defaults to spark.sql.shuffle.partitions.
+
+    registry (ADVICE r05 #3): receives the persisted `ranged` frame (the
+    dedup release_caches convention) so repeated callers — bench loops,
+    the semi_join_parts gate — can release the cache instead of
+    accumulating partitions until executor eviction."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     np_ = num_partitions or int(
@@ -164,10 +170,13 @@ def sorted_neighborhood_pairs(
     # each consumer would let the two passes see different chunkings
     # (the seam-completeness argument needs ONE chunking). Slim
     # (id, sort) rows only.
-    ranged = (
-        slim.repartitionByRange(np_, "_s", "_id")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    from index_search_monorepo_spark.operators.dedup import _persist
+
+    ranged = _persist(
+        slim.repartitionByRange(np_, "_s", "_id").withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        registry,
     )
     w_pid = Window.partitionBy("_pid").orderBy("_s", "_id")
     leads = F.array(

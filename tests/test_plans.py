@@ -165,23 +165,31 @@ def test_marc_json_parse_runs_once(spark):
 
 
 def test_doc_meta_join_hint_drops_driver_broadcast_build(spark, tables):
-    """The bench (and any repeated-run deployment) runs the two
-    DOC-CARDINALITY metadata joins (catalog items, METS fields) as
-    shuffle-hash: at reference scale (~17M catalog records) they cannot
-    broadcast, and at bench scale the AQE-picked broadcast spends a
-    driver-side build per materialization — a fixed serial cost a
-    multi-executor run would not pay (r3 serial fit s=2.31 s). The hint
-    must produce ShuffledHashJoin for those joins while the four true
-    dims stay broadcast."""
+    """The bench (and any repeated-run deployment) runs ALL
+    DOC-CARDINALITY metadata joins (catalog items, METS fields, and — r6
+    — the four per-volume MySQL dims) as shuffle-hash: at reference
+    scale (~17M catalog records, ~17M rights rows) none of them can
+    broadcast, and at bench scale every AQE-picked broadcast spends a
+    driver-side hash-relation build per materialization — a serial cost
+    that GROWS with the corpus (r5 sf1 serial fit s = 23.2 s at 120k
+    docs). The hint must produce ShuffledHashJoins for all six
+    doc-cardinality joins, sharing one fact-side doc_id exchange, with
+    zero doc-cardinality BroadcastHashJoins left in the plan."""
     auto_docs, _ = extract_documents(spark, tables, persist_dims=False)
     hinted_docs, _ = extract_documents(
         spark, tables, persist_dims=False, doc_meta_join="shuffle_hash"
     )
     hinted = _plan(hinted_docs)
-    assert "ShuffledHashJoin" in hinted, hinted
-    # true dims (rights/holdings/collections) still broadcast
-    assert hinted.count("BroadcastHashJoin") >= 4
-    # and the hint changes strategy only, not results
-    a = auto_docs.select("id", "ocr")
-    b = hinted_docs.select("id", "ocr")
+    # items + mets + rights + heldby + brlm + colls
+    assert hinted.count("ShuffledHashJoin") >= 6, hinted
+    # the fact side exchanges ONCE on doc_id/id; every further
+    # doc-cardinality join reuses that partitioning (dim sides each
+    # exchange their own slim rows)
+    # and the hint changes strategy only, not results — this also pins
+    # the rights-dim doc_id rekey (concat(namespace,'.',id)) against the
+    # (namespace, object_id) pair-join semantics
+    full_cols = ["id", "ocr", "rights", "ht_heldby", "ht_heldby_brlm",
+                 "coll_id"]
+    a = auto_docs.select(*full_cols)
+    b = hinted_docs.select(*full_cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
