@@ -1353,7 +1353,7 @@ def q_allfields_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         mets_record_udf,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = SKW.spread_small_scan(_t(spark, sf_dir, "documents"))
     xml = F.concat(
         F.lit(
             '<collection><record><controlfield tag="008">ctl</controlfield>'
@@ -6301,7 +6301,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\n255\n"),
     )
     ppm = F.encode(F.concat(header, F.repeat(F.lit("x"), w * h * 3)), "UTF-8")
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = SKW.spread_small_scan(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(F.pmod(d, F.lit(10)) == 1, F.lit(_TIFF_PAYLOAD))
         .when(F.pmod(d, F.lit(40)) == 33, F.lit(_M1V_PAYLOAD))
@@ -6637,7 +6637,7 @@ def q_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         [("a", F.lit("deu")), ("a", F.lit("eng")), ("2", F.lit("iso639-3"))],
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = SKW.spread_small_scan(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.array(

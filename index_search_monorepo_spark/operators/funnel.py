@@ -342,7 +342,11 @@ def retention_oracle_sql(
     ts_sql: str = "ts",
 ) -> str:
     """DuckDB CTE mirroring cohort_retention; exposes retention_tbl
-    with (key, rt_cohort_period, rt_mask, rt_n_active)."""
+    with (key, rt_cohort_period, rt_mask, rt_n_active).
+
+    PRECONDITION (ADVICE r05 #2): non-negative epoch micros only —
+    DuckDB's `//` truncates toward zero while the Spark side floors, so
+    period indices diverge for pre-1970 timestamps."""
     p_us = int(period_seconds) * 1_000_000
     return f"""
     rt_p AS (

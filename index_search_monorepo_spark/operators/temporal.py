@@ -553,7 +553,13 @@ def resample_oracle_sql(
     order_sql: str = "event_id",
 ) -> str:
     """DuckDB CTE chain mirroring resample_ffill; exposes resample_tbl
-    with (key, slot, slot_start_us, value_e4, is_gap)."""
+    with (key, slot, slot_start_us, value_e4, is_gap).
+
+    PRECONDITION (ADVICE r05 #2): non-negative epoch micros only. This
+    SQL buckets with DuckDB's `//`, which truncates toward zero
+    (-7 // 2 = -3 there), while the Spark side floors via the
+    pmod-aligned division — slot indices diverge for pre-1970
+    timestamps (pagerank.py documents the same `//` constraint)."""
     p_us = int(step_seconds) * 1_000_000
     return f"""
     rs_o AS (
