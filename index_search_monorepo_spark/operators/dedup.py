@@ -285,6 +285,8 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     broadcast_benchmark: bool | str = "auto",
+    hits_only: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share word
     n-gram shingles with an evaluation/benchmark set (the GPT-3 appendix-C
@@ -303,7 +305,17 @@ def decontaminate(
     while contamination is rare). broadcast_benchmark=True force-hints the
     broadcast; 'auto' is the default for the same reason as the stop-list
     (a pathological 'benchmark' the size of the corpus must not OOM the
-    driver)."""
+    driver).
+
+    hits_only=True returns the MATCHED-docs aggregate (doc_id,
+    n_contaminated_shingles) without joining back to the full doc list:
+    a caller that already holds a per-doc lineage left-joins this tiny
+    contamination-proportional frame and coalesces, instead of paying an
+    extra corpus scan + a doc-cardinality broadcast build per
+    materialization (r6; the with_adaptive_quality stats_df convention).
+    spread=False skips the internal round-robin repartition when the
+    caller passes an already-spread (or many-split) frame, so one
+    exchange serves every consumer of that frame."""
     bench_sh = (
         benchmark.select(
             F.explode(
@@ -312,19 +324,22 @@ def decontaminate(
         )
         .distinct()
     )
-    doc_sh = _spread(docs).select(
+    doc_sh = (_spread(docs) if spread else docs).select(
         "doc_id",
         F.explode(word_shingles_expr(F.col(text_col), n)).alias("shingle"),
     )
+    # count, not countDistinct: word_shingles_expr emits array_distinct
+    # shingles per doc and bench_sh is distinct-ed, so the inner join
+    # yields at most one row per (doc, shingle) — the values are equal,
+    # and count drops the Expand + two-level distinct aggregate
+    # (measured 1.47 s -> 0.90 s on the hits subplan at 50k docs, r6)
     hits = (
         doc_sh.join(_maybe_broadcast(bench_sh, broadcast_benchmark), "shingle")
         .groupBy("doc_id")
-        .agg(
-            F.countDistinct("shingle")
-            .cast("long")
-            .alias("n_contaminated_shingles")
-        )
+        .agg(F.count("shingle").cast("long").alias("n_contaminated_shingles"))
     )
+    if hits_only:
+        return hits
     # hits is contamination-proportional, NOT benchmark-sized: when every
     # doc matches (pathological benchmark) it reaches corpus cardinality,
     # so the caller's force-broadcast hint must never extend to it — AQE

@@ -431,6 +431,30 @@ class TestDecontaminate:
         assert out.filter(F.col("contaminated")).count() == 0
         assert out.count() == docs.count()
 
+    def test_hits_only_grain_matches_doc_grain(self, spark):
+        """hits_only=True (r6: the join-back-free grain the
+        doc_fingerprint entry left-joins) must agree with the doc-grain
+        default after the caller's coalesce — same matched docs, same
+        counts, zero elsewhere — and spread=False must not change
+        values."""
+        docs = _docs(spark)
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+        doc_grain = {
+            r["doc_id"]: r
+            for r in D.decontaminate(docs, bench, n=8).collect()
+        }
+        hits = {
+            r["doc_id"]: r["n_contaminated_shingles"]
+            for r in D.decontaminate(
+                docs, bench, n=8, hits_only=True, spread=False
+            ).collect()
+        }
+        assert set(hits) == {
+            d for d, r in doc_grain.items() if r["contaminated"]
+        }
+        for did, r in doc_grain.items():
+            assert hits.get(did, 0) == r["n_contaminated_shingles"], did
+
     def test_corpus_never_shuffles_on_benchmark_join(self, spark):
         """With a small benchmark the corpus-side shingle explode must hit
         a broadcast join (no Exchange on the corpus shingle frame before
