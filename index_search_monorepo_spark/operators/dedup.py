@@ -34,19 +34,26 @@ _HEX = "0123456789abcdef"
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition before compute-heavy narrow transformations.
+    """Repartition before compute-heavy narrow transformations.
 
     A small parquet scan yields few input splits, so without this every
     md5-over-shingles expression runs on 1-3 cores regardless of cluster
     size (measured 6x wall-time difference at local[32]). Partition count =
     spark.sql.shuffle.partitions, i.e. sized to the cluster, not to input
     bytes. At 100 TB the scan already has thousands of splits and the
-    shuffle is cheap relative to the hashing it parallelizes."""
+    shuffle is cheap relative to the hashing it parallelizes.
+
+    Hashes a deterministic doc_id-derived key when present instead of
+    round-robin (r6): skips round-robin's per-task input sort
+    (sortBeforeRepartition) and is retry-deterministic by construction
+    (the guide-recommended pmod(xxhash64(id), 100*n) form)."""
     spark = df.sparkSession
     try:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n = spark.sparkContext.defaultParallelism
+    if "doc_id" in df.columns:
+        return df.repartition(n, F.pmod(F.xxhash64("doc_id"), F.lit(100 * n)))
     return df.repartition(n)
 
 

@@ -97,7 +97,8 @@ def cosine_topk(
     c = spread_small_scan(
         emb.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
+        ),
+        key="neighbor_id",
     ).select(
         "neighbor_id", "c_vec", norm_expr(F.col("c_vec")).alias("_cn")
     )

@@ -108,7 +108,7 @@ def extract_documents(
     # the catalog dim often lands as one parquet file -> one split; without
     # the spread the MARC-XML parse runs on ONE core at any cluster size (a
     # serial stage that caps N->4N scaling; measured ~30% of 32-core wall)
-    catalog = spread_small_scan(tables["catalog"]).withColumn(
+    catalog = spread_small_scan(tables["catalog"], key="id").withColumn(
         "allfields", extract_allfields(F.col("fullrecord"))
     )
     items = catalog_item_metadata(catalog, extra_passthrough=("allfields",))
