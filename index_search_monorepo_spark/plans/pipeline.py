@@ -108,7 +108,12 @@ def extract_documents(
     # the catalog dim often lands as one parquet file -> one split; without
     # the spread the MARC-XML parse runs on ONE core at any cluster size (a
     # serial stage that caps N->4N scaling; measured ~30% of 32-core wall)
-    catalog = spread_small_scan(tables["catalog"], key="id").withColumn(
+    # key=None: round-robin, deliberately NOT the hashed-key spread —
+    # interleaved A/B (r6) read the hashed catalog spread ~10% slower for
+    # the whole extraction job (4.34 vs 3.94 s best-of-6 at the 12k
+    # corpus): the MARC parse cost per record is high-variance, so the
+    # hash's small count imbalance costs more than round-robin's sort
+    catalog = spread_small_scan(tables["catalog"], key=None).withColumn(
         "allfields", extract_allfields(F.col("fullrecord"))
     )
     items = catalog_item_metadata(catalog, extra_passthrough=("allfields",))
