@@ -142,6 +142,7 @@ def with_lm_nll(
     text_col: str = "text",
     strategy: str = "join",
     keep: tuple[str, ...] = (),
+    registry: list | None = None,
 ) -> DataFrame:
     """Score each document against a trained unigram table
     (`train_unigram_counts` output). Adds, at doc grain (every input row
@@ -168,7 +169,7 @@ def with_lm_nll(
     tests/test_lm.py)."""
     _check_keep(keep, ("doc_id", *_LM_PRODUCED))
     if strategy == "map":
-        return _score_map(df, counts, text_col, keep)
+        return _score_map(df, counts, text_col, keep, registry)
     if strategy == "join":
         scored = _score_join(df, counts, text_col)
     elif strategy == "udf":
@@ -188,23 +189,35 @@ def with_lm_nll(
 
 
 def _score_map(
-    df: DataFrame, counts: DataFrame, text_col: str, keep: tuple[str, ...]
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str,
+    keep: tuple[str, ...],
+    registry: list | None = None,
 ) -> DataFrame:
     """Join-free scorer: one-row broadcast (token -> nll) map + per-row
     fold. Output values are bit-identical to _score_join (integer
     arithmetic throughout): in-vocab tokens add their nll, OOV tokens add
     the shared oov_nll, empty/null docs score all-zeros exactly like the
     join path's left-join-miss coalesce."""
+    from index_search_monorepo_spark.operators.dedup import _persist
+
     nll = _nll_table(counts)
-    one_row = nll.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("token"), F.col("nll")))
-        ).alias("_lm_nll_map"),
-        # empty vocabulary: max over zero rows is NULL -> score 0 bits,
-        # matching the join path's coalesce(_oov_nll, 0)
-        F.coalesce(F.max("oov_nll"), F.lit(0).cast("long")).alias(
-            "_lm_oov_nll"
+    # r6: persist the ONE-ROW map frame — unpersisted, each
+    # materialization replays the nll-table micro-stages above the
+    # (caller-persisted) counts; cached, it reads one row
+    one_row = _persist(
+        nll.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("token"), F.col("nll")))
+            ).alias("_lm_nll_map"),
+            # empty vocabulary: max over zero rows is NULL -> score 0
+            # bits, matching the join path's coalesce(_oov_nll, 0)
+            F.coalesce(F.max("oov_nll"), F.lit(0).cast("long")).alias(
+                "_lm_oov_nll"
+            ),
         ),
+        registry,
     )
     toks = F.coalesce(
         tokens_expr(F.col(text_col)),

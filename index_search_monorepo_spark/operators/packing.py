@@ -202,12 +202,20 @@ def with_mixture_sampling(
     # A NULL stratum is excluded from the map (it would be an illegal
     # map key) and looks up to a NULL rate — callers must bucket nulls
     # into a sentinel stratum first; lang-ID guesses here are never null.
-    rate_map = rates.filter(F.col(stratum_col).isNotNull()).agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(F.col(stratum_col), F.col("mix_rate_pmille"))
-            )
-        ).alias("_mix_rates")
+    # r6: the ONE-ROW map frame is persisted too — unpersisted, every
+    # materialization replays the weights -> totals-broadcast ->
+    # crossJoin -> map-agg micro-stage chain above the cached counts
+    # (fixed scheduler latency per run, corpus-independent); cached,
+    # a steady-state run reads one row
+    rate_map = _persist(
+        rates.filter(F.col(stratum_col).isNotNull()).agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col(stratum_col), F.col("mix_rate_pmille"))
+                )
+            ).alias("_mix_rates")
+        ),
+        registry,
     )
     out = (
         df.crossJoin(F.broadcast(rate_map))
