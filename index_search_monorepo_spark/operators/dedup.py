@@ -294,6 +294,7 @@ def decontaminate(
     broadcast_benchmark: bool | str = "auto",
     hits_only: bool = False,
     spread: bool = True,
+    registry: list | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents that share word
     n-gram shingles with an evaluation/benchmark set (the GPT-3 appendix-C
@@ -323,13 +324,18 @@ def decontaminate(
     spread=False skips the internal round-robin repartition when the
     caller passes an already-spread (or many-split) frame, so one
     exchange serves every consumer of that frame."""
-    bench_sh = (
+    # r6: persist the distinct benchmark-shingle frame — benchmark
+    # suites are bounded (MBs), and unpersisted every materialization
+    # replays the benchmark scan + explode + distinct before the
+    # (per-run, unavoidable) broadcast hash-relation build
+    bench_sh = _persist(
         benchmark.select(
             F.explode(
                 word_shingles_expr(F.col(bench_text_col), n)
             ).alias("shingle")
         )
-        .distinct()
+        .distinct(),
+        registry,
     )
     doc_sh = (_spread(docs) if spread else docs).select(
         "doc_id",
