@@ -477,29 +477,65 @@ def lsh_candidate_pairs(
     n: int = 4,
     persist_bands: bool = True,
     cache_registry: list | None = None,
+    via: str = "group",
 ) -> DataFrame:
     """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
     on md5(band values), emit distinct candidate pairs per shared bucket.
-    The bucket join is an equality shuffle join; band hashing keeps bucket
-    keys uniform unless documents truly collide.
 
-    persist_bands=True pins the tiny (doc_id, band_no, bucket) frame before
-    the self-join: both join sides consume it, and without persist each
-    side re-runs the dominant tokenize -> shingle -> k x md5 MinHash pass
-    (plan-audited, round 2). Rows are three short columns — negligible
-    storage next to 2x signature compute. Pass cache_registry=[] and call
-    `release_caches` after materializing to free the cached frame."""
+    via='group' (default, r6): one pass over the band frame — group by
+    (band_no, bucket), sort the member ids, expand in-bucket pairs with a
+    nested transform, explode, distinct. Reads the band frame ONCE and
+    builds no broadcast; measured 0.67 -> 0.57 s at 50k docs against the
+    self-join. Each bucket's members materialize as one array, so a
+    pathologically hot bucket (millions of mutual near-dups in one
+    bucket) concentrates in one task — via='join' keeps the old
+    equality self-join, which streams the same quadratic output instead
+    of materializing it (both are unusable at millions-per-bucket; the
+    join degrades slower).
+
+    persist_bands=True pins the tiny (doc_id, band_no, bucket) frame:
+    without persist every consumer re-runs the dominant tokenize ->
+    shingle -> k x md5 MinHash pass (plan-audited, round 2). Pass
+    cache_registry=[] and call `release_caches` after materializing to
+    free the cached frame."""
     bands = lsh_bands(df, text_col, k, band_size, n)
     if persist_bands:
         bands = _persist(bands, cache_registry)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, ["band_no", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    if via == "join":
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(b, ["band_no", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
+    # ids are unique within a bucket (one row per (doc, band)), so the
+    # sorted slice-after-i expansion yields exactly the a < b pairs the
+    # self-join filter produced; the doc_id null-filter mirrors the
+    # join's null-key drop
+    grouped = (
+        bands.filter(F.col("doc_id").isNotNull())
+        .groupBy("band_no", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    ids = F.col("_ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
