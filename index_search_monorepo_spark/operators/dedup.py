@@ -477,21 +477,22 @@ def lsh_candidate_pairs(
     n: int = 4,
     persist_bands: bool = True,
     cache_registry: list | None = None,
-    via: str = "group",
+    via: str = "join",
 ) -> DataFrame:
     """MinHash+LSH: band the k-wide signature into k/band_size bands, bucket
     on md5(band values), emit distinct candidate pairs per shared bucket.
 
-    via='group' (default, r6): one pass over the band frame — group by
-    (band_no, bucket), sort the member ids, expand in-bucket pairs with a
-    nested transform, explode, distinct. Reads the band frame ONCE and
-    builds no broadcast; measured 0.67 -> 0.57 s at 50k docs against the
-    self-join. Each bucket's members materialize as one array, so a
-    pathologically hot bucket (millions of mutual near-dups in one
-    bucket) concentrates in one task — via='join' keeps the old
-    equality self-join, which streams the same quadratic output instead
-    of materializing it (both are unusable at millions-per-bucket; the
-    join degrades slower).
+    via='join' (default): equality self-join of the persisted band frame
+    — at bench scale AQE broadcasts one side, so the probe side never
+    shuffles. via='group' (r6 alternative, equality pinned by test):
+    one pass over the band frame — group by (band_no, bucket), expand
+    in-bucket pairs with a sorted slice-after-i transform, explode,
+    distinct. The proper interleaved A/B read join 0.30 vs group 0.53 s
+    at sf0.1 and parity (0.63 both) at 50k docs — the collect_list
+    shuffle costs more than the broadcast build until the band frame
+    outgrows broadcast range, which is where 'group' (no broadcast, one
+    frame read) becomes the right plan; an earlier single-window win for
+    'group' did not reproduce (measure, don't assume).
 
     persist_bands=True pins the tiny (doc_id, band_no, bucket) frame:
     without persist every consumer re-runs the dominant tokenize ->
