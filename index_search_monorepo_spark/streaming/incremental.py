@@ -112,15 +112,24 @@ def incremental_extraction(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         # idempotent on batch replay: each micro-batch owns its own
         # subdirectory and overwrites it, so a batch re-run after a crash
-        # between write and commit converges (the R1 'ack' analog)
-        clean, errors = split_errors(batch_df)
-        extracted = with_extracted_spans(clean).select("doc_id", "extracted_spans")
-        extracted.write.mode("overwrite").parquet(
-            str(out / "extracted" / f"batch_id={batch_id}")
-        )
-        errors.write.mode("overwrite").parquet(
-            str(out / "errors" / f"batch_id={batch_id}")
-        )
+        # between write and commit converges (the R1 'ack' analog).
+        # persist: the clean and error branches are two consumers of the
+        # same micro-batch — uncached, each write re-reads the source
+        # files (guide §5; r6)
+        batch_df.persist()
+        try:
+            clean, errors = split_errors(batch_df)
+            extracted = with_extracted_spans(clean).select(
+                "doc_id", "extracted_spans"
+            )
+            extracted.write.mode("overwrite").parquet(
+                str(out / "extracted" / f"batch_id={batch_id}")
+            )
+            errors.write.mode("overwrite").parquet(
+                str(out / "errors" / f"batch_id={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(out / "_stream_checkpoint")

@@ -92,13 +92,20 @@ def incremental_index_update(
     stream = read_docs_stream(spark, input_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        seg = build_postings(batch_df, segment_size=segment_size)
-        seg.write.mode("overwrite").parquet(
-            str(out / "segments" / f"batch_id={batch_id}")
-        )
-        batch_df.select("doc_id").distinct().write.mode(
-            "overwrite"
-        ).parquet(str(out / "tombstones" / f"batch_id={batch_id}"))
+        # persist: the postings build and the tombstone distinct are two
+        # consumers of the same micro-batch — uncached, each re-reads
+        # the source files (guide §5; r6)
+        batch_df.persist()
+        try:
+            seg = build_postings(batch_df, segment_size=segment_size)
+            seg.write.mode("overwrite").parquet(
+                str(out / "segments" / f"batch_id={batch_id}")
+            )
+            batch_df.select("doc_id").distinct().write.mode(
+                "overwrite"
+            ).parquet(str(out / "tombstones" / f"batch_id={batch_id}"))
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", str(out / "_stream_checkpoint")
